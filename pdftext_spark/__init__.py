@@ -1,0 +1,24 @@
+"""pdftext_spark — a PySpark-native structured-text extraction engine.
+
+A from-scratch reimplementation of the extraction *semantics* of
+VikParuchuri/pdftext (char → word-dedup → span → line → block → page,
+plus text postprocessing, reading-order sort, link joining, table-cell
+clustering), re-expressed Spark-first:
+
+- input:  a table of multi-turn agent transcripts
+  ``(conv_id string, turn_idx int, role string, text string, tool string,
+  ts timestamp)`` where document-like turns carry a serialized char-stream
+  payload and tool turns carry HTML;
+- engine: ``mapInPandas`` over Arrow batches; the kernel is vectorized
+  numpy *across all turns in a batch* (zero Spark-level per-row Python);
+- cross-turn state (link reference registry) is resolved on a tiny
+  projected side-table and broadcast-joined back, so the heavy char data
+  shuffles exactly once (the initial salted repartition).
+
+Reference semantics are documented per-operator in SURVEY.md §2 with
+`file:line` citations into /root/reference.
+"""
+
+__version__ = "0.1.0"
+
+from pdftext_spark.config import ExtractConfig  # noqa: F401

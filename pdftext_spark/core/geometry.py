@@ -1,0 +1,95 @@
+"""Vectorized bbox geometry over ``(N, 4)`` float64 arrays.
+
+Semantics match the reference Bbox class (SURVEY.md §1.1; reference
+pdftext/schema.py:7-126) but operate on whole arrays at once — the same
+vectorization the reference itself uses for its link join
+(pdftext/pdf/utils.py:41-59).
+
+Boxes are ``[x1, y1, x2, y2]`` in top-left-origin page coordinates.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def rotate_boxes(boxes: np.ndarray, page_w: float, page_h: float, rotation: int) -> np.ndarray:
+    """Rotate boxes by the page rotation (schema.py:82-114).
+
+    Only 0/90/180/270 are legal; anything else raises, matching
+    schema.py:83-84. Output corners are min/max-normalized.
+    """
+    if rotation not in (0, 90, 180, 270):
+        raise ValueError("Rotation must be one of [0, 90, 180, 270] degrees.")
+    if len(boxes) == 0 or rotation == 0:
+        return boxes
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    if rotation == 90:
+        nx1, ny1, nx2, ny2 = page_h - y2, x1, page_h - y1, x2
+    elif rotation == 180:
+        nx1, ny1, nx2, ny2 = page_w - x2, page_h - y2, page_w - x1, page_h - y1
+    else:  # 270
+        nx1, ny1, nx2, ny2 = y1, page_w - x2, y2, page_w - x1
+    out = np.empty_like(boxes)
+    out[:, 0] = np.minimum(nx1, nx2)
+    out[:, 1] = np.minimum(ny1, ny2)
+    out[:, 2] = np.maximum(nx1, nx2)
+    out[:, 3] = np.maximum(ny1, ny2)
+    return out
+
+
+def normalize_boxes(boxes: np.ndarray) -> np.ndarray:
+    """Min/max-normalize corners (chars.py:34)."""
+    out = np.empty_like(boxes)
+    out[:, 0] = np.minimum(boxes[:, 0], boxes[:, 2])
+    out[:, 1] = np.minimum(boxes[:, 1], boxes[:, 3])
+    out[:, 2] = np.maximum(boxes[:, 0], boxes[:, 2])
+    out[:, 3] = np.maximum(boxes[:, 1], boxes[:, 3])
+    return out
+
+
+def rescale_boxes(boxes: np.ndarray, img_w: float, img_h: float, page_w: float, page_h: float) -> np.ndarray:
+    """Rescale page-coordinate boxes to image coordinates (schema.py:116-126)."""
+    scale = np.array([img_w / page_w, img_h / page_h, img_w / page_w, img_h / page_h])
+    return boxes * scale
+
+
+def envelope_reduceat(boxes: np.ndarray, starts: np.ndarray) -> np.ndarray:
+    """Per-segment bbox envelope (min x1/y1, max x2/y2) for contiguous
+    segments given their start offsets — the A1 merge fold
+    (schema.py:58-64) over every segment at once."""
+    lo = np.minimum.reduceat(boxes[:, :2], starts, axis=0)
+    hi = np.maximum.reduceat(boxes[:, 2:], starts, axis=0)
+    return np.hstack([lo, hi])
+
+
+def intersection_matrix(boxes1: np.ndarray, boxes2: np.ndarray) -> np.ndarray:
+    """Dense N×M intersection-area matrix — the J1/J2 spatial-join kernel
+    (pdf/utils.py:41-59)."""
+    if len(boxes1) == 0 or len(boxes2) == 0:
+        return np.zeros((len(boxes1), len(boxes2)))
+    a = boxes1[:, None, :]
+    b = boxes2[None, :, :]
+    w = np.maximum(0.0, np.minimum(a[..., 2], b[..., 2]) - np.maximum(a[..., 0], b[..., 0]))
+    h = np.maximum(0.0, np.minimum(a[..., 3], b[..., 3]) - np.maximum(a[..., 1], b[..., 1]))
+    return w * h
+
+
+def intersection_pct(box_a: np.ndarray, box_b: np.ndarray) -> float:
+    """Scalar intersection area / area(a) (schema.py:75-80); 0 when a is
+    degenerate."""
+    area = (box_a[2] - box_a[0]) * (box_a[3] - box_a[1])
+    if area == 0:
+        return 0.0
+    w = max(0.0, min(box_a[2], box_b[2]) - max(box_a[0], box_b[0]))
+    h = max(0.0, min(box_a[3], box_b[3]) - max(box_a[1], box_b[1]))
+    return (w * h) / area
+
+
+def ensure_nonzero_area(boxes: np.ndarray) -> np.ndarray:
+    """Pad degenerate boxes: x2=max(x1, x2+1), y2=max(y1, y2+1)
+    (schema.py:8-12)."""
+    out = boxes.copy()
+    out[:, 2] = np.maximum(out[:, 0], out[:, 2] + 1)
+    out[:, 3] = np.maximum(out[:, 1], out[:, 3] + 1)
+    return out

@@ -1,0 +1,184 @@
+"""Char-stream payload decode — the S3 scan analog.
+
+A document-like turn's ``text`` column holds a columnar JSON payload (the
+transcript analog of what pdfium hands the reference per page,
+pdftext/pdf/chars.py:17-39):
+
+```
+{"kind": "chars",
+ "page_bbox": [x0, y0, x1, y1],      # raw page box; width/height via ceil(abs(...))
+ "rotation": 0,                       # page rotation in {0, 90, 180, 270}
+ "text": "<all chars concatenated>",  # char i = text[i]
+ "bbox": [x1,y1,x2,y2, ...],          # 4N floats, top-left origin, pre-rotation
+ "charrot": [r0, r1, ...] | r,        # per-char rotation; scalar when constant
+ "fonts": [{"name","flags","size","weight"}, ...],   # font table
+ "font_id": [f0, f1, ...] | f,        # per-char font-table index; scalar when constant
+ "tbox": {"<char_idx>": [4 floats]},  # sparse tight boxes (rotated chars/quotes)
+ "links": [{"bbox":[4], "dest_page":int|null, "dest_pos":[x,y]|null, "url":str|null}],
+ "tables": [[x1,y1,x2,y2], ...], "img_size": [w, h]}
+```
+
+Decode mirrors get_chars (chars.py:10-55): pick the tight box when the
+char is rotated or is a bare quote with ``quote_loosebox=False``
+(chars.py:21-23), min/max-normalize corners (chars.py:34), rotate by the
+page rotation (chars.py:35). The payload is already top-left-origin, so
+the bottom-left flip (chars.py:26-32) is the generator's job.
+
+Turns whose ``text`` does not parse as a payload (plain prose, HTML) are
+routed elsewhere by the caller; `decode_turn` returns None for them.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+import numpy as np
+
+from pdftext_spark.core.geometry import normalize_boxes, rotate_boxes
+
+_FONT_KEYS = ("name", "flags", "size", "weight")
+
+
+@dataclass
+class DecodedTurn:
+    """One turn's char stream in numpy form (post rotate/normalize)."""
+
+    page_bbox: list  # raw payload page_bbox
+    rotation: int
+    page_width: int
+    page_height: int
+    text: str                    # chars concatenated, index-aligned with arrays
+    boxes: np.ndarray            # (N, 4) float64
+    charrot: np.ndarray          # (N,) float64
+    font_id: np.ndarray          # (N,) int32 — LOCAL font-table index
+    fonts: list                  # local font table (dicts with _FONT_KEYS)
+    links: list = field(default_factory=list)
+    tables: list = field(default_factory=list)
+    img_size: Optional[list] = None
+
+
+def maybe_parse_payload(text: str) -> Optional[dict]:
+    if not text or text[0] != "{":
+        return None
+    try:
+        obj = json.loads(text)
+    except ValueError:
+        return None
+    if isinstance(obj, dict) and obj.get("kind") == "chars":
+        return obj
+    return None
+
+
+def decode_turn(obj: dict, quote_loosebox: bool = True) -> DecodedTurn:
+    pb = [float(v) for v in obj["page_bbox"]]
+    rotation = int(obj.get("rotation", 0))
+    # width/height contract: ceil(abs(x1-x0)), ceil(abs(y0-y1))
+    # (pages.py:279-280, chars.py:14-15 — both reduce to the same values)
+    page_w = math.ceil(abs(pb[2] - pb[0]))
+    page_h = math.ceil(abs(pb[1] - pb[3]))
+
+    text: str = obj.get("text", "")
+    n = len(text)
+    boxes = np.asarray(obj.get("bbox", []), dtype=np.float64).reshape(n, 4)
+
+    cr = obj.get("charrot", 0.0)
+    charrot = (np.full(n, float(cr)) if not isinstance(cr, list)
+               else np.asarray(cr, dtype=np.float64))
+
+    fid = obj.get("font_id", 0)
+    font_id = (np.full(n, int(fid), dtype=np.int32) if not isinstance(fid, list)
+               else np.asarray(fid, dtype=np.int32))
+    fonts = obj.get("fonts") or [{"name": "", "flags": 0, "size": 0.0, "weight": 0}]
+
+    # Tight-box substitution: loose box only when the char is unrotated and
+    # (not a quote, or quote_loosebox) — chars.py:21-23.
+    tbox = obj.get("tbox")
+    if tbox:
+        for k, tb in tbox.items():
+            i = int(k)
+            loose = (charrot[i] == 0) and (text[i] != "'" or quote_loosebox)
+            if not loose:
+                boxes[i] = tb
+
+    boxes = normalize_boxes(boxes)
+    boxes = rotate_boxes(boxes, page_w, page_h, rotation)
+
+    return DecodedTurn(
+        page_bbox=pb,
+        rotation=rotation,
+        page_width=page_w,
+        page_height=page_h,
+        text=text,
+        boxes=boxes,
+        charrot=charrot,
+        font_id=font_id,
+        fonts=[{k: f.get(k) for k in _FONT_KEYS} for f in fonts],
+        links=obj.get("links") or [],
+        tables=obj.get("tables") or [],
+        img_size=obj.get("img_size"),
+    )
+
+
+def prose_to_payload(text: str, page_width: float = 612.0, page_height: float = 792.0,
+                     font_size: float = 11.0, margin: float = 72.0) -> dict:
+    """Degrade-gracefully path for plain-prose turns: synthesize a
+    deterministic monospace layout so extraction is near-identity
+    (SURVEY.md §7.0). Pure arithmetic, vectorizable upstream."""
+    advance = font_size * 0.6
+    line_h = font_size * 1.2
+    max_cols = max(1, int((page_width - 2 * margin) / advance))
+    out_chars: list[str] = []
+    out_boxes: list[float] = []
+    col = 0
+    row = 0
+    for ch in text:
+        if ch == "\n":
+            out_chars.append("\n")
+            x = margin + col * advance
+            y = margin + row * line_h
+            out_boxes.extend([x, y, x, y + line_h])
+            col = 0
+            row += 1
+            continue
+        if col >= max_cols:
+            out_chars.append("\n")
+            x = margin + col * advance
+            y = margin + row * line_h
+            out_boxes.extend([x, y, x, y + line_h])
+            col = 0
+            row += 1
+        x = margin + col * advance
+        y = margin + row * line_h
+        out_chars.append(ch)
+        out_boxes.extend([x, y, x + advance, y + font_size])
+        col += 1
+    return {
+        "kind": "chars",
+        "page_bbox": [0.0, 0.0, page_width, page_height],
+        "rotation": 0,
+        "text": "".join(out_chars),
+        "bbox": out_boxes,
+        "charrot": 0.0,
+        "fonts": [{"name": "Mono", "flags": 0, "size": font_size, "weight": 400}],
+        "font_id": 0,
+    }
+
+
+def decode_any_turn(text: str, quote_loosebox: bool = True) -> DecodedTurn:
+    """Decode a payload turn, or synthesize a layout for plain prose."""
+    obj = maybe_parse_payload(text)
+    if obj is None:
+        obj = prose_to_payload(text if text is not None else "")
+    return decode_turn(obj, quote_loosebox=quote_loosebox)
+
+
+def payload_json(obj: dict) -> str:
+    """Canonical payload serialization (deterministic key order)."""
+    return json.dumps(obj, ensure_ascii=False, separators=(",", ":"), sort_keys=True)
+
+
+def font_tuple(f: dict[str, Any]) -> tuple:
+    return (f.get("name"), f.get("flags"), f.get("size"), f.get("weight"))

@@ -1,0 +1,464 @@
+"""Batch-vectorized char→word→span→line→block segmentation (W1-W6).
+
+The reference builds each page's hierarchy with per-char Python loops
+(pdftext/pdf/chars.py:58-115, pdftext/pdf/pages.py:77-257). Here the same
+break conditions are evaluated as numpy lag-comparisons over *all chars of
+all turns in an Arrow batch at once*; turn boundaries are forced breaks.
+
+The only conditions that cannot be pure lag+cumsum are the ones that
+reference the *running merged bbox* of the segment being built
+(SURVEY.md §4.3; pages.py:116-121 span superscript break, pages.py:157-159
+line y-overflow break). Those are solved by iterative refinement: compute
+segmented cumulative bboxes, find the FIRST violation per segment, split
+there, recompute. Each round's first-violations are exact (the prefix of
+every segment is already final), so the result is bit-identical to the
+reference's sequential scan; rounds needed = max extra splits in any one
+segment (0 for prose, tiny in practice).
+
+Block assembly (pages.py:167-257) runs per turn over *lines* — two to
+three orders of magnitude fewer elements than chars — so a plain loop is
+the right tool there, mirroring how the reference itself loops the short
+part and vectorizes the heavy part (pdf/utils.py:41-59).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+import numpy as np
+import pandas as pd
+
+from pdftext_spark.core.geometry import envelope_reduceat, intersection_pct
+from pdftext_spark.core.payload import DecodedTurn, font_tuple
+from pdftext_spark.core.textproc import script_text_ok
+
+# Codepoints that end a word when they are the previous char:
+# '\n' (10), ' ' (32), '\x02' (2) — chars.py:84-86.
+_WORD_END_CPS = np.array([10, 32, 2], dtype=np.uint32)
+# Codepoints that end a span/line when previous: '\x02', '\n'
+# — pages.py:111-113, pages.py:148-150.
+_SPAN_END_CPS = np.array([2, 10], dtype=np.uint32)
+
+
+@dataclass
+class CharBatch:
+    """All turns of a batch, concatenated into flat char-level arrays."""
+
+    turns: list                 # list[DecodedTurn] (per-turn metadata)
+    turn_of: np.ndarray         # (N,) int32 — batch-local turn index
+    cps: np.ndarray             # (N,) uint32 codepoints
+    boxes: np.ndarray           # (N, 4) float64 (normalized + rotated)
+    rot: np.ndarray             # (N,) float64 char rotation
+    font: np.ndarray            # (N,) int32 global font code
+    char_idx: np.ndarray        # (N,) int32 original per-turn char index
+    gtext: str                  # all chars concatenated (index-aligned)
+    fonts: list                 # global font table: list[tuple(name,flags,size,weight)]
+
+
+def build_char_batch(decoded: list[DecodedTurn]) -> CharBatch:
+    font_codes: dict[tuple, int] = {}
+    fonts: list[tuple] = []
+    turn_of, cps, boxes, rot, font, char_idx, texts = [], [], [], [], [], [], []
+    for t_i, dt in enumerate(decoded):
+        n = len(dt.text)
+        if n == 0:
+            continue
+        local_codes = np.empty(len(dt.fonts), dtype=np.int32)
+        for j, f in enumerate(dt.fonts):
+            key = font_tuple(f)
+            if key not in font_codes:
+                font_codes[key] = len(fonts)
+                fonts.append(key)
+            local_codes[j] = font_codes[key]
+        turn_of.append(np.full(n, t_i, dtype=np.int32))
+        cps.append(np.frombuffer(dt.text.encode("utf-32-le"), dtype=np.uint32))
+        boxes.append(dt.boxes)
+        rot.append(dt.charrot)
+        font.append(local_codes[dt.font_id])
+        char_idx.append(np.arange(n, dtype=np.int32))
+        texts.append(dt.text)
+    if not turn_of:
+        empty = np.empty(0)
+        return CharBatch(decoded, np.empty(0, np.int32), np.empty(0, np.uint32),
+                         np.empty((0, 4)), empty, np.empty(0, np.int32),
+                         np.empty(0, np.int32), "", fonts)
+    return CharBatch(
+        turns=decoded,
+        turn_of=np.concatenate(turn_of),
+        cps=np.concatenate(cps),
+        boxes=np.vstack(boxes),
+        rot=np.concatenate(rot),
+        font=np.concatenate(font),
+        char_idx=np.concatenate(char_idx),
+        gtext="".join(texts),
+        fonts=fonts,
+    )
+
+
+def _lag_breaks(cb_turn: np.ndarray, cps: np.ndarray, font: np.ndarray,
+                rot: np.ndarray, end_cps: np.ndarray) -> np.ndarray:
+    """Start-of-segment flags from pure lag comparisons."""
+    n = len(cps)
+    starts = np.zeros(n, dtype=bool)
+    if n == 0:
+        return starts
+    starts[0] = True
+    starts[1:] |= cb_turn[1:] != cb_turn[:-1]
+    starts[1:] |= np.isin(cps[:-1], end_cps)
+    starts[1:] |= font[1:] != font[:-1]
+    starts[1:] |= rot[1:] != rot[:-1]
+    return starts
+
+
+def word_dedup_mask(cb: CharBatch) -> np.ndarray:
+    """W1 + A6: build words, first-seen-dedup them, return the char keep
+    mask (chars.py:58-115).
+
+    The dedup key is per-turn equality of (rounded bbox, text, rotation,
+    font fields). The reference keys on an f-string
+    (chars.py:110) — tuple equality is equivalent except that the string
+    form distinguishes -0.0 from 0.0, which the signbit columns restore.
+    """
+    n = len(cb.cps)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    starts = _lag_breaks(cb.turn_of, cb.cps, cb.font, cb.rot, _WORD_END_CPS)
+    s_idx = np.flatnonzero(starts)
+    e_idx = np.append(s_idx[1:], n)
+    env = envelope_reduceat(cb.boxes, s_idx)
+    rb = np.round(env)  # round-half-even, matching Python round(x, 0) (chars.py:108)
+    texts = [cb.gtext[a:b] for a, b in zip(s_idx, e_idx)]
+    key = pd.DataFrame({
+        "turn": cb.turn_of[s_idx],
+        "text": texts,
+        "rot": cb.rot[s_idx],
+        "font": cb.font[s_idx],
+        "b0": rb[:, 0], "b1": rb[:, 1], "b2": rb[:, 2], "b3": rb[:, 3],
+        "s0": np.signbit(rb[:, 0]), "s1": np.signbit(rb[:, 1]),
+        "s2": np.signbit(rb[:, 2]), "s3": np.signbit(rb[:, 3]),
+    })
+    keep_word = (~key.duplicated(keep="first")).to_numpy()
+    return np.repeat(keep_word, e_idx - s_idx)
+
+
+def apply_mask(cb: CharBatch, mask: np.ndarray) -> CharBatch:
+    cps = cb.cps[mask]
+    return CharBatch(
+        turns=cb.turns,
+        turn_of=cb.turn_of[mask],
+        cps=cps,
+        boxes=cb.boxes[mask],
+        rot=cb.rot[mask],
+        font=cb.font[mask],
+        char_idx=cb.char_idx[mask],
+        gtext=cps.astype("<u4").tobytes().decode("utf-32-le"),
+        fonts=cb.fonts,
+    )
+
+
+def _refine_running_breaks(starts: np.ndarray, boxes: np.ndarray,
+                           violate: Callable[[np.ndarray], np.ndarray],
+                           max_rounds: int = 4096) -> np.ndarray:
+    """Iteratively add breaks where `violate(running_bbox_before_elem)`
+    holds, taking only the first violation per segment each round (see
+    module docstring for the exactness argument)."""
+    n = len(starts)
+    if n == 0:
+        return starts
+    starts = starts.copy()
+    idx = np.arange(n)
+    df = pd.DataFrame({"x1": boxes[:, 0], "y1": boxes[:, 1],
+                       "x2": boxes[:, 2], "y2": boxes[:, 3]})
+    for _ in range(max_rounds):
+        seg = np.cumsum(starts) - 1
+        g = df.groupby(seg, sort=False)
+        run = np.empty_like(boxes)
+        run[:, 0] = g["x1"].cummin().to_numpy()
+        run[:, 1] = g["y1"].cummin().to_numpy()
+        run[:, 2] = g["x2"].cummax().to_numpy()
+        run[:, 3] = g["y2"].cummax().to_numpy()
+        prev = np.empty_like(run)
+        prev[1:] = run[:-1]
+        prev[0] = 0.0
+        viol = violate(prev) & ~starts
+        if not viol.any():
+            return starts
+        cand = np.where(viol, idx, n)
+        firsts = np.minimum.reduceat(cand, np.flatnonzero(starts))
+        firsts = firsts[firsts < n]
+        if firsts.size == 0:
+            return starts
+        starts[firsts] = True
+    raise RuntimeError("running-bbox refinement did not converge")
+
+
+def span_starts(cb: CharBatch, superscript_height_threshold: float,
+                line_distance_threshold: float) -> np.ndarray:
+    """W2 — char→span breaks (pages.py:77-129), superscript break included."""
+    starts = _lag_breaks(cb.turn_of, cb.cps, cb.font, cb.rot, _SPAN_END_CPS)
+    boxes = cb.boxes
+
+    def sup_violate(prev: np.ndarray) -> np.ndarray:
+        h = prev[:, 3] - prev[:, 1]
+        return (
+            (boxes[:, 1] < prev[:, 1] - h * line_distance_threshold)
+            & (boxes[:, 3] < h * superscript_height_threshold + prev[:, 1])
+            & (boxes[:, 0] > prev[:, 2])
+        )
+
+    return _refine_running_breaks(starts, boxes, sup_violate)
+
+
+@dataclass
+class SpanTable:
+    start: np.ndarray           # (S,) char offset of first char (post-dedup index)
+    end: np.ndarray             # (S,) exclusive
+    turn: np.ndarray            # (S,)
+    bbox: np.ndarray            # (S, 4)
+    rot: np.ndarray             # (S,)
+    font: np.ndarray            # (S,) global font code
+    char_start_idx: np.ndarray  # (S,) original char_idx of first char
+    char_end_idx: np.ndarray    # (S,) original char_idx of last char
+    superscript: np.ndarray     # (S,) bool
+    subscript: np.ndarray       # (S,) bool
+
+
+def build_span_table(cb: CharBatch, starts: np.ndarray) -> SpanTable:
+    s_idx = np.flatnonzero(starts)
+    e_idx = np.append(s_idx[1:], len(starts))
+    nspans = len(s_idx)
+    return SpanTable(
+        start=s_idx,
+        end=e_idx,
+        turn=cb.turn_of[s_idx],
+        bbox=envelope_reduceat(cb.boxes, s_idx) if nspans else np.empty((0, 4)),
+        rot=cb.rot[s_idx],
+        font=cb.font[s_idx],
+        char_start_idx=cb.char_idx[s_idx],
+        char_end_idx=cb.char_idx[e_idx - 1] if nspans else np.empty(0, np.int32),
+        superscript=np.zeros(nspans, dtype=bool),
+        subscript=np.zeros(nspans, dtype=bool),
+    )
+
+
+@dataclass
+class LineTable:
+    start: np.ndarray   # (L,) span offset of first span
+    end: np.ndarray     # (L,) exclusive
+    turn: np.ndarray    # (L,)
+    bbox: np.ndarray    # (L, 4)
+    rot: np.ndarray     # (L,)
+
+
+def line_starts(cb: CharBatch, spans: SpanTable) -> np.ndarray:
+    """W3 — span→line breaks (pages.py:132-164)."""
+    ns = len(spans.start)
+    starts = np.zeros(ns, dtype=bool)
+    if ns == 0:
+        return starts
+    starts[0] = True
+    starts[1:] |= spans.turn[1:] != spans.turn[:-1]
+    last_cp = cb.cps[spans.end - 1]
+    starts[1:] |= np.isin(last_cp[:-1], _SPAN_END_CPS)
+    starts[1:] |= spans.rot[1:] != spans.rot[:-1]
+    boxes = spans.bbox
+
+    def y_violate(prev: np.ndarray) -> np.ndarray:
+        return boxes[:, 1] > prev[:, 3]
+
+    return _refine_running_breaks(starts, boxes, y_violate)
+
+
+def build_line_table(spans: SpanTable, starts: np.ndarray) -> LineTable:
+    s_idx = np.flatnonzero(starts)
+    e_idx = np.append(s_idx[1:], len(starts))
+    return LineTable(
+        start=s_idx,
+        end=e_idx,
+        turn=spans.turn[s_idx],
+        bbox=envelope_reduceat(spans.bbox, s_idx) if len(s_idx) else np.empty((0, 4)),
+        rot=spans.rot[s_idx],
+    )
+
+
+def assign_scripts(cb: CharBatch, spans: SpanTable, lines: LineTable,
+                   height_threshold: float, line_distance_threshold: float) -> None:
+    """W6 — super/subscript flags per span (pages.py:22-74), in place.
+
+    Per-line work; lines with <2 spans and vertical lines are skipped
+    (pages.py:25-30), so the loop touches few elements.
+    """
+    for li in range(len(lines.start)):
+        lo, hi = lines.start[li], lines.end[li]
+        nsp = hi - lo
+        if nsp < 2:
+            continue
+        lb = lines.bbox[li]
+        line_h = lb[3] - lb[1]
+        if line_h > lb[2] - lb[0]:
+            continue
+        sb = spans.bbox[lo:hi]
+        texts = [cb.gtext[spans.start[i]:spans.end[i]] for i in range(lo, hi)]
+        heights = sb[:, 3] - sb[:, 1]
+        tops = sb[:, 1]
+        bottoms = sb[:, 3]
+        # thresholds vs every *other* span in the line (pages.py:43-49)
+        up_lim = tops - heights * line_distance_threshold
+        dn_lim = bottoms + heights * line_distance_threshold
+        prev_j = None  # reference's prev_span is the previously *iterated* span
+        for j in range(nsp):
+            is_first = j == 0 or not texts[prev_j].strip()
+            is_last = j == nsp - 1 or not texts[j + 1].strip()
+            h = heights[j]
+            line_fullheight = h / max(1, line_h) <= height_threshold
+            next_fullheight = is_last or h / max(1, heights[j + 1]) <= height_threshold
+            prev_fullheight = is_first or h / max(1, heights[prev_j]) <= height_threshold
+            others = np.arange(nsp) != j
+            above = bool(np.any(tops[j] < up_lim[others]))
+            below = bool(np.any(bottoms[j] > dn_lim[others]))
+            prev_above = is_first or tops[j] < tops[prev_j]
+            next_above = is_last or tops[j] < tops[j + 1]
+            prev_below = is_first or bottoms[j] > bottoms[prev_j]
+            next_below = is_last or bottoms[j] > bottoms[j + 1]
+            text_ok = script_text_ok(texts[j])
+            if (prev_fullheight or next_fullheight) and (prev_above or next_above) \
+                    and above and line_fullheight and text_ok:
+                spans.superscript[lo + j] = True
+            elif (prev_fullheight or next_fullheight) and (prev_below or next_below) \
+                    and below and line_fullheight and text_ok:
+                spans.subscript[lo + j] = True
+            prev_j = j
+
+
+@dataclass
+class BlockTable:
+    """Blocks per turn as contiguous line ranges (merging only ever joins
+    adjacent-in-order lines/blocks, pages.py:190-257)."""
+
+    line_lo: np.ndarray   # (B,) first line index
+    line_hi: np.ndarray   # (B,) exclusive
+    turn: np.ndarray      # (B,)
+    bbox: np.ndarray      # (B, 4)
+
+
+def build_blocks(lines: LineTable, n_turns: int,
+                 tolerance_factor: float = 1.5,
+                 default_median_gap: float = 0.1) -> BlockTable:
+    """W4 + A4 + W5 — line→block assembly per turn (pages.py:167-257)."""
+    out_lo: list[int] = []
+    out_hi: list[int] = []
+    out_turn: list[int] = []
+    out_bbox: list[np.ndarray] = []
+
+    nlines = len(lines.start)
+    turn_line_lo = np.searchsorted(lines.turn, np.arange(n_turns), side="left")
+    turn_line_hi = np.searchsorted(lines.turn, np.arange(n_turns), side="right")
+
+    for t in range(n_turns):
+        lo, hi = int(turn_line_lo[t]), int(turn_line_hi[t])
+        if lo >= hi:
+            continue
+        lb = lines.bbox[lo:hi]
+        centers = np.column_stack([(lb[:, 0] + lb[:, 2]) / 2.0, (lb[:, 1] + lb[:, 3]) / 2.0])
+        # A4 — median center gaps; `or`-fallback to 0.1 when empty OR zero
+        # (pages.py:171-188)
+        if hi - lo > 1:
+            dx = np.abs(np.diff(centers[:, 0]))
+            dy = np.abs(np.diff(centers[:, 1]))
+            median_x = float(np.median(dx)) or default_median_gap
+            median_y = float(np.median(dy)) or default_median_gap
+        else:
+            median_x = median_y = default_median_gap
+        allowed_x = median_x * tolerance_factor
+        allowed_y = median_y * tolerance_factor
+
+        blocks: list[list] = []  # [line_lo, line_hi, bbox]
+        for i in range(hi - lo):
+            box = lb[i]
+            if not blocks:
+                blocks.append([i, i + 1, box.copy()])
+                continue
+            blk = blocks[-1]
+            last = lb[blk[1] - 1]  # last line in current block
+            x_diff = abs(centers[i, 0] - (last[0] + last[2]) / 2.0)
+            y_diff = abs(centers[i, 1] - (last[1] + last[3]) / 2.0)
+            merge = False
+            if x_diff <= allowed_x and y_diff <= allowed_y:
+                merge = True
+            elif blk[1] - blk[0] == 1 and last[0] > box[0] and y_diff <= allowed_y:
+                merge = True  # first-line indent exception (pages.py:215-219)
+            elif last[2] > box[2] and y_diff <= allowed_y:
+                merge = True  # short-last-line exception (pages.py:221-224)
+            elif y_diff < allowed_y * 0.2 and last[2] > box[0]:
+                merge = True  # tiny-y continuation (pages.py:227-230)
+            elif intersection_pct(blk[2], box) > 0:
+                merge = True  # running-block intersection (pages.py:232-234)
+            if merge:
+                blk[1] = i + 1
+                blk[2][0] = min(blk[2][0], box[0])
+                blk[2][1] = min(blk[2][1], box[1])
+                blk[2][2] = max(blk[2][2], box[2])
+                blk[2][3] = max(blk[2][3], box[3])
+            else:
+                blocks.append([i, i + 1, box.copy()])
+
+        # W5 — forward merge of overlapping blocks (pages.py:239-257)
+        merged: list[list] = []
+        for blk in blocks:
+            if merged and intersection_pct(merged[-1][2], blk[2]) > 0:
+                prev = merged[-1]
+                prev[1] = blk[1]
+                prev[2][0] = min(prev[2][0], blk[2][0])
+                prev[2][1] = min(prev[2][1], blk[2][1])
+                prev[2][2] = max(prev[2][2], blk[2][2])
+                prev[2][3] = max(prev[2][3], blk[2][3])
+            else:
+                merged.append(blk)
+
+        for blk in merged:
+            out_lo.append(lo + blk[0])
+            out_hi.append(lo + blk[1])
+            out_turn.append(t)
+            out_bbox.append(blk[2])
+
+    if not out_lo:
+        return BlockTable(np.empty(0, np.int64), np.empty(0, np.int64),
+                          np.empty(0, np.int32), np.empty((0, 4)))
+    return BlockTable(
+        line_lo=np.asarray(out_lo, dtype=np.int64),
+        line_hi=np.asarray(out_hi, dtype=np.int64),
+        turn=np.asarray(out_turn, dtype=np.int32),
+        bbox=np.vstack(out_bbox),
+    )
+
+
+@dataclass
+class Segmentation:
+    chars: CharBatch            # post-dedup
+    spans: SpanTable
+    lines: LineTable
+    blocks: BlockTable
+    n_turns: int
+    # per-turn block index ranges into BlockTable
+    turn_block_lo: np.ndarray
+    turn_block_hi: np.ndarray
+
+
+def segment_batch(decoded: list[DecodedTurn],
+                  superscript_height_threshold: float = 0.7,
+                  line_distance_threshold: float = 0.1,
+                  tolerance_factor: float = 1.5) -> Segmentation:
+    """Full W1→W6 pipeline over a batch of decoded turns."""
+    cb0 = build_char_batch(decoded)
+    cb = apply_mask(cb0, word_dedup_mask(cb0)) if len(cb0.cps) else cb0
+    sp_starts = span_starts(cb, superscript_height_threshold, line_distance_threshold)
+    spans = build_span_table(cb, sp_starts)
+    ln_starts = line_starts(cb, spans)
+    lines = build_line_table(spans, ln_starts)
+    assign_scripts(cb, spans, lines, superscript_height_threshold, line_distance_threshold)
+    n_turns = len(decoded)
+    blocks = build_blocks(lines, n_turns, tolerance_factor)
+    tb_lo = np.searchsorted(blocks.turn, np.arange(n_turns), side="left")
+    tb_hi = np.searchsorted(blocks.turn, np.arange(n_turns), side="right")
+    return Segmentation(cb, spans, lines, blocks, n_turns, tb_lo, tb_hi)

@@ -1,0 +1,328 @@
+"""Deterministic synthetic transcript generator (S7 analog).
+
+The reference benchmarks against a HuggingFace PDF dataset
+(benchmark/benchmark.py:68-70); this sandbox forbids external data, so the
+correctness/bench corpus is synthesized: seeded, wall-clock-free, and
+byte-identical across runs. Schema matches BASELINE.json's input_hint:
+(conv_id string, turn_idx int, role string, text string, tool string,
+ts timestamp).
+
+Turn kinds (FIXTURES.md §2):
+- document-like turns: columnar char-stream payload (core/payload.py),
+  injecting the adversarial cases the reference's test PDF exercises
+  (dedup runs, soft hyphens, ligatures, control chars, super/subscripts,
+  font switches, rotations, missing newlines, overlapping blocks, links);
+- tool turns: HTML with known main content wrapped in boilerplate;
+- table-bearing turns: char grid + table regions at 2.0/0.5 image scales.
+
+The generator also emits *expectation* side-tables for facts it knows by
+construction (HTML main text, injected superscript spans, table cell
+counts) — these back the generator-level tests, while full extraction
+parity is checked against the independent oracle in tests/oracle_naive.py.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import hashlib
+import random
+from dataclasses import dataclass, field
+
+from pdftext_spark.core.payload import payload_json
+
+_EPOCH = _dt.datetime(2024, 1, 1, tzinfo=_dt.timezone.utc)
+
+WORDS = (
+    "spark shuffle partition executor catalyst tungsten arrow batch column "
+    "query plan join aggregate window stream table schema row value data "
+    "engine vector kernel segment span line block page char font text "
+    "subspace manifold tensor gradient lattice quantum entropy signal "
+    "ﬁnance afﬂuent ofﬁce ﬂow ﬆack traﬃc dwarﬀ "
+    "naive oracle deterministic transcript conversation turn extraction"
+).split()
+
+FONTS = [
+    {"name": "Serif", "flags": 4, "size": 11.0, "weight": 400},
+    {"name": "Serif-Bold", "flags": 4, "size": 11.0, "weight": 700},
+    {"name": "Mono", "flags": 1, "size": 10.0, "weight": 400},
+    {"name": "Serif-Small", "flags": 4, "size": 6.5, "weight": 400},
+]
+
+PAGE_W, PAGE_H = 612.0, 792.0
+MARGIN = 72.0
+
+
+@dataclass
+class _PageBuilder:
+    chars: list = field(default_factory=list)     # 1-char strings
+    boxes: list = field(default_factory=list)     # flat floats
+    rots: list = field(default_factory=list)
+    fids: list = field(default_factory=list)
+    tbox: dict = field(default_factory=dict)
+    links: list = field(default_factory=list)
+
+    def add(self, ch: str, x1, y1, x2, y2, fid=0, rot=0.0, tight=None):
+        idx = len(self.chars)
+        self.chars.append(ch)
+        self.boxes.extend([float(x1), float(y1), float(x2), float(y2)])
+        self.rots.append(float(rot))
+        self.fids.append(int(fid))
+        if tight is not None:
+            self.tbox[str(idx)] = [float(v) for v in tight]
+        return idx
+
+    def payload(self, rotation=0, tables=None, img_size=None) -> dict:
+        obj = {
+            "kind": "chars",
+            "page_bbox": [0.0, 0.0, PAGE_W, PAGE_H],
+            "rotation": rotation,
+            "text": "".join(self.chars),
+            "bbox": self.boxes,
+            "charrot": self.rots if any(r != 0.0 for r in self.rots) else 0.0,
+            "fonts": FONTS,
+            "font_id": self.fids,
+        }
+        if self.tbox:
+            obj["tbox"] = self.tbox
+        if self.links:
+            obj["links"] = self.links
+        if tables:
+            obj["tables"] = tables
+            obj["img_size"] = img_size
+        return obj
+
+
+def _emit_word(pb: _PageBuilder, word: str, x: float, y: float, fid: int,
+               rng: random.Random, rot: float = 0.0) -> float:
+    size = FONTS[fid]["size"]
+    adv = size * 0.55
+    for ch in word:
+        tight = None
+        if ch == "'":
+            # loose box is taller; tight box hugs the glyph (chars.py:21-23)
+            tight = [x, y + size * 0.1, x + adv, y + size * 0.6]
+            pb.add(ch, x, y - size * 0.15, x + adv, y + size, fid, rot, tight)
+        else:
+            pb.add(ch, x, y, x + adv, y + size, fid, rot)
+        x += adv
+    return x
+
+
+def _doc_payload(rng: random.Random, conv_len: int, facts: dict) -> dict:
+    pb = _PageBuilder()
+    rotation = rng.choice([0, 0, 0, 0, 0, 0, 0, 0, 0, 90, 180, 270])
+    y = MARGIN
+    n_paras = rng.randint(1, 4)
+    for _ in range(n_paras):
+        n_lines = rng.randint(1, 5)
+        for _li in range(n_lines):
+            x = MARGIN + (rng.random() * 18 if rng.random() < 0.3 else 0.0)
+            n_words = rng.randint(2, 8)
+            for wi in range(n_words):
+                fid = 1 if rng.random() < 0.12 else 0
+                word = rng.choice(WORDS)
+                if rng.random() < 0.06:
+                    word = word + "\xa0trailer"  # NBSP → space (utils.py:10)
+                if rng.random() < 0.05:
+                    word = word[:2] + "\x7f" + word[2:]  # control char dropped (F3)
+                if rng.random() < 0.04:
+                    word = "it's"  # quote / loosebox case
+                run_start = len(pb.chars)
+                x = _emit_word(pb, word, x, y, fid, rng)
+                if rng.random() < 0.08:
+                    # superscript digit after the word; small-font variant is
+                    # flagged by W6 (geometry satisfies the 0.7 fullheight
+                    # and 0.1 above thresholds, pages.py:39-49)
+                    sup = str(rng.randint(2, 9))
+                    if rng.random() < 0.75:
+                        pb.add(sup, x + 0.5, y - 2.5, x + 4.0, y + 4.95, 3, 0.0)
+                        facts.setdefault("superscripts", []).append(sup)
+                    else:
+                        # same-font raised char → exercises the W2 running-bbox
+                        # superscript BREAK (pages.py:116-121); W6 flag not
+                        # guaranteed here, so not recorded as a fact
+                        pb.add(sup, x + 0.5, y - 2.5, x + 4.0, y + 4.95, fid, 0.0)
+                    x += 4.5
+                elif rng.random() < 0.04:
+                    # subscript digit, lowered (H₂O-style)
+                    sub = str(rng.randint(2, 9))
+                    pb.add(sub, x + 0.5, y + 6.05, x + 4.0, y + 13.0, 3, 0.0)
+                    x += 4.5
+                if wi != n_words - 1:
+                    pb.add(" ", x, y, x + 3.0, y + 11.0, fid)
+                    x += 5.5
+                    if rng.random() < 0.05:
+                        # duplicated word run (word + trailing space) at the
+                        # identical coords → identical dedup key → dropped by
+                        # A6 (chars.py:102-115)
+                        run_end = len(pb.chars)
+                        for i in range(run_start, run_end):
+                            b = pb.boxes[i * 4:i * 4 + 4]
+                            pb.add(pb.chars[i], b[0], b[1], b[2], b[3],
+                                   pb.fids[i], pb.rots[i])
+            line_end = rng.random()
+            if line_end < 0.06:
+                # soft hyphen at line end: \x02 then newline (F5/F6 cases)
+                pb.add("\x02", x, y, x, y + 11.0, 0)
+                pb.add("\n", x, y, x, y + 11.0, 0)
+            elif line_end < 0.12:
+                # \r\n pair (REPLACEMENTS, postprocessing.py:17-19)
+                pb.add("\r", x, y, x, y + 11.0, 0)
+                pb.add("\n", x, y, x, y + 11.0, 0)
+            elif line_end < 0.2:
+                pass  # no newline char → y-position line break (pages.py:157-159)
+            else:
+                pb.add("\n", x, y, x, y + 11.0, 0)
+            y += 13.2
+        y += rng.choice([26.0, 30.0, 34.0])  # paragraph gap → block break
+    # links over the first few words
+    if rng.random() < 0.35 and len(pb.chars) > 20:
+        a = rng.randrange(0, len(pb.boxes) // 4 - 10)
+        b = a + rng.randint(3, 10)
+        xs = pb.boxes[a * 4:b * 4]
+        lb = [min(xs[0::4]), min(xs[1::4]), max(xs[2::4]), max(xs[3::4])]
+        kind = rng.random()
+        if kind < 0.4:
+            link = {"bbox": lb, "dest_page": None, "dest_pos": None,
+                    "url": f"https://example.com/{rng.randint(0, 999)}"}
+        elif kind < 0.75:
+            link = {"bbox": lb, "dest_page": rng.randrange(0, conv_len),
+                    "dest_pos": [float(rng.randint(0, 500)), float(rng.randint(0, 700))],
+                    "url": None}
+        else:
+            link = {"bbox": lb, "dest_page": rng.randrange(0, conv_len),
+                    "dest_pos": None, "url": None}  # exercises [0,0] default / self-drop
+        pb.links.append(link)
+        if rng.random() < 0.3:
+            # second link over an overlapping range → span splitting (W7)
+            lb2 = [lb[0] + 5.0, lb[1], lb[2] + 25.0, lb[3]]
+            pb.links.append({"bbox": lb2, "dest_page": None, "dest_pos": None,
+                             "url": f"https://example.org/{rng.randint(0, 999)}"})
+    return pb.payload(rotation=rotation)
+
+
+def _table_payload(rng: random.Random, facts: dict) -> dict:
+    pb = _PageBuilder()
+    # a prose line outside the table (must be filtered out by J4)
+    _emit_word(pb, "caption", MARGIN, 40.0, 0, rng)
+    pb.add("\n", 120.0, 40.0, 120.0, 51.0, 0)
+    rows = rng.randint(3, 6)
+    cols = rng.randint(3, 5)
+    size = 10.0
+    adv = size * 0.5
+    y0 = 91.0
+    row_h = 18.0
+    col_w = 90.0
+    scaler = rng.choice([2.0, 0.5])
+    img_size = [PAGE_W * scaler, PAGE_H * scaler]
+    last_text = None
+    for r in range(rows):
+        y = y0 + r * row_h
+        for c in range(cols):
+            x = MARGIN + c * col_w
+            cell = f"{rng.randint(0, 99)}.{rng.randint(0, 99):02d}"
+            if r == rows - 1 and c == cols - 1:
+                cell = f"{rng.randint(1, 9)}.{rng.randint(0, 9)}h"
+            for ch in cell:
+                pb.add(ch, x, y, x + adv, y + size, 2)
+                x += adv + 0.2
+            last_text = cell
+        pb.add("\n", x, y, x, y + size, 2)
+    # table region in IMAGE coordinates (tables.py:60-63)
+    table_pts = [MARGIN - 10.0, y0 - 6.0, MARGIN + cols * col_w + 10.0,
+                 y0 + rows * row_h + 6.0]
+    tables = [[v * scaler for v in table_pts]]
+    facts["table"] = {"n_cells": rows * cols, "last_text": last_text,
+                      "n_tables": 1}
+    return pb.payload(tables=tables, img_size=img_size)
+
+
+_HTML_TMPL = """<!DOCTYPE html>
+<html><head><title>t</title><script>var x = {js};</script>
+<style>.a {{color: red}}</style></head>
+<body>
+<header><h1>Site {site}</h1><nav><ul>{nav}</ul></nav></header>
+<aside>{aside}</aside>
+<div class="content">
+<article>
+<h1>{title}</h1>
+{paras}
+</article>
+</div>
+<footer><ul>{nav}</ul><p>copyright {site}</p></footer>
+</body></html>"""
+
+
+def _html_turn(rng: random.Random) -> tuple[str, str]:
+    nav = "".join(f'<li><a href="/p/{i}">nav link {i} {rng.choice(WORDS)}</a></li>'
+                  for i in range(rng.randint(3, 8)))
+    aside = " ".join(f'<a href="/x/{i}">{rng.choice(WORDS)}</a>'
+                     for i in range(rng.randint(2, 6)))
+    title = " ".join(rng.choice(WORDS) for _ in range(rng.randint(2, 5))).strip()
+    paras = []
+    expected = [title]
+    for _ in range(rng.randint(2, 5)):
+        sent = " ".join(rng.choice(WORDS) for _ in range(rng.randint(12, 40))).strip()
+        paras.append(f"<p>{sent}</p>")
+        expected.append(sent)
+    html = _HTML_TMPL.format(js=rng.randint(0, 9999), site=rng.randint(1, 99),
+                             nav=nav, aside=aside, title=title,
+                             paras="\n".join(paras))
+    return html, "\n".join(expected)
+
+
+def _conv_len(rng: random.Random, max_turns: int) -> int:
+    # Zipf-ish: many short conversations, a few very long ones (skew driver)
+    return max(1, min(max_turns, int(rng.paretovariate(1.1))))
+
+
+def generate_transcripts(n_convs: int, max_turns: int = 200, seed: int = 7):
+    """Yield (row_dict, facts_dict) pairs; facts carry generator-known
+    expectations keyed the same (conv_id, turn_idx)."""
+    for ci in range(n_convs):
+        conv_id = f"conv-{ci:06d}"
+        rng = random.Random(f"{seed}:{conv_id}")
+        n_turns = _conv_len(rng, max_turns)
+        base_ts = _EPOCH + _dt.timedelta(
+            seconds=int(hashlib.md5(conv_id.encode()).hexdigest()[:6], 16) % 86400)
+        for ti in range(n_turns):
+            ts = base_ts + _dt.timedelta(seconds=37 * ti)
+            facts: dict = {}
+            r = rng.random()
+            if r < 0.28:
+                role, tool = "tool", rng.choice(["browser", "search"])
+                html, expected = _html_turn(rng)
+                text = html
+                facts["html_main"] = expected
+            elif r < 0.38:
+                role, tool = rng.choice([("user", None), ("assistant", None)])
+                text = payload_json(_table_payload(rng, facts))
+            elif r < 0.44:
+                # plain prose turn (graceful-degradation path)
+                role, tool = "user", None
+                text = " ".join(rng.choice(WORDS) for _ in range(rng.randint(3, 60)))
+            elif r < 0.46:
+                role, tool = "assistant", None
+                text = payload_json({"kind": "chars",
+                                     "page_bbox": [0.0, 0.0, PAGE_W, PAGE_H],
+                                     "rotation": 0, "text": "", "bbox": []})
+            else:
+                role, tool = rng.choice([("user", None), ("assistant", None)])
+                text = payload_json(_doc_payload(rng, n_turns, facts))
+            yield ({"conv_id": conv_id, "turn_idx": ti, "role": role,
+                    "text": text, "tool": tool, "ts": ts}, facts)
+
+
+def build_fixture_tables(n_convs: int, max_turns: int = 200, seed: int = 7):
+    """Materialize rows + expectation tables as lists of dicts."""
+    rows, html_exp, table_exp, sup_exp = [], [], [], []
+    for row, facts in generate_transcripts(n_convs, max_turns, seed):
+        rows.append(row)
+        key = {"conv_id": row["conv_id"], "turn_idx": row["turn_idx"]}
+        if "html_main" in facts:
+            html_exp.append({**key, "main_text": facts["html_main"]})
+        if "table" in facts:
+            table_exp.append({**key, **facts["table"]})
+        for s in facts.get("superscripts", []):
+            sup_exp.append({**key, "sup_text": s})
+    return rows, html_exp, table_exp, sup_exp
