@@ -32,6 +32,11 @@ class ExtractConfig:
     hyphens: bool = False
     keep_chars: bool = False
     disable_links: bool = False
+    # Kernel-side output pruning: when a caller only needs the plain-text
+    # column, skip nested page/table assembly entirely (the Python-side
+    # analog of Catalyst column pruning, which cannot see into the UDF).
+    emit_struct: bool = True
+    emit_tables: bool = True
 
     # --- scale knobs ---
     # Number of partitions for the salted repartition of the heavy scan.

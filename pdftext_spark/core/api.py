@@ -52,8 +52,15 @@ def process_batch(texts: list, roles: list, turn_idxs: list,
                 continue
             outputs[i] = TurnOutput(text=main, is_html=True)
         else:
+            try:
+                dt = decode_any_turn(texts[i], cfg.quote_loosebox)
+            except Exception as exc:
+                # A bad payload must not kill the whole Arrow batch at scale;
+                # route it to the error/lineage channel instead.
+                outputs[i] = TurnOutput(text="", error=repr(exc))
+                continue
             doc_pos.append(i)
-            decoded.append(decode_any_turn(texts[i], cfg.quote_loosebox))
+            decoded.append(dt)
 
     if decoded:
         seg = segment_batch(
@@ -63,13 +70,14 @@ def process_batch(texts: list, roles: list, turn_idxs: list,
             tolerance_factor=cfg.block_tolerance_factor,
         )
         plains = plain_text_batch(seg, cfg.sort, cfg.hyphens)
-        span_start_mask = _span_start_mask(seg)
+        want_extras = cfg.emit_struct or cfg.emit_tables
+        span_start_mask = _span_start_mask(seg) if want_extras else None
         for local, i in enumerate(doc_pos):
             dt = decoded[local]
             page_id = int(turn_idxs[i])
             splits = None
             registrations: list = []
-            if not cfg.disable_links and dt.links:
+            if want_extras and not cfg.disable_links and dt.links:
                 res = merge_turn_links(seg, local, page_id, dt.links)
                 if res is not None:
                     splits = res.span_splits or None
@@ -78,10 +86,12 @@ def process_batch(texts: list, roles: list, turn_idxs: list,
                         for ovs in splits.values():
                             for ov in ovs:
                                 span_start_mask[ov["start"]] = True
-            page = struct_page(seg, local, page_id, keep_chars=cfg.keep_chars,
-                               sort=cfg.sort, span_splits=splits)
+            page = None
+            if cfg.emit_struct:
+                page = struct_page(seg, local, page_id, keep_chars=cfg.keep_chars,
+                                   sort=cfg.sort, span_splits=splits)
             tables = []
-            if dt.tables and dt.img_size:
+            if cfg.emit_tables and dt.tables and dt.img_size:
                 tables = table_cells_turn(
                     seg, local, dt.tables, dt.img_size, span_start_mask,
                     table_thresh=cfg.table_thresh, space_thresh=cfg.space_thresh)

@@ -32,8 +32,16 @@ from pdftext_spark.core.geometry import (
 from pdftext_spark.core.segment import Segmentation
 
 
-def goto_placeholder(dest_page: int, dest_pos: list) -> str:
-    return f"#goto|{dest_page}|{dest_pos[0]!r}|{dest_pos[1]!r}"
+def goto_placeholder(turn_idx: int, gid: int) -> str:
+    """Placeholder url for an internal link, pending X1 resolution.
+
+    `gid` is the per-turn dedup id over distinct (dest_page, dest_pos)
+    values, so placeholder equality within a turn is exactly final-url
+    equality (split boundaries, links.py:203, depend only on that), while
+    the string itself is integer-only — reproducible bit-for-bit by JVM
+    `concat` in operators/refs.py, with no float-formatting hazards.
+    """
+    return f"#goto|{turn_idx}|{gid}"
 
 
 def scale_link_geometry(links: list[dict], page_w: int, page_h: int,
@@ -65,7 +73,8 @@ class TurnLinkResult:
     # span_idx (global SpanTable index) -> list of split override dicts
     span_splits: dict
     # registered internal-link dests, in registration order:
-    # (ord, dest_page, x, y) — feeds the X1 per-conversation registry
+    # (ord, gid, dest_page, x, y) — feeds the X1 per-conversation registry;
+    # gid is the per-turn coord-dedup id used in the placeholder url
     registrations: list
 
 
@@ -86,6 +95,7 @@ def merge_turn_links(seg: Segmentation, turn: int, page_id: int,
 
     span_link_map: dict[int, list[dict]] = {}
     registrations: list[tuple] = []
+    gid_of_coord: dict[tuple, int] = {}
     for li, ln in enumerate(links):
         row = inter[li] if len(span_ids) else np.zeros(0)
         if row.sum() == 0:
@@ -99,8 +109,10 @@ def merge_turn_links(seg: Segmentation, turn: int, page_id: int,
                 if dest_page == page_id:
                     continue  # self-link without position dropped (links.py:154-157)
                 dest_pos = [0.0, 0.0]  # default to top of page (links.py:158)
-            registrations.append((li, int(dest_page), dest_pos[0], dest_pos[1]))
-            ln = dict(ln, url=goto_placeholder(int(dest_page), dest_pos))
+            coord_key = (int(dest_page), dest_pos[0], dest_pos[1])
+            gid = gid_of_coord.setdefault(coord_key, len(gid_of_coord))
+            registrations.append((li, gid, int(dest_page), dest_pos[0], dest_pos[1]))
+            ln = dict(ln, url=goto_placeholder(page_id, gid))
         span_link_map.setdefault(target, []).append(ln)
 
     if not span_link_map:
@@ -148,10 +160,11 @@ def merge_turn_links(seg: Segmentation, turn: int, page_id: int,
 def resolve_conversation_refs(turn_registrations: list[tuple]) -> tuple[dict, dict]:
     """X1 — the per-conversation reference registry (schema.py:205-225).
 
-    Input: [(turn_idx, ord, dest_page, x, y), ...] in any order. Dedup is on
-    VALUE equality of (dest_page, coord) with first-arrival-wins ordering by
-    (turn_idx, ord); idx is the arrival rank among distinct coords of that
-    dest page. Returns (placeholder→final-url map, dest_page→[ref dict]).
+    Input: [(turn_idx, ord, gid, dest_page, x, y), ...] in any order. Dedup
+    is on VALUE equality of (dest_page, coord) with first-arrival-wins
+    ordering by (turn_idx, ord); idx is the arrival rank among distinct
+    coords of that dest page. Returns (placeholder→final-url map,
+    dest_page→[ref dict]).
 
     This mirrors the Spark-side aggregation in operators/refs.py so the
     core pipeline is testable without a SparkSession.
@@ -159,7 +172,7 @@ def resolve_conversation_refs(turn_registrations: list[tuple]) -> tuple[dict, di
     url_map: dict[str, str] = {}
     refs_by_page: dict[int, list[dict]] = {}
     seen: dict[int, list[tuple]] = {}
-    for turn_idx, ord_, dest_page, x, y in sorted(turn_registrations):
+    for turn_idx, ord_, gid, dest_page, x, y in sorted(turn_registrations):
         coords = seen.setdefault(dest_page, [])
         idx = None
         for j, c in enumerate(coords):
@@ -172,7 +185,7 @@ def resolve_conversation_refs(turn_registrations: list[tuple]) -> tuple[dict, di
             refs_by_page.setdefault(dest_page, []).append(
                 {"idx": idx, "page": dest_page, "coord": [x, y],
                  "ref": f"page-{dest_page}-{idx}", "url": f"#page-{dest_page}-{idx}"})
-        url_map[goto_placeholder(dest_page, [x, y])] = f"#page-{dest_page}-{idx}"
+        url_map[goto_placeholder(turn_idx, gid)] = f"#page-{dest_page}-{idx}"
     return url_map, refs_by_page
 
 

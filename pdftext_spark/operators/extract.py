@@ -1,0 +1,90 @@
+"""The extraction operator: transcripts DataFrame → extracted DataFrame.
+
+Plan shape (SURVEY.md §3.1 "Spark lifecycle equivalent"):
+
+    scan → repartition(hash(conv_id, turn_idx)) → mapInPandas(kernel) →
+    [tiny refs aggregation ⨝ broadcast back] → sink
+
+Scale notes (the parts that must survive 1000 executors / 100 TB):
+- **Skew**: repartitioning on (conv_id, turn_idx) spreads a million-turn
+  conversation across all tasks — the per-turn analog of the reference's
+  contiguous page chunking (extraction.py:60-61). No conversation-level
+  hotspot survives because no operator below needs whole-conversation
+  locality for the heavy data.
+- **One heavy shuffle total.** The X1 reference registry (the only
+  cross-turn operator, SURVEY.md §2.9) is resolved on a projected
+  side-table of link registrations — a few bytes per linked turn — and
+  joined back with broadcast joins; the char payloads never shuffle again
+  (operators/refs.py).
+- **Python boundary**: one Arrow round-trip for the kernel. Rows that need
+  url/ref rewriting (a small fraction) take a second, filtered round-trip;
+  everything else stays JVM-side.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pdftext_spark.config import ExtractConfig
+from pdftext_spark.core.api import process_batch
+from pdftext_spark.operators.schema import EXTRACTED
+
+
+def _kernel(cfg: ExtractConfig):
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = process_batch(pdf["text"].tolist(), pdf["role"].tolist(),
+                                 pdf["turn_idx"].tolist(), cfg)
+            yield pd.DataFrame({
+                "conv_id": pdf["conv_id"].to_numpy(),
+                "turn_idx": pdf["turn_idx"].to_numpy(),
+                "role": pdf["role"].to_numpy(),
+                "ts": pdf["ts"].to_numpy(),
+                "text": [o.text for o in outs],
+                "is_html": [o.is_html for o in outs],
+                "page": [o.page for o in outs],
+                "tables": [o.tables for o in outs],
+                "link_dests": [
+                    [{"ord": r[0], "gid": r[1], "dest_page": r[2], "x": r[3], "y": r[4]}
+                     for r in o.registrations] for o in outs
+                ],
+                "error": [o.error for o in outs],
+                "n_chars": [o.n_chars for o in outs],
+                "n_spans": [o.n_spans for o in outs],
+                "n_blocks": [o.n_blocks for o in outs],
+            })
+    return run
+
+
+def extract(transcripts: DataFrame, cfg: ExtractConfig = ExtractConfig(),
+            resolve_links: bool = True) -> DataFrame:
+    """Run the extraction kernel over a transcript table.
+
+    Input columns: (conv_id, turn_idx, role, text, tool, ts) — the
+    BASELINE.json input_hint contract.
+    """
+    spark = transcripts.sparkSession
+    n_parts = cfg.partitions or spark.sparkContext.defaultParallelism * 2
+    salted = transcripts.repartition(n_parts, "conv_id", "turn_idx")
+    out = salted.mapInPandas(_kernel(cfg), schema=EXTRACTED)
+    if resolve_links and not cfg.disable_links:
+        from pdftext_spark.operators.refs import resolve_refs
+        out = resolve_refs(out)
+    return out
+
+
+def plain_text(transcripts: DataFrame, cfg: ExtractConfig = ExtractConfig()) -> DataFrame:
+    """Flagship projection: (conv_id, turn_idx, text) — the
+    paginated_plain_text_output analog (extraction.py:75-80). The kernel
+    skips nested page/table assembly (emit_struct/emit_tables off) — the
+    Python-side analog of the column pruning Catalyst applies outside the
+    UDF."""
+    import dataclasses
+    cfg = dataclasses.replace(cfg, emit_struct=False, emit_tables=False,
+                              disable_links=True)
+    return extract(transcripts, cfg, resolve_links=False) \
+        .select("conv_id", "turn_idx", "text")

@@ -136,7 +136,10 @@ def _doc_payload(rng: random.Random, conv_len: int, facts: dict) -> dict:
                     sup = str(rng.randint(2, 9))
                     if rng.random() < 0.75:
                         pb.add(sup, x + 0.5, y - 2.5, x + 4.0, y + 4.95, 3, 0.0)
-                        facts.setdefault("superscripts", []).append(sup)
+                        if rotation == 0:
+                            # on rotated pages lines turn vertical and W6
+                            # skips them (pages.py:28-30) — no flag guarantee
+                            facts.setdefault("superscripts", []).append(sup)
                     else:
                         # same-font raised char → exercises the W2 running-bbox
                         # superscript BREAK (pages.py:116-121); W6 flag not

@@ -374,10 +374,12 @@ def build_page(payload_text, page_idx, quote_loosebox=True, sht=0.7, ldt=0.1):
             "_tables": obj.get("tables") or [], "_img_size": obj.get("img_size")}
 
 
-def oracle_plain(payload_texts, sort=False, hyphens=False):
+def oracle_plain(payload_texts, sort=False, hyphens=False, page_ids=None):
     """paginated_plain_text_output semantics (extraction.py:75-80)."""
+    if page_ids is None:
+        page_ids = range(len(payload_texts))
     out = []
-    for i, t in enumerate(payload_texts):
+    for i, t in zip(page_ids, payload_texts):
         page = build_page(t, i)
         out.append(merge_text_naive(page, sort=sort, hyphens=hyphens).strip())
     return out
@@ -488,8 +490,10 @@ def _split_span(span, links):
 # ---------- dictionary output (extraction.py:93-131) ----------
 
 def oracle_dictionary(payload_texts, sort=False, keep_chars=False,
-                      disable_links=False, quote_loosebox=True):
-    pages = [build_page(t, i, quote_loosebox) for i, t in enumerate(payload_texts)]
+                      disable_links=False, quote_loosebox=True, page_ids=None):
+    if page_ids is None:
+        page_ids = range(len(payload_texts))
+    pages = [build_page(t, i, quote_loosebox) for i, t in zip(page_ids, payload_texts)]
     if not disable_links:
         reg = Registry()
         for p in pages:
@@ -609,12 +613,14 @@ def oracle_tables_for_page(page, tables, img_size, table_thresh=0.8, space_thres
     return out
 
 
-def oracle_tables(payload_texts, quote_loosebox=True):
+def oracle_tables(payload_texts, quote_loosebox=True, page_ids=None):
     """table_output semantics (extraction.py:134-155): dictionary pages with
     keep_chars=True and links enabled, then per-page cell clustering."""
-    pages_raw = [build_page(t, i, quote_loosebox) for i, t in enumerate(payload_texts)]
+    if page_ids is None:
+        page_ids = list(range(len(payload_texts)))
+    pages_raw = [build_page(t, i, quote_loosebox) for i, t in zip(page_ids, payload_texts)]
     metas = [(p["_tables"], p["_img_size"]) for p in pages_raw]
-    pages = oracle_dictionary(payload_texts, keep_chars=True, quote_loosebox=quote_loosebox)
+    pages = oracle_dictionary(payload_texts, keep_chars=True, quote_loosebox=quote_loosebox, page_ids=page_ids)
     out = []
     for p, (tabs, img) in zip(pages, metas):
         if tabs and img:
