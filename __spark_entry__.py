@@ -1,38 +1,43 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship extraction (per-turn plain text) over the
+  deterministic fixture transcript corpus (BASELINE.json input_hint — the
+  driver's TPC-H-ish tables carry no transcripts, so the corpus is
+  synthesized byte-stably per tier; see pdftext_spark/sources/fixtures.py).
+- ``queries()``: every implemented operator from SURVEY.md §2 plus the
+  training-data-pipeline operators (dedup / similarity / text analysis /
+  multimodal / relational) — see pdftext_spark/queries.py.
+- ``oracle_sql()``: DuckDB equivalents. Extraction queries read expected
+  parquet produced by the independent naive oracle
+  (tests/oracle_naive.py via pdftext_spark/sources/expected.py); all other
+  queries are genuine two-engine SQL implementations.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pdftext_spark.queries import QUERIES  # noqa: E402
+
+_ORACLE_SF_DIR = "/root/testdata/sf0.01"  # driver's correctness scale
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on the sf0.001 tier; driver checks rows>0."""
+    fn, _ = QUERIES["extract_plain"]
+    return fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql_fn(_ORACLE_SF_DIR)
+            for name, (_fn, sql_fn) in QUERIES.items()}

@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Benchmark: headline extraction throughput + N→4N scaling efficiency.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {<name>: sec, ...}, "sf": <sf>,
+   "turns_per_sec": ..., "scaling": {"local8": tps, "local32": tps,
+   "efficiency": x}}
+
+Env:
+  SPARK_GRAFT_SF_DIR   input scale dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     cores for the main timed run (default 32)
+  PDFTEXT_BENCH_SCALING=0   skip the two-parallelism scaling runs
+
+The scaling pair (local[8] vs local[32] on identical input) is the
+sandbox proxy for the north_rule's N vs 4N executor clusters; efficiency
+= (tps@32 / tps@8) / 4, gate >= 0.8 (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pdftext_spark.config import ExtractConfig  # noqa: E402
+from pdftext_spark.operators.extract import extract, plain_text  # noqa: E402
+from pdftext_spark.queries import QUERIES  # noqa: E402
+from pdftext_spark.sources.fixture_io import tier_for_sf_dir, transcripts_path  # noqa: E402
+from pdftext_spark.sources.session import build_session  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+DO_SCALING = os.environ.get("PDFTEXT_BENCH_SCALING", "1") != "0"
+
+
+def _timed(fn):
+    t0 = time.time()
+    out = fn()
+    return time.time() - t0, out
+
+
+def _run_plain(spark, path):
+    df = plain_text(spark.read.parquet(path))
+    return df.count()
+
+
+def main():
+    tier = tier_for_sf_dir(SF_DIR)
+    path = transcripts_path(tier)  # generates fixture corpus once, cached
+
+    results: dict[str, float] = {}
+    spark = build_session(app="pdftext_spark-bench", master=f"local[{CPUS}]")
+    n_turns = spark.read.parquet(path).count()
+
+    # warm up with one full pass: python worker spin-up + imports + JIT +
+    # page cache. A 100 TB job amortizes these to zero; steady state is
+    # the honest throughput figure.
+    _run_plain(spark, path)
+
+    t, _ = _timed(lambda: _run_plain(spark, path))
+    results["extract_plain_text"] = round(t, 3)
+    plain_tps = n_turns / t
+
+    t, _ = _timed(lambda: extract(
+        spark.read.parquet(path), ExtractConfig()).count())
+    results["extract_struct_links"] = round(t, 3)
+
+    for name in ("dedup_minhash_lsh", "dedup_simhash", "ann_bruteforce",
+                 "text_quality", "rel_pricing_summary"):
+        fn, _sql = QUERIES[name]
+        t, _ = _timed(lambda f=fn: f(spark, SF_DIR).count())
+        results[name] = round(t, 3)
+    spark.stop()
+
+    scaling = None
+    if DO_SCALING:
+        import shutil
+        import subprocess
+        here = os.path.dirname(os.path.abspath(__file__))
+        probe = os.path.join(here, "scripts", "scale_probe.py")
+        have_taskset = shutil.which("taskset") is not None
+        tps = {}
+        lo = max(2, CPUS // 4)
+        for n in (lo, CPUS):
+            cmd = [sys.executable, probe, str(n), path]
+            if have_taskset:
+                cmd = ["taskset", "-c", f"0-{n - 1}"] + cmd
+            r = subprocess.run(cmd, capture_output=True, text=True, cwd=here)
+            line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+            tps[n] = json.loads(line)["tps"]
+        scaling = {"n_cores": lo, "4n_cores": CPUS,
+                   "pinned": have_taskset,
+                   f"local{lo}_tps": tps[lo], f"local{CPUS}_tps": tps[CPUS],
+                   "efficiency": round((tps[CPUS] / tps[lo]) / (CPUS / lo), 3)}
+
+    out = {
+        "metric": "extraction+pipeline query latency",
+        "value": round(sum(results.values()), 3),
+        "unit": "sec",
+        "queries": results,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "n_turns": n_turns,
+        "turns_per_sec": round(plain_tps, 1),
+    }
+    if scaling:
+        out["scaling"] = scaling
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -72,6 +72,9 @@ def process_batch(texts: list, roles: list, turn_idxs: list,
         plains = plain_text_batch(seg, cfg.sort, cfg.hyphens)
         want_extras = cfg.emit_struct or cfg.emit_tables
         span_start_mask = _span_start_mask(seg) if want_extras else None
+        n_local = len(decoded)
+        char_counts = np.bincount(seg.chars.turn_of, minlength=n_local)
+        span_counts = np.bincount(seg.spans.turn, minlength=n_local)
         for local, i in enumerate(doc_pos):
             dt = decoded[local]
             page_id = int(turn_idxs[i])
@@ -101,8 +104,8 @@ def process_batch(texts: list, roles: list, turn_idxs: list,
                 page=page,
                 tables=tables,
                 registrations=registrations,
-                n_chars=int((seg.chars.turn_of == local).sum()),
-                n_spans=int((seg.spans.turn == local).sum()),
+                n_chars=int(char_counts[local]),
+                n_spans=int(span_counts[local]),
                 n_blocks=bhi - blo,
             )
     return outputs  # type: ignore[return-value]

@@ -13,9 +13,9 @@ import numpy as np
 
 from pdftext_spark.core.segment import Segmentation
 from pdftext_spark.core.textproc import (
+    _cc_delete_re,
+    _specials_table,
     handle_hyphens,
-    postprocess_text,
-    span_output_text,
 )
 
 
@@ -42,14 +42,16 @@ def turn_line_ranges(seg: Segmentation, turn: int) -> list[tuple[int, int]]:
     return [(int(seg.blocks.line_lo[b]), int(seg.blocks.line_hi[b])) for b in range(lo, hi)]
 
 
-def _line_text(seg: Segmentation, line_idx: int) -> str:
-    """Raw concatenated span text of one line — a contiguous slice of the
-    post-dedup global string."""
-    sp_lo = int(seg.lines.start[line_idx])
-    sp_hi = int(seg.lines.end[line_idx])
-    a = int(seg.spans.start[sp_lo])
-    b = int(seg.spans.end[sp_hi - 1])
-    return seg.chars.gtext[a:b]
+def postprocess_range(seg: Segmentation, a: int, b: int) -> str:
+    """postprocess_text over chars [a, b) of the post-dedup global string,
+    skipping passes the prefix-sum flags prove unobservable (the common
+    pure-ASCII case touches no regex or translate machinery)."""
+    text = seg.chars.gtext[a:b]
+    if seg.tr_cum[b] - seg.tr_cum[a]:
+        text = text.replace("\r\n", "\n").translate(_specials_table())
+    if seg.cc_cum[b] - seg.cc_cum[a]:
+        text = _cc_delete_re().sub("", text)
+    return text
 
 
 def merge_text_turn(seg: Segmentation, turn: int, sort: bool = False,
@@ -64,13 +66,27 @@ def merge_text_turn(seg: Segmentation, turn: int, sort: bool = False,
     if sort and block_ids:
         bboxes = [seg.blocks.bbox[b] for b in block_ids]
         block_ids = [block_ids[i] for i in sort_order(bboxes)]
+    line_lo = seg.blocks.line_lo
+    line_hi = seg.blocks.line_hi
+    sp_start = seg.spans.start
+    sp_end = seg.spans.end
+    ln_start = seg.lines.start
+    ln_end = seg.lines.end
     parts: list[str] = []
     for b in block_ids:
         lines_out: list[str] = []
-        for li in range(int(seg.blocks.line_lo[b]), int(seg.blocks.line_hi[b])):
-            lines_out.append(postprocess_text(_line_text(seg, li)).rstrip() + "\n")
+        for li in range(int(line_lo[b]), int(line_hi[b])):
+            a = int(sp_start[ln_start[li]])
+            z = int(sp_end[ln_end[li] - 1])
+            lines_out.append(postprocess_range(seg, a, z).rstrip() + "\n")
         parts.append("".join(lines_out).rstrip() + "\n\n")
-    return handle_hyphens("".join(parts), keep_hyphens=hyphens)
+    text = "".join(parts)
+    # hyphen pass: skip the stateful scan when the turn has no \x02 at all
+    # (keep=False still drops the final char — postprocessing.py:39)
+    clo, chi = int(seg.turn_char_lo[turn]), int(seg.turn_char_hi[turn])
+    if seg.hy_cum[chi] - seg.hy_cum[clo] == 0:
+        return text if hyphens else text[:-1]
+    return handle_hyphens(text, keep_hyphens=hyphens)
 
 
 def plain_text_batch(seg: Segmentation, sort: bool = False,
@@ -105,10 +121,15 @@ def _span_dict(seg: Segmentation, span_idx: int, keep_chars: bool,
         cei = int(cb.char_idx[b - 1])
         superscript = False
         subscript = False
+    # F8: handle_hyphens(postprocess_text(text), keep_hyphens=True)
+    # (extraction.py:85), pass-skipped via the prefix-sum flags
+    text = postprocess_range(seg, a, b)
+    if seg.hy_cum[b] - seg.hy_cum[a]:
+        text = text.replace("\x02", "-\n")
     name, flags, size, weight = cb.fonts[int(cb.font[a])]
     d = {
         "bbox": [float(v) for v in bbox],
-        "text": span_output_text(cb.gtext[a:b]),
+        "text": text,
         "font": {"name": name, "flags": flags, "size": size, "weight": weight},
         "char_start_idx": csi,
         "char_end_idx": cei,

@@ -88,8 +88,11 @@ def merge_turn_links(seg: Segmentation, turn: int, page_id: int,
     links = scale_link_geometry(raw_links, dt.page_width, dt.page_height, dt.rotation)
 
     # spans of this turn, flattened in block/line order == creation order
-    span_ids = np.flatnonzero(seg.spans.turn == turn)
-    span_boxes = seg.spans.bbox[span_ids]
+    # (spans.turn is sorted, so the turn's spans are one contiguous range)
+    s_lo = int(seg.turn_span_lo[turn])
+    s_hi = int(seg.turn_span_hi[turn])
+    span_ids = np.arange(s_lo, s_hi)
+    span_boxes = seg.spans.bbox[s_lo:s_hi]
     link_boxes = np.asarray([ln["bbox"] for ln in links], dtype=np.float64)
     inter = intersection_matrix(link_boxes, span_boxes)
 

@@ -83,11 +83,19 @@ def build_char_batch(decoded: list[DecodedTurn]) -> CharBatch:
         return CharBatch(decoded, np.empty(0, np.int32), np.empty(0, np.uint32),
                          np.empty((0, 4)), empty, np.empty(0, np.int32),
                          np.empty(0, np.int32), "", fonts)
+    # preallocate-and-fill beats vstack's per-piece overhead for many
+    # small per-turn arrays
+    total = sum(len(c) for c in cps)
+    all_boxes = np.empty((total, 4), dtype=np.float64)
+    off = 0
+    for b in boxes:
+        all_boxes[off:off + len(b)] = b
+        off += len(b)
     return CharBatch(
         turns=decoded,
         turn_of=np.concatenate(turn_of),
         cps=np.concatenate(cps),
-        boxes=np.vstack(boxes),
+        boxes=all_boxes,
         rot=np.concatenate(rot),
         font=np.concatenate(font),
         char_idx=np.concatenate(char_idx),
@@ -158,22 +166,41 @@ def apply_mask(cb: CharBatch, mask: np.ndarray) -> CharBatch:
 
 
 def _refine_running_breaks(starts: np.ndarray, boxes: np.ndarray,
-                           violate: Callable[[np.ndarray], np.ndarray],
+                           violate: Callable[[np.ndarray, np.ndarray], np.ndarray],
+                           candidates: Optional[np.ndarray] = None,
                            max_rounds: int = 4096) -> np.ndarray:
-    """Iteratively add breaks where `violate(running_bbox_before_elem)`
+    """Iteratively add breaks where `violate(running_bbox_before_elem, elem)`
     holds, taking only the first violation per segment each round (see
-    module docstring for the exactness argument)."""
+    module docstring for the exactness argument).
+
+    After round 1 only the tails of split segments can change, so later
+    rounds operate on the shrinking affected subset — total work is
+    O(N + splits · avg_segment_len), not O(N · rounds)."""
     n = len(starts)
     if n == 0:
         return starts
     starts = starts.copy()
-    idx = np.arange(n)
-    df = pd.DataFrame({"x1": boxes[:, 0], "y1": boxes[:, 1],
-                       "x2": boxes[:, 2], "y2": boxes[:, 3]})
-    for _ in range(max_rounds):
+    if candidates is not None:
+        # restrict round 1 to segments containing at least one row passing
+        # the caller's cheap NECESSARY condition for a violation — segments
+        # without any candidate can never split
+        cand = candidates & ~starts
+        if not cand.any():
+            return starts
         seg = np.cumsum(starts) - 1
-        g = df.groupby(seg, sort=False)
-        run = np.empty_like(boxes)
+        has = np.zeros(int(seg[-1]) + 1, dtype=bool)
+        has[seg[cand]] = True
+        index = np.flatnonzero(has[seg])
+    else:
+        index = np.arange(n)  # current active rows (whole remaining segments)
+    for _ in range(max_rounds):
+        sub_starts = starts[index]
+        sub_boxes = boxes[index]
+        seg = np.cumsum(sub_starts) - 1
+        g = pd.DataFrame({"x1": sub_boxes[:, 0], "y1": sub_boxes[:, 1],
+                          "x2": sub_boxes[:, 2], "y2": sub_boxes[:, 3]}) \
+            .groupby(seg, sort=False)
+        run = np.empty_like(sub_boxes)
         run[:, 0] = g["x1"].cummin().to_numpy()
         run[:, 1] = g["y1"].cummin().to_numpy()
         run[:, 2] = g["x2"].cummax().to_numpy()
@@ -181,15 +208,22 @@ def _refine_running_breaks(starts: np.ndarray, boxes: np.ndarray,
         prev = np.empty_like(run)
         prev[1:] = run[:-1]
         prev[0] = 0.0
-        viol = violate(prev) & ~starts
+        viol = violate(prev, sub_boxes) & ~sub_starts
         if not viol.any():
             return starts
-        cand = np.where(viol, idx, n)
-        firsts = np.minimum.reduceat(cand, np.flatnonzero(starts))
-        firsts = firsts[firsts < n]
+        m = len(index)
+        pos = np.arange(m)
+        cand = np.where(viol, pos, m)
+        seg_start_pos = np.flatnonzero(sub_starts)
+        firsts = np.minimum.reduceat(cand, seg_start_pos)
+        firsts = firsts[firsts < m]
         if firsts.size == 0:
             return starts
-        starts[firsts] = True
+        starts[index[firsts]] = True
+        # next round: only rows from each new break to its old segment end
+        seg_end_pos = np.append(seg_start_pos[1:], m)
+        ends = seg_end_pos[np.searchsorted(seg_start_pos, firsts, side="right") - 1]
+        index = np.concatenate([index[a:b] for a, b in zip(firsts, ends)])
     raise RuntimeError("running-bbox refinement did not converge")
 
 
@@ -197,17 +231,22 @@ def span_starts(cb: CharBatch, superscript_height_threshold: float,
                 line_distance_threshold: float) -> np.ndarray:
     """W2 — char→span breaks (pages.py:77-129), superscript break included."""
     starts = _lag_breaks(cb.turn_of, cb.cps, cb.font, cb.rot, _SPAN_END_CPS)
-    boxes = cb.boxes
 
-    def sup_violate(prev: np.ndarray) -> np.ndarray:
+    def sup_violate(prev: np.ndarray, cur: np.ndarray) -> np.ndarray:
         h = prev[:, 3] - prev[:, 1]
         return (
-            (boxes[:, 1] < prev[:, 1] - h * line_distance_threshold)
-            & (boxes[:, 3] < h * superscript_height_threshold + prev[:, 1])
-            & (boxes[:, 0] > prev[:, 2])
+            (cur[:, 1] < prev[:, 1] - h * line_distance_threshold)
+            & (cur[:, 3] < h * superscript_height_threshold + prev[:, 1])
+            & (cur[:, 0] > prev[:, 2])
         )
 
-    return _refine_running_breaks(starts, boxes, sup_violate)
+    # necessary condition vs the immediate predecessor: a violation needs
+    # cur.y1 < run_min_y1 <= lag.y1 and cur.x1 > run_max_x2 >= lag.x2
+    boxes = cb.boxes
+    cand = np.zeros(len(starts), dtype=bool)
+    if len(starts) > 1:
+        cand[1:] = (boxes[1:, 1] < boxes[:-1, 1]) & (boxes[1:, 0] > boxes[:-1, 2])
+    return _refine_running_breaks(starts, boxes, sup_violate, candidates=cand)
 
 
 @dataclass
@@ -262,12 +301,16 @@ def line_starts(cb: CharBatch, spans: SpanTable) -> np.ndarray:
     last_cp = cb.cps[spans.end - 1]
     starts[1:] |= np.isin(last_cp[:-1], _SPAN_END_CPS)
     starts[1:] |= spans.rot[1:] != spans.rot[:-1]
-    boxes = spans.bbox
 
-    def y_violate(prev: np.ndarray) -> np.ndarray:
-        return boxes[:, 1] > prev[:, 3]
+    def y_violate(prev: np.ndarray, cur: np.ndarray) -> np.ndarray:
+        return cur[:, 1] > prev[:, 3]
 
-    return _refine_running_breaks(starts, boxes, y_violate)
+    # necessary condition: cur.y1 > run_max_y2 >= lag.y2
+    sb = spans.bbox
+    cand = np.zeros(ns, dtype=bool)
+    if ns > 1:
+        cand[1:] = sb[1:, 1] > sb[:-1, 3]
+    return _refine_running_breaks(starts, sb, y_violate, candidates=cand)
 
 
 def build_line_table(spans: SpanTable, starts: np.ndarray) -> LineTable:
@@ -289,44 +332,61 @@ def assign_scripts(cb: CharBatch, spans: SpanTable, lines: LineTable,
     Per-line work; lines with <2 spans and vertical lines are skipped
     (pages.py:25-30), so the loop touches few elements.
     """
-    for li in range(len(lines.start)):
-        lo, hi = lines.start[li], lines.end[li]
+    # one bulk numpy->python conversion; the inner loops then run on plain
+    # floats (lines are numerous but spans-per-line is tiny, so scalar
+    # Python beats numpy's per-call overhead here)
+    line_start = lines.start.tolist()
+    line_end = lines.end.tolist()
+    line_bbox = lines.bbox.tolist()
+    span_start = spans.start.tolist()
+    span_end = spans.end.tolist()
+    span_bbox = spans.bbox.tolist()
+    gtext = cb.gtext
+    ldt = line_distance_threshold
+    for li in range(len(line_start)):
+        lo, hi = line_start[li], line_end[li]
         nsp = hi - lo
         if nsp < 2:
             continue
-        lb = lines.bbox[li]
+        lb = line_bbox[li]
         line_h = lb[3] - lb[1]
         if line_h > lb[2] - lb[0]:
             continue
-        sb = spans.bbox[lo:hi]
-        texts = [cb.gtext[spans.start[i]:spans.end[i]] for i in range(lo, hi)]
-        heights = sb[:, 3] - sb[:, 1]
-        tops = sb[:, 1]
-        bottoms = sb[:, 3]
+        boxes = span_bbox[lo:hi]
+        tops = [b[1] for b in boxes]
+        bottoms = [b[3] for b in boxes]
+        heights = [b - t for t, b in zip(tops, bottoms)]
+        texts = [gtext[span_start[lo + j]:span_end[lo + j]] for j in range(nsp)]
         # thresholds vs every *other* span in the line (pages.py:43-49)
-        up_lim = tops - heights * line_distance_threshold
-        dn_lim = bottoms + heights * line_distance_threshold
+        up_lim = [t - h * ldt for t, h in zip(tops, heights)]
+        dn_lim = [b + h * ldt for b, h in zip(bottoms, heights)]
+        line_h_div = max(1, line_h)
         prev_j = None  # reference's prev_span is the previously *iterated* span
         for j in range(nsp):
             is_first = j == 0 or not texts[prev_j].strip()
             is_last = j == nsp - 1 or not texts[j + 1].strip()
             h = heights[j]
-            line_fullheight = h / max(1, line_h) <= height_threshold
+            line_fullheight = h / line_h_div <= height_threshold
             next_fullheight = is_last or h / max(1, heights[j + 1]) <= height_threshold
             prev_fullheight = is_first or h / max(1, heights[prev_j]) <= height_threshold
-            others = np.arange(nsp) != j
-            above = bool(np.any(tops[j] < up_lim[others]))
-            below = bool(np.any(bottoms[j] > dn_lim[others]))
-            prev_above = is_first or tops[j] < tops[prev_j]
-            next_above = is_last or tops[j] < tops[j + 1]
-            prev_below = is_first or bottoms[j] > bottoms[prev_j]
-            next_below = is_last or bottoms[j] > bottoms[j + 1]
+            if not (prev_fullheight or next_fullheight) or not line_fullheight:
+                prev_j = j
+                continue
             text_ok = script_text_ok(texts[j])
-            if (prev_fullheight or next_fullheight) and (prev_above or next_above) \
-                    and above and line_fullheight and text_ok:
+            if not text_ok:
+                prev_j = j
+                continue
+            tj = tops[j]
+            bj = bottoms[j]
+            above = any(tj < up_lim[k] for k in range(nsp) if k != j)
+            below = any(bj > dn_lim[k] for k in range(nsp) if k != j)
+            prev_above = is_first or tj < tops[prev_j]
+            next_above = is_last or tj < tops[j + 1]
+            prev_below = is_first or bj > bottoms[prev_j]
+            next_below = is_last or bj > bottoms[j + 1]
+            if (prev_above or next_above) and above:
                 spans.superscript[lo + j] = True
-            elif (prev_fullheight or next_fullheight) and (prev_below or next_below) \
-                    and below and line_fullheight and text_ok:
+            elif (prev_below or next_below) and below:
                 spans.subscript[lo + j] = True
             prev_j = j
 
@@ -349,70 +409,100 @@ def build_blocks(lines: LineTable, n_turns: int,
     out_lo: list[int] = []
     out_hi: list[int] = []
     out_turn: list[int] = []
-    out_bbox: list[np.ndarray] = []
+    out_bbox: list[list] = []
 
-    nlines = len(lines.start)
-    turn_line_lo = np.searchsorted(lines.turn, np.arange(n_turns), side="left")
-    turn_line_hi = np.searchsorted(lines.turn, np.arange(n_turns), side="right")
+    # bulk numpy->python once; the per-turn loops then run on plain floats
+    all_bbox = lines.bbox.tolist()
+    turn_line_lo = np.searchsorted(lines.turn, np.arange(n_turns), side="left").tolist()
+    turn_line_hi = np.searchsorted(lines.turn, np.arange(n_turns), side="right").tolist()
+
+    def _median(vals: list) -> float:
+        # statistics.median semantics: sorted middle / mean of the two middles
+        sv = sorted(vals)
+        m = len(sv) // 2
+        return sv[m] if len(sv) % 2 else (sv[m - 1] + sv[m]) / 2
+
+    def _pct(a: list, b: list) -> float:
+        # intersection_pct on plain floats (schema.py:75-80)
+        area = (a[2] - a[0]) * (a[3] - a[1])
+        if area == 0:
+            return 0.0
+        w = min(a[2], b[2]) - max(a[0], b[0])
+        if w <= 0:
+            return 0.0
+        h = min(a[3], b[3]) - max(a[1], b[1])
+        if h <= 0:
+            return 0.0
+        return (w * h) / area
 
     for t in range(n_turns):
-        lo, hi = int(turn_line_lo[t]), int(turn_line_hi[t])
+        lo, hi = turn_line_lo[t], turn_line_hi[t]
         if lo >= hi:
             continue
-        lb = lines.bbox[lo:hi]
-        centers = np.column_stack([(lb[:, 0] + lb[:, 2]) / 2.0, (lb[:, 1] + lb[:, 3]) / 2.0])
+        lb = all_bbox[lo:hi]
+        cx = [(b[0] + b[2]) / 2 for b in lb]
+        cy = [(b[1] + b[3]) / 2 for b in lb]
         # A4 — median center gaps; `or`-fallback to 0.1 when empty OR zero
         # (pages.py:171-188)
         if hi - lo > 1:
-            dx = np.abs(np.diff(centers[:, 0]))
-            dy = np.abs(np.diff(centers[:, 1]))
-            median_x = float(np.median(dx)) or default_median_gap
-            median_y = float(np.median(dy)) or default_median_gap
+            median_x = _median([abs(cx[i + 1] - cx[i]) for i in range(len(cx) - 1)]) \
+                or default_median_gap
+            median_y = _median([abs(cy[i + 1] - cy[i]) for i in range(len(cy) - 1)]) \
+                or default_median_gap
         else:
             median_x = median_y = default_median_gap
         allowed_x = median_x * tolerance_factor
         allowed_y = median_y * tolerance_factor
+        allowed_y_tiny = allowed_y * 0.2
 
         blocks: list[list] = []  # [line_lo, line_hi, bbox]
         for i in range(hi - lo):
             box = lb[i]
             if not blocks:
-                blocks.append([i, i + 1, box.copy()])
+                blocks.append([i, i + 1, list(box)])
                 continue
             blk = blocks[-1]
             last = lb[blk[1] - 1]  # last line in current block
-            x_diff = abs(centers[i, 0] - (last[0] + last[2]) / 2.0)
-            y_diff = abs(centers[i, 1] - (last[1] + last[3]) / 2.0)
-            merge = False
-            if x_diff <= allowed_x and y_diff <= allowed_y:
-                merge = True
-            elif blk[1] - blk[0] == 1 and last[0] > box[0] and y_diff <= allowed_y:
-                merge = True  # first-line indent exception (pages.py:215-219)
-            elif last[2] > box[2] and y_diff <= allowed_y:
-                merge = True  # short-last-line exception (pages.py:221-224)
-            elif y_diff < allowed_y * 0.2 and last[2] > box[0]:
-                merge = True  # tiny-y continuation (pages.py:227-230)
-            elif intersection_pct(blk[2], box) > 0:
-                merge = True  # running-block intersection (pages.py:232-234)
-            if merge:
+            x_diff = abs(cx[i] - (last[0] + last[2]) / 2)
+            y_diff = abs(cy[i] - (last[1] + last[3]) / 2)
+            if ((x_diff <= allowed_x and y_diff <= allowed_y)
+                    # first-line indent exception (pages.py:215-219)
+                    or (blk[1] - blk[0] == 1 and last[0] > box[0] and y_diff <= allowed_y)
+                    # short-last-line exception (pages.py:221-224)
+                    or (last[2] > box[2] and y_diff <= allowed_y)
+                    # tiny-y continuation (pages.py:227-230)
+                    or (y_diff < allowed_y_tiny and last[2] > box[0])
+                    # running-block intersection (pages.py:232-234)
+                    or _pct(blk[2], box) > 0):
                 blk[1] = i + 1
-                blk[2][0] = min(blk[2][0], box[0])
-                blk[2][1] = min(blk[2][1], box[1])
-                blk[2][2] = max(blk[2][2], box[2])
-                blk[2][3] = max(blk[2][3], box[3])
+                bb = blk[2]
+                if box[0] < bb[0]:
+                    bb[0] = box[0]
+                if box[1] < bb[1]:
+                    bb[1] = box[1]
+                if box[2] > bb[2]:
+                    bb[2] = box[2]
+                if box[3] > bb[3]:
+                    bb[3] = box[3]
             else:
-                blocks.append([i, i + 1, box.copy()])
+                blocks.append([i, i + 1, list(box)])
 
         # W5 — forward merge of overlapping blocks (pages.py:239-257)
         merged: list[list] = []
         for blk in blocks:
-            if merged and intersection_pct(merged[-1][2], blk[2]) > 0:
+            if merged and _pct(merged[-1][2], blk[2]) > 0:
                 prev = merged[-1]
                 prev[1] = blk[1]
-                prev[2][0] = min(prev[2][0], blk[2][0])
-                prev[2][1] = min(prev[2][1], blk[2][1])
-                prev[2][2] = max(prev[2][2], blk[2][2])
-                prev[2][3] = max(prev[2][3], blk[2][3])
+                pb = prev[2]
+                bb = blk[2]
+                if bb[0] < pb[0]:
+                    pb[0] = bb[0]
+                if bb[1] < pb[1]:
+                    pb[1] = bb[1]
+                if bb[2] > pb[2]:
+                    pb[2] = bb[2]
+                if bb[3] > pb[3]:
+                    pb[3] = bb[3]
             else:
                 merged.append(blk)
 
@@ -429,7 +519,7 @@ def build_blocks(lines: LineTable, n_turns: int,
         line_lo=np.asarray(out_lo, dtype=np.int64),
         line_hi=np.asarray(out_hi, dtype=np.int64),
         turn=np.asarray(out_turn, dtype=np.int32),
-        bbox=np.vstack(out_bbox),
+        bbox=np.asarray(out_bbox, dtype=np.float64),
     )
 
 
@@ -443,6 +533,19 @@ class Segmentation:
     # per-turn block index ranges into BlockTable
     turn_block_lo: np.ndarray
     turn_block_hi: np.ndarray
+    # prefix sums (length N+1) of text-pass flags over post-dedup chars:
+    # translate-needed, control-delete-needed, hyphen-sentinel — assembly
+    # skips whole string passes for ranges where the delta is zero
+    tr_cum: np.ndarray = None
+    cc_cum: np.ndarray = None
+    hy_cum: np.ndarray = None
+    # per-turn char/span/line ranges into the post-dedup arrays
+    turn_char_lo: np.ndarray = None
+    turn_char_hi: np.ndarray = None
+    turn_span_lo: np.ndarray = None
+    turn_span_hi: np.ndarray = None
+    turn_line_lo: np.ndarray = None
+    turn_line_hi: np.ndarray = None
 
 
 def segment_batch(decoded: list[DecodedTurn],
@@ -461,4 +564,19 @@ def segment_batch(decoded: list[DecodedTurn],
     blocks = build_blocks(lines, n_turns, tolerance_factor)
     tb_lo = np.searchsorted(blocks.turn, np.arange(n_turns), side="left")
     tb_hi = np.searchsorted(blocks.turn, np.arange(n_turns), side="right")
-    return Segmentation(cb, spans, lines, blocks, n_turns, tb_lo, tb_hi)
+    from pdftext_spark.core.textproc import batch_text_flags
+    tr, cc, hy = batch_text_flags(cb.cps)
+    zero = np.zeros(1, dtype=np.int64)
+    tr_cum = np.concatenate([zero, np.cumsum(tr, dtype=np.int64)])
+    cc_cum = np.concatenate([zero, np.cumsum(cc, dtype=np.int64)])
+    hy_cum = np.concatenate([zero, np.cumsum(hy, dtype=np.int64)])
+    ids = np.arange(n_turns, dtype=cb.turn_of.dtype if len(cb.turn_of) else np.int32)
+    tc_lo = np.searchsorted(cb.turn_of, ids, side="left")
+    tc_hi = np.searchsorted(cb.turn_of, ids, side="right")
+    ts_lo = np.searchsorted(spans.turn, ids, side="left")
+    ts_hi = np.searchsorted(spans.turn, ids, side="right")
+    tl_lo = np.searchsorted(lines.turn, ids, side="left")
+    tl_hi = np.searchsorted(lines.turn, ids, side="right")
+    return Segmentation(cb, spans, lines, blocks, n_turns, tb_lo, tb_hi,
+                        tr_cum, cc_cum, hy_cum, tc_lo, tc_hi,
+                        ts_lo, ts_hi, tl_lo, tl_hi)

@@ -27,13 +27,13 @@ def dynamic_gap_thresh(seg: Segmentation, turn: int, img_size: list,
     exactly as the reference does."""
     cb = seg.chars
     dt = cb.turns[turn]
-    mask = cb.turn_of == turn
-    idx = np.flatnonzero(mask)
-    if len(idx) == 0:
+    c_lo = int(seg.turn_char_lo[turn])
+    c_hi = int(seg.turn_char_hi[turn])
+    if c_lo >= c_hi:
         return default_thresh
-    boxes = cb.boxes[idx]
+    boxes = cb.boxes[c_lo:c_hi]
     # consecutive pairs within the same (post-split) span
-    pair = ~effective_span_start[idx]
+    pair = ~effective_span_start[c_lo:c_hi]
     pair[0] = False
     prev = np.roll(boxes, 1, axis=0)
     rot = dt.rotation
@@ -87,8 +87,8 @@ def table_cells_turn(seg: Segmentation, turn: int, tables: list, img_size: list,
                        dynamic_gap_thresh(seg, turn, img_size, effective_span_start,
                                           default_thresh=space_thresh))
 
-    # lines of this turn with their char ranges
-    line_ids = np.flatnonzero(seg.lines.turn == turn)
+    # lines of this turn with their char ranges (lines.turn is sorted)
+    line_ids = range(int(seg.turn_line_lo[turn]), int(seg.turn_line_hi[turn]))
     out_tables = []
     for table in tables:
         tb = [float(v) for v in table]

@@ -21,18 +21,22 @@ Reference semantics (SURVEY.md §2.8):
   (postprocessing.py:31-53).
 
 Implementation note: because every special/ligature source is a single
-codepoint, steps 2-4 of postprocess_text compose into ONE ``str.translate``
-table (each source char maps to its final fate: replacement string, or
-None for deleted control chars). The \\r\\n collapse must stay a separate
-first pass since it is a 2-char pattern. This keeps the hot path a single
-C-level pass per string.
+codepoint, steps 2-4 of postprocess_text compose into a small
+``str.translate`` table (specials + ligatures) followed by one compiled
+character-class regex deletion for category-C chars. The C-codepoint
+ranges are precomputed at build time (core/_cc_ranges.py) so Python
+workers skip a ~0.7 s full-plane unicodedata scan at startup — worker
+spin-up cost matters when a cluster job starts thousands of them. The
+\\r\\n collapse stays a separate first pass since it is a 2-char pattern.
 """
 
 from __future__ import annotations
 
-import sys
+import re
 import unicodedata
 from functools import lru_cache
+
+from pdftext_spark.core._cc_ranges import CC_DELETE_RANGES
 
 HYPHEN_SENTINEL = "\x02"
 
@@ -53,21 +57,12 @@ LIGATURE_MAP = {
 
 
 @lru_cache(maxsize=1)
-def _postprocess_table() -> dict:
-    """Combined translate table for special chars + control filter + ligatures.
-
-    Built once per Python worker (worker reuse amortizes the full-plane
-    unicodedata scan, ~0.5 s). Precedence mirrors the reference's pass
-    order: special-char replacement happens before the control filter, so
-    U+FFFE (Cn) and U+FEFF (Cf) become spaces rather than being dropped.
-    """
-    table: dict[int, str | None] = {}
-    # Control chars -> delete (category C*), minus the exceptions.
-    for cp in range(sys.maxunicode + 1):
-        ch = chr(cp)
-        if unicodedata.category(ch)[0] == "C" and ch != HYPHEN_SENTINEL and ch not in KEPT_WHITESPACE:
-            table[cp] = None
-    # Specials override (replacement results all survive the filter).
+def _specials_table() -> dict:
+    """Translate table for special chars + ligatures. Precedence mirrors
+    the reference's pass order: special-char replacement happens before the
+    control filter, so U+FFFE (Cn) and U+FEFF (Cf) become spaces rather
+    than being dropped (the regex below therefore excludes them)."""
+    table: dict[int, str] = {}
     for ch in SPACE_CHARS:
         table[ord(ch)] = " "
     for ch in LINE_BREAK_CHARS:
@@ -79,9 +74,70 @@ def _postprocess_table() -> dict:
     return table
 
 
+@lru_cache(maxsize=1)
+def _cc_delete_re():
+    """Compiled char-class matching exactly the category-C codepoints the
+    reference filter drops (postprocessing.py:66-67), minus the special
+    chars the translate pass already mapped away."""
+    mapped = {ord(c) for c in SPACE_CHARS + LINE_BREAK_CHARS + TAB_CHARS}
+    parts = []
+    for a, b in CC_DELETE_RANGES:
+        # carve out codepoints the specials pass already consumed
+        lo = a
+        for m in sorted(cp for cp in mapped if a <= cp <= b):
+            if lo <= m - 1:
+                parts.append((lo, m - 1))
+            lo = m + 1
+        if lo <= b:
+            parts.append((lo, b))
+    cls = "".join(
+        re.escape(chr(a)) if a == b else f"{re.escape(chr(a))}-{re.escape(chr(b))}"
+        for a, b in parts)
+    return re.compile(f"[{cls}]+")
+
+
 def postprocess_text(text: str) -> str:
-    """F1+F2+F3+F4 (postprocessing.py:22-28) as two C-level passes."""
-    return text.replace("\r\n", "\n").translate(_postprocess_table())
+    """F1+F2+F3+F4 (postprocessing.py:22-28) as three C-level passes."""
+    text = text.replace("\r\n", "\n").translate(_specials_table())
+    return _cc_delete_re().sub("", text)
+
+
+# --- batch-level skip flags -------------------------------------------------
+# Codepoints whose presence makes the translate pass (incl. the \r\n
+# collapse) observable: everything _specials_table maps to a DIFFERENT
+# string. ' ', '\n', '\t' map to themselves and can be skipped.
+_TRANSLATE_ACTIVE_CPS = None
+_CC_BOUNDS = None
+
+
+def _init_flag_tables():
+    global _TRANSLATE_ACTIVE_CPS, _CC_BOUNDS
+    import numpy as np
+    tbl = _specials_table()
+    active = [cp for cp, dst in tbl.items() if dst != chr(cp)]
+    _TRANSLATE_ACTIVE_CPS = np.asarray(sorted(active), dtype=np.uint32)
+    bounds = []
+    for a, b in CC_DELETE_RANGES:
+        bounds.append(a)
+        bounds.append(b + 1)
+    _CC_BOUNDS = np.asarray(bounds, dtype=np.uint32)
+
+
+def batch_text_flags(cps):
+    """Per-char flags over a uint32 codepoint array: (needs_translate,
+    needs_cc_delete, is_hyphen). Prefix sums of these let the assembler
+    skip whole passes for clean (typically pure-ASCII) ranges.
+
+    needs_cc_delete is evaluated on RAW codepoints, i.e. a superset of
+    what survives the translate pass — skipping is safe, never unsound.
+    """
+    import numpy as np
+    if _CC_BOUNDS is None:
+        _init_flag_tables()
+    tr = np.isin(cps, _TRANSLATE_ACTIVE_CPS)
+    cc = (np.searchsorted(_CC_BOUNDS, cps, side="right") % 2) == 1
+    hy = cps == 2
+    return tr, cc, hy
 
 
 def handle_hyphens(text: str, keep_hyphens: bool = False) -> str:

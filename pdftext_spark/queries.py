@@ -1,0 +1,810 @@
+"""Query registry: every operator exposed to the driver's correctness gate.
+
+Each entry pairs a Spark implementation with (where expressible) an ANSI/
+DuckDB oracle SQL string. Two families:
+
+1. **Extraction queries** — run the full pipeline on the deterministic
+   fixture transcripts; the oracle SQL reads expected parquet produced by
+   the independent naive oracle (sources/expected.py). Column names and
+   dtypes are aligned on both sides so the driver's order-insensitive
+   value-hash is a real two-implementation equality check.
+
+2. **Training-data-pipeline queries** over the driver's `documents` /
+   `embeddings` / TPC-H tables — dedup (exact, minhash-LSH, SimHash,
+   n-gram Jaccard, embedding-cosine), similarity search (brute-force and
+   IVF top-k), text analysis (lang-id, quality, tokens, fingerprints),
+   multimodal metadata, and two relational demos. These are pure
+   two-engine checks (Spark built-ins vs DuckDB SQL); all hashing goes
+   through md5 so both engines compute identical values, and float
+   aggregates are carried as exact integer cents / rounded at safe
+   precision.
+
+Shared hash: H(s) = first 8 hex chars of md5(s) as uint32 —
+Spark `conv(substring(md5(s),1,8),16,10)`, DuckDB
+`('0x'||substr(md5(s),1,8))::BIGINT`.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pdftext_spark.config import ExtractConfig
+from pdftext_spark.operators.extract import extract
+from pdftext_spark.sources.expected import ensure_expected_outputs
+from pdftext_spark.sources.fixture_io import (
+    ensure_fixture_dir,
+    tier_for_sf_dir,
+    transcripts_path,
+)
+
+# --------------------------------------------------------------------------
+# shared helpers
+# --------------------------------------------------------------------------
+
+_EXTRACT_CACHE: dict = {}
+
+
+def _extracted_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full extraction over the fixture tier matching sf_dir, persisted so
+    the several extraction queries share one kernel run per session."""
+    tier = tier_for_sf_dir(sf_dir)
+    key = (spark.sparkContext.applicationId, tier)
+    if key not in _EXTRACT_CACHE:
+        df = extract(
+            spark.read.parquet(transcripts_path(tier)),
+            ExtractConfig(),
+        ).persist()
+        _EXTRACT_CACHE[key] = df
+    return _EXTRACT_CACHE[key]
+
+
+def _fixture_path(sf_dir: str, name: str) -> str:
+    tier = tier_for_sf_dir(sf_dir)
+    ensure_expected_outputs(tier)
+    return os.path.join(ensure_fixture_dir(tier), name)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+# Spark-side md5-derived 32-bit hash
+def _h(col):
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+_H_SQL = "('0x'||substr(md5({c}),1,8))::BIGINT"
+
+_TOKS_SPARK = "filter(split(text, ' '), t -> t != '')"
+_TOKS_DUCK = "list_filter(str_split(text, ' '), t -> t != '')"
+
+# 3-word shingles (1-based element_at on both sides)
+_SHINGLES_SPARK = (
+    "CASE WHEN size(toks) < 3 THEN array(concat_ws(' ', toks)) ELSE "
+    "transform(sequence(1, size(toks)-2), i -> "
+    "concat(element_at(toks, i), ' ', element_at(toks, i+1), ' ', element_at(toks, i+2))) END"
+)
+_SHINGLES_DUCK = (
+    "CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] ELSE "
+    "list_transform(range(1, len(toks)-1), i -> "
+    "toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END"
+)
+
+_STOPWORDS = {
+    "en": ("the", "a", "and", "of", "to"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+}
+
+
+def _sw_list(lang):
+    return ", ".join(f"'{w}'" for w in _STOPWORDS[lang])
+
+
+# --------------------------------------------------------------------------
+# 1. extraction queries (fixture transcripts vs oracle-expected parquet)
+# --------------------------------------------------------------------------
+
+def q_extract_plain(spark, sf_dir):
+    """Flagship: per-turn plain text for every turn (doc turns = F7 render,
+    tool turns = HTML main content)."""
+    return _extracted_df(spark, sf_dir).select("conv_id", "turn_idx", "text")
+
+
+def sql_extract_plain(sf_dir):
+    p = _fixture_path(sf_dir, "expected_plain.parquet")
+    return f"SELECT conv_id, turn_idx, text FROM read_parquet('{p}')"
+
+
+def _flat_spans(spark, sf_dir):
+    df = _extracted_df(spark, sf_dir).where(F.col("page").isNotNull())
+    b = df.select("conv_id", "turn_idx",
+                  F.posexplode("page.blocks").alias("block_idx", "blk"))
+    ln = b.select("conv_id", "turn_idx", "block_idx",
+                  F.posexplode("blk.lines").alias("line_idx", "ln"))
+    s = ln.select("conv_id", "turn_idx", "block_idx", "line_idx",
+                  F.posexplode("ln.spans").alias("span_idx", "s"))
+    return s
+
+
+def q_extract_spans(spark, sf_dir):
+    s = _flat_spans(spark, sf_dir)
+    return s.select(
+        "conv_id", "turn_idx", "block_idx", "line_idx", "span_idx",
+        F.col("s.text").alias("text"),
+        F.col("s.font.name").alias("font_name"),
+        F.col("s.font.flags").alias("font_flags"),
+        F.col("s.font.size").alias("font_size"),
+        F.col("s.font.weight").alias("font_weight"),
+        F.col("s.char_start_idx").alias("char_start_idx"),
+        F.col("s.char_end_idx").alias("char_end_idx"),
+        F.col("s.rotation").alias("rotation"),
+        F.coalesce(F.col("s.url"), F.lit("")).alias("url"),
+        F.col("s.superscript").alias("superscript"),
+        F.col("s.subscript").alias("subscript"),
+        F.element_at("s.bbox", 1).alias("x1"),
+        F.element_at("s.bbox", 2).alias("y1"),
+        F.element_at("s.bbox", 3).alias("x2"),
+        F.element_at("s.bbox", 4).alias("y2"),
+    )
+
+
+def sql_extract_spans(sf_dir):
+    p = _fixture_path(sf_dir, "expected_spans.parquet")
+    return (f"SELECT conv_id, turn_idx, block_idx, line_idx, span_idx, text, "
+            f"font_name, font_flags, font_size, font_weight, char_start_idx, "
+            f"char_end_idx, rotation, url, superscript, subscript, x1, y1, x2, y2 "
+            f"FROM read_parquet('{p}')")
+
+
+def q_extract_blocks(spark, sf_dir):
+    df = _extracted_df(spark, sf_dir).where(F.col("page").isNotNull())
+    b = df.select("conv_id", "turn_idx",
+                  F.posexplode("page.blocks").alias("block_idx", "blk"))
+    return b.select(
+        "conv_id", "turn_idx", "block_idx",
+        F.size("blk.lines").alias("n_lines"),
+        F.element_at("blk.bbox", 1).alias("x1"),
+        F.element_at("blk.bbox", 2).alias("y1"),
+        F.element_at("blk.bbox", 3).alias("x2"),
+        F.element_at("blk.bbox", 4).alias("y2"),
+    )
+
+
+def sql_extract_blocks(sf_dir):
+    p = _fixture_path(sf_dir, "expected_blocks.parquet")
+    return (f"SELECT conv_id, turn_idx, block_idx, n_lines, x1, y1, x2, y2 "
+            f"FROM read_parquet('{p}')")
+
+
+def q_extract_refs(spark, sf_dir):
+    df = _extracted_df(spark, sf_dir).where(F.col("page").isNotNull())
+    r = df.select("conv_id", "turn_idx", F.explode("page.refs").alias("r"))
+    return r.select(
+        "conv_id", "turn_idx",
+        F.col("r.idx").alias("idx"),
+        F.col("r.ref").alias("ref"),
+        F.col("r.url").alias("url"),
+        F.element_at("r.coord", 1).alias("x"),
+        F.element_at("r.coord", 2).alias("y"),
+    )
+
+
+def sql_extract_refs(sf_dir):
+    p = _fixture_path(sf_dir, "expected_refs.parquet")
+    return f"SELECT conv_id, turn_idx, idx, ref, url, x, y FROM read_parquet('{p}')"
+
+
+def q_extract_page_meta(spark, sf_dir):
+    df = _extracted_df(spark, sf_dir).where(F.col("page").isNotNull())
+    return df.select(
+        "conv_id", "turn_idx",
+        F.col("page.width").alias("width"),
+        F.col("page.height").alias("height"),
+        F.col("page.rotation").alias("rotation"),
+        F.element_at("page.bbox", 1).alias("b0"),
+        F.element_at("page.bbox", 2).alias("b1"),
+        F.element_at("page.bbox", 3).alias("b2"),
+        F.element_at("page.bbox", 4).alias("b3"),
+    )
+
+
+def sql_extract_page_meta(sf_dir):
+    p = _fixture_path(sf_dir, "expected_pagemeta.parquet")
+    return (f"SELECT conv_id, turn_idx, width, height, rotation, b0, b1, b2, b3 "
+            f"FROM read_parquet('{p}')")
+
+
+def q_extract_table_cells(spark, sf_dir):
+    df = _extracted_df(spark, sf_dir).where(F.size("tables") > 0)
+    t = df.select("conv_id", "turn_idx",
+                  F.posexplode("tables").alias("table_idx", "cells"))
+    c = t.select("conv_id", "turn_idx", "table_idx",
+                 F.posexplode("cells").alias("cell_idx", "c"))
+    return c.select(
+        "conv_id", "turn_idx", "table_idx", "cell_idx",
+        F.col("c.text").alias("text"),
+        F.element_at("c.bbox", 1).alias("x1"),
+        F.element_at("c.bbox", 2).alias("y1"),
+        F.element_at("c.bbox", 3).alias("x2"),
+        F.element_at("c.bbox", 4).alias("y2"),
+    )
+
+
+def sql_extract_table_cells(sf_dir):
+    p = _fixture_path(sf_dir, "expected_tables.parquet")
+    return (f"SELECT conv_id, turn_idx, table_idx, cell_idx, text, x1, y1, x2, y2 "
+            f"FROM read_parquet('{p}')")
+
+
+def q_extract_html_main(spark, sf_dir):
+    tier = tier_for_sf_dir(sf_dir)
+    tr = spark.read.parquet(transcripts_path(tier)).where(F.col("role") == "tool")
+    out = _extracted_df(spark, sf_dir).where(F.col("is_html"))
+    return out.join(tr.select("conv_id", "turn_idx"), ["conv_id", "turn_idx"]) \
+        .select("conv_id", "turn_idx", F.col("text").alias("main_text"))
+
+
+def sql_extract_html_main(sf_dir):
+    p = _fixture_path(sf_dir, "expected_plain.parquet")
+    t = transcripts_path(tier_for_sf_dir(sf_dir))
+    return (f"SELECT p.conv_id, p.turn_idx, p.text AS main_text "
+            f"FROM read_parquet('{p}') p JOIN read_parquet('{t}') t "
+            f"ON p.conv_id = t.conv_id AND p.turn_idx = t.turn_idx "
+            f"WHERE t.role = 'tool'")
+
+
+def q_turn_filter(spark, sf_dir):
+    """P1 — turn-range predicate pushdown (extraction.py:44-47)."""
+    tier = tier_for_sf_dir(sf_dir)
+    tr = spark.read.parquet(transcripts_path(tier))
+    return tr.where(F.col("turn_idx").isin(0, 1, 3)) \
+        .select("conv_id", "turn_idx", "role", "tool")
+
+
+def sql_turn_filter(sf_dir):
+    t = transcripts_path(tier_for_sf_dir(sf_dir))
+    return (f"SELECT conv_id, turn_idx, role, tool FROM read_parquet('{t}') "
+            f"WHERE turn_idx IN (0, 1, 3)")
+
+
+def q_extract_span_counts(spark, sf_dir):
+    """A8-style count metrics per turn, from the nested output."""
+    s = _flat_spans(spark, sf_dir)
+    return s.groupBy("conv_id", "turn_idx").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.length("s.text")).alias("n_text_chars"),
+    )
+
+
+def sql_extract_span_counts(sf_dir):
+    p = _fixture_path(sf_dir, "expected_spans.parquet")
+    return (f"SELECT conv_id, turn_idx, count(*) n_spans, "
+            f"sum(length(text))::BIGINT n_text_chars "
+            f"FROM read_parquet('{p}') GROUP BY conv_id, turn_idx")
+
+
+# --------------------------------------------------------------------------
+# 2a. text analysis (documents)
+# --------------------------------------------------------------------------
+
+def q_text_tokens(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.expr(f"size({_TOKS_SPARK})").cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+def sql_text_tokens(sf_dir):
+    return (f"SELECT doc_id, len({_TOKS_DUCK})::BIGINT n_tokens, "
+            f"length(text)::BIGINT n_chars FROM documents")
+
+
+def q_text_quality(spark, sf_dir):
+    d = _docs(spark, sf_dir).withColumn("toks", F.expr(_TOKS_SPARK))
+    sw = ", ".join(f"'{w}'" for w in _STOPWORDS["en"])
+    return d.select(
+        "doc_id",
+        F.round(F.length(F.regexp_replace("text", "[^a-zA-Z]", "")) / F.length("text"), 6)
+        .alias("alpha_ratio"),
+        F.round(F.expr(f"size(filter(toks, t -> t IN ({sw})))") / F.expr("size(toks)"), 6)
+        .alias("stopword_ratio"),
+        F.round(F.expr("aggregate(toks, 0L, (a, t) -> a + length(t))") / F.expr("size(toks)"), 6)
+        .alias("avg_token_len"),
+    )
+
+
+def sql_text_quality(sf_dir):
+    sw = _sw_list("en")
+    return (
+        "WITH t AS (SELECT doc_id, text, " + _TOKS_DUCK + " toks FROM documents) "
+        "SELECT doc_id, "
+        "round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 / length(text), 6) alpha_ratio, "
+        f"round(len(list_filter(toks, t -> t IN ({sw}))) * 1.0 / len(toks), 6) stopword_ratio, "
+        "round(list_sum(list_transform(toks, t -> length(t))) * 1.0 / len(toks), 6) avg_token_len "
+        "FROM t")
+
+
+def q_text_langid(spark, sf_dir):
+    d = _docs(spark, sf_dir).withColumn("toks", F.expr(_TOKS_SPARK))
+    votes = {lang: F.expr(f"size(filter(toks, t -> t IN ({_sw_list(lang)})))")
+             for lang in _STOPWORDS}
+    return d.select(
+        "doc_id",
+        votes["en"].cast("long").alias("votes_en"),
+        votes["de"].cast("long").alias("votes_de"),
+        votes["fr"].cast("long").alias("votes_fr"),
+        F.when((votes["en"] >= votes["de"]) & (votes["en"] >= votes["fr"]), "en")
+        .when(votes["de"] >= votes["fr"], "de").otherwise("fr").alias("lang_pred"),
+    )
+
+
+def sql_text_langid(sf_dir):
+    v = {lang: f"len(list_filter(toks, t -> t IN ({_sw_list(lang)})))"
+         for lang in _STOPWORDS}
+    return (
+        "WITH t AS (SELECT doc_id, " + _TOKS_DUCK + " toks FROM documents) "
+        f"SELECT doc_id, {v['en']}::BIGINT votes_en, {v['de']}::BIGINT votes_de, "
+        f"{v['fr']}::BIGINT votes_fr, "
+        f"CASE WHEN {v['en']} >= {v['de']} AND {v['en']} >= {v['fr']} THEN 'en' "
+        f"WHEN {v['de']} >= {v['fr']} THEN 'de' ELSE 'fr' END lang_pred FROM t")
+
+
+def q_text_fingerprint(spark, sf_dir):
+    """Document fingerprinting: full-text md5 + min-hash over 3-gram
+    shingles (single-perm minhash — the rolling-hash analog)."""
+    d = _docs(spark, sf_dir).withColumn("toks", F.expr(_TOKS_SPARK)) \
+        .withColumn("sh", F.expr(_SHINGLES_SPARK))
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.expr("array_min(transform(sh, s -> cast(conv(substring(md5(s),1,8),16,10) as bigint)))")
+        .alias("min_shingle_hash"),
+    )
+
+
+def sql_text_fingerprint(sf_dir):
+    h = _H_SQL.format(c="s")
+    return (
+        "WITH t AS (SELECT doc_id, text, " + _TOKS_DUCK + " toks FROM documents), "
+        "s AS (SELECT doc_id, text, " + _SHINGLES_DUCK + " sh FROM t) "
+        f"SELECT doc_id, md5(text) text_md5, "
+        f"list_min(list_transform(sh, s -> {h})) min_shingle_hash FROM s")
+
+
+# --------------------------------------------------------------------------
+# 2b. deduplication (documents)
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count("*").alias("n_copies"),
+    )
+
+
+def sql_dedup_exact(sf_dir):
+    return ("SELECT md5(text) text_hash, min(doc_id) keeper_doc_id, "
+            "count(*) n_copies FROM documents GROUP BY md5(text)")
+
+
+def _shingle_df(spark, sf_dir):
+    return (_docs(spark, sf_dir)
+            .withColumn("toks", F.expr(_TOKS_SPARK))
+            .withColumn("sh", F.expr(_SHINGLES_SPARK))
+            .select("doc_id", F.explode("sh").alias("shingle"))
+            .distinct())
+
+
+_SHINGLE_CTE = (
+    "WITH t AS (SELECT doc_id, " + _TOKS_DUCK + " toks FROM documents), "
+    "sx AS (SELECT doc_id, " + _SHINGLES_DUCK + " sh FROM t), "
+    "ds AS (SELECT DISTINCT doc_id, unnest(sh) shingle FROM sx)"
+)
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup pairs (threshold 0.8)."""
+    ds = _shingle_df(spark, sf_dir)
+    n = ds.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = ds.alias("a")
+    b = ds.alias("b")
+    common = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                     & (F.col("a.doc_id") < F.col("b.doc_id")))
+              .groupBy(F.col("a.doc_id").alias("doc_a"),
+                       F.col("b.doc_id").alias("doc_b"))
+              .agg(F.count("*").alias("common")))
+    na = n.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = n.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (common.join(na, "doc_a").join(nb, "doc_b")
+            .withColumn("jaccard", F.round(F.col("common")
+                                           / (F.col("na") + F.col("nb") - F.col("common")), 6))
+            .where(F.col("jaccard") >= 0.8)
+            .select("doc_a", "doc_b", "jaccard"))
+
+
+def sql_dedup_jaccard(sf_dir):
+    return (
+        _SHINGLE_CTE + ", "
+        "c AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) common FROM ds a "
+        "JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+        "n AS (SELECT doc_id, count(*) n FROM ds GROUP BY 1) "
+        "SELECT doc_a, doc_b, round(common * 1.0 / (na.n + nb.n - common), 6) jaccard "
+        "FROM c JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b "
+        "WHERE round(common * 1.0 / (na.n + nb.n - common), 6) >= 0.8")
+
+
+_N_PERM = 16
+_BAND = 4  # 4 bands of 4
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash signatures + LSH banding: candidate pairs sharing a band,
+    verified by exact Jaccard ≥ 0.7. Scale path: the band join is an
+    equi-join on (band_idx, band_hash) — shuffle keys, no all-pairs."""
+    ds = _shingle_df(spark, sf_dir)
+    perms = ds.select("doc_id", "shingle",
+                      F.explode(F.expr(f"sequence(0, {_N_PERM - 1})")).alias("perm"))
+    mh = (perms.withColumn(
+            "h", _h(F.concat(F.col("perm").cast("string"), F.lit("|"), F.col("shingle"))))
+          .groupBy("doc_id", "perm").agg(F.min("h").alias("mh")))
+    sig = mh.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("perm", "mh"))).alias("sig"))
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.expr(
+            f"transform(sequence(0, {_N_PERM // _BAND - 1}), b -> struct(b as band_idx, "
+            f"md5(concat_ws('|', transform(slice(sig, b*{_BAND}+1, {_BAND}), x -> "
+            f"cast(x.mh as string)))) as band_hash))")).alias("bs")) \
+        .select("doc_id", "bs.band_idx", "bs.band_hash")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+                   & (F.col("a.band_hash") == F.col("b.band_hash"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b")).distinct())
+    # verify candidates with exact jaccard
+    n = ds.groupBy("doc_id").agg(F.count("*").alias("n"))
+    common = (ds.alias("x").join(ds.alias("y"),
+                                 (F.col("x.shingle") == F.col("y.shingle"))
+                                 & (F.col("x.doc_id") < F.col("y.doc_id")))
+              .groupBy(F.col("x.doc_id").alias("doc_a"),
+                       F.col("y.doc_id").alias("doc_b"))
+              .agg(F.count("*").alias("common")))
+    verified = (cand.join(common, ["doc_a", "doc_b"])
+                .join(n.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+                .join(n.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+                .withColumn("jaccard", F.round(
+                    F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6))
+                .where(F.col("jaccard") >= 0.7)
+                .select("doc_a", "doc_b", "jaccard"))
+    return verified
+
+
+def sql_dedup_minhash_lsh(sf_dir):
+    h = _H_SQL.format(c="(perm::VARCHAR || '|' || shingle)")
+    return (
+        _SHINGLE_CTE + ", "
+        f"mh AS (SELECT doc_id, perm, min({h}) mh FROM ds, range({_N_PERM}) r(perm) "
+        "GROUP BY doc_id, perm), "
+        "sig AS (SELECT doc_id, list_transform(list_sort(list(struct_pack(perm := perm, mh := mh))), x -> x.mh) s "
+        "FROM mh GROUP BY doc_id), "
+        f"bands AS (SELECT doc_id, b band_idx, md5(array_to_string("
+        f"list_transform(s[b*{_BAND}+1:b*{_BAND}+{_BAND}], x -> x::VARCHAR), '|')) band_hash "
+        f"FROM sig, range({_N_PERM // _BAND}) r(b)), "
+        "cand AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b FROM bands a "
+        "JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash "
+        "AND a.doc_id < b.doc_id), "
+        "c AS (SELECT x.doc_id doc_a, y.doc_id doc_b, count(*) common FROM ds x "
+        "JOIN ds y ON x.shingle = y.shingle AND x.doc_id < y.doc_id GROUP BY 1, 2), "
+        "n AS (SELECT doc_id, count(*) n FROM ds GROUP BY 1) "
+        "SELECT cand.doc_a, cand.doc_b, "
+        "round(common * 1.0 / (na.n + nb.n - common), 6) jaccard "
+        "FROM cand JOIN c ON c.doc_a = cand.doc_a AND c.doc_b = cand.doc_b "
+        "JOIN n na ON na.doc_id = cand.doc_a JOIN n nb ON nb.doc_id = cand.doc_b "
+        "WHERE round(common * 1.0 / (na.n + nb.n - common), 6) >= 0.7")
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """32-bit SimHash per document from token hashes."""
+    d = _docs(spark, sf_dir).withColumn("toks", F.expr(_TOKS_SPARK))
+    tok = d.select("doc_id", F.explode("toks").alias("t"))
+    tok = tok.withColumn("h", _h(F.col("t")))
+    bits = tok.select("doc_id", "h",
+                      F.explode(F.expr("sequence(0, 31)")).alias("j"))
+    bits = bits.withColumn(
+        "w", F.expr("CASE WHEN (h div cast(pow(2, j) as bigint)) % 2 = 1 "
+                    "THEN 1 ELSE -1 END"))
+    agg = bits.groupBy("doc_id", "j").agg(F.sum("w").alias("s"))
+    return agg.groupBy("doc_id").agg(
+        F.sum(F.expr("CASE WHEN s > 0 THEN cast(pow(2, j) as bigint) ELSE 0 END"))
+        .alias("simhash"))
+
+
+def sql_dedup_simhash(sf_dir):
+    h = _H_SQL.format(c="t")
+    return (
+        "WITH tk AS (SELECT doc_id, unnest(" + _TOKS_DUCK + ") t FROM documents), "
+        f"hh AS (SELECT doc_id, {h} h FROM tk), "
+        "bits AS (SELECT doc_id, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) s "
+        "FROM hh, range(32) r(j) GROUP BY doc_id, j) "
+        "SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT simhash "
+        "FROM bits GROUP BY doc_id")
+
+
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (cos ≥ 0.45, double precision,
+    index-ordered dot product so both engines sum in the same order)."""
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    a = e.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("va") < F.col("vb"))
+    dot = F.expr("aggregate(zip_with(ea, eb, (x, y) -> cast(x as double) * cast(y as double)), "
+                 "cast(0.0 as double), (acc, v) -> acc + v)")
+    na = F.expr("sqrt(aggregate(ea, cast(0.0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double)))")
+    nb = F.expr("sqrt(aggregate(eb, cast(0.0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double)))")
+    return (pairs.withColumn("cos", F.round(dot / (na * nb), 6))
+            .where(F.col("cos") >= 0.45)
+            .select(F.col("va").alias("vec_a"), F.col("vb").alias("vec_b"), "cos"))
+
+
+_DOT_DUCK = ("list_sum(list_transform(range(1, len(a.embedding) + 1), "
+             "i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))")
+_NORM_DUCK = ("sqrt(list_sum(list_transform({v}.embedding, "
+              "x -> x::DOUBLE * x::DOUBLE)))")
+
+
+def sql_dedup_embedding(sf_dir):
+    return (
+        "SELECT a.vec_id vec_a, b.vec_id vec_b, "
+        f"round({_DOT_DUCK} / ({_NORM_DUCK.format(v='a')} * {_NORM_DUCK.format(v='b')}), 6) cos "
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+        f"WHERE round({_DOT_DUCK} / ({_NORM_DUCK.format(v='a')} * {_NORM_DUCK.format(v='b')}), 6) >= 0.45")
+
+
+# --------------------------------------------------------------------------
+# 2c. similarity search (embeddings)
+# --------------------------------------------------------------------------
+
+def _cosine_pairs(spark, sf_dir, query_pred):
+    e = _emb(spark, sf_dir)
+    q = e.where(query_pred).select(F.col("vec_id").alias("qid"),
+                                   F.col("embedding").alias("qe"))
+    c = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    pairs = F.broadcast(q).crossJoin(c).where(F.col("qid") != F.col("cid"))
+    dot = F.expr("aggregate(zip_with(qe, ce, (x, y) -> cast(x as double) * cast(y as double)), "
+                 "cast(0.0 as double), (acc, v) -> acc + v)")
+    nq = F.expr("sqrt(aggregate(qe, cast(0.0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double)))")
+    nc = F.expr("sqrt(aggregate(ce, cast(0.0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double)))")
+    return pairs.withColumn("cos", F.round(dot / (nq * nc), 6))
+
+
+def q_ann_bruteforce(spark, sf_dir):
+    """Brute-force cosine top-5 for query vectors (vec_id < 8); broadcast
+    the queries, scan candidates once — the baseline ANN plan."""
+    pairs = _cosine_pairs(spark, sf_dir, F.col("vec_id") < 8)
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 5)
+            .select("qid", "rank", F.col("cid").alias("neighbor_id"), "cos"))
+
+
+_COS_DUCK = ("round(list_sum(list_transform(range(1, len(q.embedding) + 1), "
+             "i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) / "
+             "(sqrt(list_sum(list_transform(q.embedding, x -> x::DOUBLE * x::DOUBLE))) * "
+             "sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE)))), 6)")
+
+
+def sql_ann_bruteforce(sf_dir):
+    return (
+        "WITH p AS (SELECT q.vec_id qid, c.vec_id cid, " + _COS_DUCK + " cos "
+        "FROM embeddings q JOIN embeddings c ON q.vec_id < 8 AND q.vec_id != c.vec_id), "
+        "r AS (SELECT qid, cid, cos, row_number() OVER "
+        "(PARTITION BY qid ORDER BY cos DESC, cid ASC) rank FROM p) "
+        "SELECT qid, rank, cid neighbor_id, cos FROM r WHERE rank <= 5")
+
+
+def q_ann_ivf(spark, sf_dir):
+    """IVF-style bucketed search: centroids = vec_id < 8; every vector is
+    assigned to its nearest centroid (one shuffle on bucket id), then
+    queries (8 <= vec_id < 24) search only their own bucket — the
+    scale path that avoids the all-pairs product."""
+    pairs = _cosine_pairs(spark, sf_dir, F.col("vec_id") < 8) \
+        .select(F.col("cid").alias("vec_id"), F.col("qid").alias("centroid"), "cos")
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("centroid"))
+    assign = (pairs.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+              .select("vec_id", "centroid"))
+    e = _emb(spark, sf_dir).join(assign, "vec_id")
+    q = e.where((F.col("vec_id") >= 8) & (F.col("vec_id") < 24)) \
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"),
+                F.col("centroid").alias("qc"))
+    c = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"),
+                 F.col("centroid").alias("cc"))
+    cand = F.broadcast(q).join(c, (F.col("qc") == F.col("cc"))
+                               & (F.col("qid") != F.col("cid")))
+    dot = F.expr("aggregate(zip_with(qe, ce, (x, y) -> cast(x as double) * cast(y as double)), "
+                 "cast(0.0 as double), (acc, v) -> acc + v)")
+    nq = F.expr("sqrt(aggregate(qe, cast(0.0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double)))")
+    nc = F.expr("sqrt(aggregate(ce, cast(0.0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double)))")
+    scored = cand.withColumn("cos", F.round(dot / (nq * nc), 6))
+    w2 = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
+    return (scored.withColumn("rank", F.row_number().over(w2))
+            .where(F.col("rank") <= 3)
+            .select("qid", "rank", F.col("cid").alias("neighbor_id"), "cos"))
+
+
+def sql_ann_ivf(sf_dir):
+    return (
+        "WITH ap AS (SELECT c.vec_id vec_id, q.vec_id centroid, " + _COS_DUCK + " cos "
+        "FROM embeddings q JOIN embeddings c ON q.vec_id < 8 AND q.vec_id != c.vec_id), "
+        "ar AS (SELECT vec_id, centroid, row_number() OVER "
+        "(PARTITION BY vec_id ORDER BY cos DESC, centroid ASC) rn FROM ap), "
+        "assign AS (SELECT vec_id, centroid FROM ar WHERE rn = 1), "
+        "p AS (SELECT q.vec_id qid, c.vec_id cid, " + _COS_DUCK + " cos "
+        "FROM embeddings q JOIN assign aq ON aq.vec_id = q.vec_id "
+        "JOIN assign ac ON TRUE JOIN embeddings c ON c.vec_id = ac.vec_id "
+        "WHERE q.vec_id >= 8 AND q.vec_id < 24 AND aq.centroid = ac.centroid "
+        "AND q.vec_id != c.vec_id), "
+        "r AS (SELECT qid, cid, cos, row_number() OVER "
+        "(PARTITION BY qid ORDER BY cos DESC, cid ASC) rank FROM p) "
+        "SELECT qid, rank, cid neighbor_id, cos FROM r WHERE rank <= 3")
+
+
+# --------------------------------------------------------------------------
+# 2d. multimodal (synthetic binary payloads over documents)
+# --------------------------------------------------------------------------
+
+_MM_HEADER_SPARK = (
+    "concat('IMG1;W=', cast(64 + doc_id % 192 as string), ';H=', "
+    "cast(48 + doc_id % 144 as string), ';F=', cast(1 + doc_id % 30 as string), ';')"
+)
+_MM_HEADER_DUCK = (
+    "'IMG1;W=' || (64 + doc_id % 192)::VARCHAR || ';H=' || "
+    "(48 + doc_id % 144)::VARCHAR || ';F=' || (1 + doc_id % 30)::VARCHAR || ';'"
+)
+
+
+def q_mm_metadata(spark, sf_dir):
+    """Opaque binary media column + typed metadata extraction. The payload
+    is a deterministic synthetic 'image': ASCII header + raw bytes. Media
+    stays an opaque binary column; metadata parsing is JVM-side."""
+    d = _docs(spark, sf_dir)
+    d = d.withColumn("media", F.expr(f"cast(concat({_MM_HEADER_SPARK}, text) as binary)"))
+    hdr = F.expr("cast(media as string)")
+    return d.select(
+        "doc_id",
+        F.length("media").cast("long").alias("n_bytes"),
+        F.regexp_extract(hdr, r"W=(\d+);", 1).cast("long").alias("width"),
+        F.regexp_extract(hdr, r"H=(\d+);", 1).cast("long").alias("height"),
+        F.regexp_extract(hdr, r"F=(\d+);", 1).cast("long").alias("n_frames"),
+    )
+
+
+def sql_mm_metadata(sf_dir):
+    return (
+        f"WITH m AS (SELECT doc_id, ({_MM_HEADER_DUCK} || text) payload FROM documents) "
+        "SELECT doc_id, octet_length(payload::BLOB)::BIGINT n_bytes, "
+        "regexp_extract(payload, 'W=(\\d+);', 1)::BIGINT width, "
+        "regexp_extract(payload, 'H=(\\d+);', 1)::BIGINT height, "
+        "regexp_extract(payload, 'F=(\\d+);', 1)::BIGINT n_frames FROM m")
+
+
+def q_mm_frame_sample(spark, sf_dir):
+    """Uniform frame sampling: 4 equally-spaced frame indices per video."""
+    meta = q_mm_metadata(spark, sf_dir)
+    return (meta.select("doc_id", "n_frames",
+                        F.explode(F.expr("sequence(0, 3)")).alias("slot"))
+            .withColumn("frame_idx",
+                        F.floor(F.col("slot") * F.col("n_frames") / 4).cast("long"))
+            .select("doc_id", "slot", "frame_idx"))
+
+
+def sql_mm_frame_sample(sf_dir):
+    return (
+        "WITH m AS (SELECT doc_id, (1 + doc_id % 30)::BIGINT n_frames FROM documents) "
+        "SELECT doc_id, slot::BIGINT slot, (slot * n_frames // 4)::BIGINT frame_idx "
+        "FROM m, range(4) r(slot)")
+
+
+# --------------------------------------------------------------------------
+# 2e. relational demos (TPC-H-ish)
+# --------------------------------------------------------------------------
+
+def q_rel_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style aggregate; money carried as exact integer cents so
+    both engines agree bit-for-bit."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    cents = (F.round(F.col("l_extendedprice") * 100).cast("long")
+             * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")))
+    return (li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(F.round(F.col("l_quantity")).cast("long")).alias("sum_qty"),
+                 F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("sum_price_cents"),
+                 F.sum(cents).alias("sum_disc_price_e4"),
+                 F.count("*").alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+def sql_rel_pricing_summary(sf_dir):
+    return (
+        "SELECT l_returnflag, l_linestatus, "
+        "sum(round(l_quantity)::BIGINT) sum_qty, "
+        "sum(round(l_extendedprice * 100)::BIGINT) sum_price_cents, "
+        "sum(round(l_extendedprice * 100)::BIGINT * "
+        "(100 - round(l_discount * 100)::BIGINT)) sum_disc_price_e4, "
+        "count(*) count_order FROM lineitem "
+        "WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus")
+
+
+def q_rel_top_customers(spark, sf_dir):
+    """Broadcast join + top-k: top 10 customers by order value cents."""
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    c = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    agg = (o.groupBy("o_custkey")
+           .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("total_cents"),
+                F.count("*").alias("n_orders")))
+    joined = agg.join(F.broadcast(c), agg["o_custkey"] == c["c_custkey"])
+    w = Window.orderBy(F.desc("total_cents"), F.asc("o_custkey"))
+    return (joined.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 10)
+            .select("rank", F.col("o_custkey").alias("custkey"),
+                    "total_cents", "n_orders"))
+
+
+def sql_rel_top_customers(sf_dir):
+    return (
+        "WITH agg AS (SELECT o_custkey, sum(round(o_totalprice * 100)::BIGINT) total_cents, "
+        "count(*) n_orders FROM orders GROUP BY o_custkey), "
+        "j AS (SELECT agg.*, row_number() OVER (ORDER BY total_cents DESC, o_custkey ASC) rank "
+        "FROM agg JOIN customer ON o_custkey = c_custkey) "
+        "SELECT rank, o_custkey custkey, total_cents, n_orders FROM j WHERE rank <= 10")
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERIES = {
+    # extraction (SURVEY.md §2 operator pipeline, oracle = naive-oracle parquet)
+    "extract_plain": (q_extract_plain, sql_extract_plain),
+    "extract_spans": (q_extract_spans, sql_extract_spans),
+    "extract_blocks": (q_extract_blocks, sql_extract_blocks),
+    "extract_refs": (q_extract_refs, sql_extract_refs),
+    "extract_page_meta": (q_extract_page_meta, sql_extract_page_meta),
+    "extract_table_cells": (q_extract_table_cells, sql_extract_table_cells),
+    "extract_html_main": (q_extract_html_main, sql_extract_html_main),
+    "extract_span_counts": (q_extract_span_counts, sql_extract_span_counts),
+    "turn_filter": (q_turn_filter, sql_turn_filter),
+    # text analysis
+    "text_tokens": (q_text_tokens, sql_text_tokens),
+    "text_quality": (q_text_quality, sql_text_quality),
+    "text_langid": (q_text_langid, sql_text_langid),
+    "text_fingerprint": (q_text_fingerprint, sql_text_fingerprint),
+    # dedup
+    "dedup_exact": (q_dedup_exact, sql_dedup_exact),
+    "dedup_jaccard": (q_dedup_jaccard, sql_dedup_jaccard),
+    "dedup_minhash_lsh": (q_dedup_minhash_lsh, sql_dedup_minhash_lsh),
+    "dedup_simhash": (q_dedup_simhash, sql_dedup_simhash),
+    "dedup_embedding": (q_dedup_embedding, sql_dedup_embedding),
+    # similarity search
+    "ann_bruteforce": (q_ann_bruteforce, sql_ann_bruteforce),
+    "ann_ivf": (q_ann_ivf, sql_ann_ivf),
+    # multimodal
+    "mm_metadata": (q_mm_metadata, sql_mm_metadata),
+    "mm_frame_sample": (q_mm_frame_sample, sql_mm_frame_sample),
+    # relational
+    "rel_pricing_summary": (q_rel_pricing_summary, sql_rel_pricing_summary),
+    "rel_top_customers": (q_rel_top_customers, sql_rel_top_customers),
+}

@@ -1,0 +1,113 @@
+"""Oracle-expected output tables, materialized to parquet.
+
+The driver's correctness gate runs our Spark queries against DuckDB SQL.
+Extraction semantics are not SQL-expressible, so the oracle SQL for those
+queries is `SELECT ... FROM read_parquet('<expected parquet>')` where the
+parquet is produced HERE by the independent naive oracle
+(tests/oracle_naive.py) over the same deterministic fixture corpus the
+Spark query reads. That turns the driver's value-hash comparison into a
+genuine two-implementation check (vectorized Spark kernel vs naive
+reference-semantics oracle).
+"""
+
+from __future__ import annotations
+
+import collections
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from pdftext_spark.sources.fixture_io import TIERS, ensure_fixture_dir
+from pdftext_spark.sources.fixtures import build_fixture_tables
+
+
+def expected_dir(tier: str) -> str:
+    return ensure_fixture_dir(tier)
+
+
+def ensure_expected_outputs(tier: str) -> str:
+    """Run the naive oracle over the fixture corpus and write expected
+    tables next to the inputs. Idempotent (marker file)."""
+    out = ensure_fixture_dir(tier)
+    marker = os.path.join(out, "_EXPECTED_COMPLETE")
+    if os.path.exists(marker):
+        return out
+
+    from pdftext_spark.core.html_main import extract_main_text
+    from tests.oracle_naive import oracle_dictionary, oracle_plain, oracle_tables
+
+    rows, *_ = build_fixture_tables(**TIERS[tier])
+    convs = collections.defaultdict(list)
+    for r in rows:
+        convs[r["conv_id"]].append(r)
+
+    plain_rows, span_rows, block_rows, ref_rows, meta_rows, table_rows = \
+        [], [], [], [], [], []
+    for cid in sorted(convs):
+        turns = sorted(convs[cid], key=lambda r: r["turn_idx"])
+        doc = [t for t in turns if t["role"] != "tool"]
+        texts = [t["text"] for t in doc]
+        ids = [t["turn_idx"] for t in doc]
+        pages = oracle_dictionary(texts, page_ids=ids)
+        plains = oracle_plain(texts, page_ids=ids)
+        tables = oracle_tables(texts, page_ids=ids)
+        for t in turns:
+            if t["role"] == "tool":
+                plain_rows.append({"conv_id": cid, "turn_idx": t["turn_idx"],
+                                   "text": extract_main_text(t["text"])})
+        for tid, page, plain, tabs in zip(ids, pages, plains, tables):
+            key = {"conv_id": cid, "turn_idx": tid}
+            plain_rows.append({**key, "text": plain})
+            meta_rows.append({**key, "width": page["width"], "height": page["height"],
+                              "rotation": page["rotation"],
+                              "b0": page["bbox"][0], "b1": page["bbox"][1],
+                              "b2": page["bbox"][2], "b3": page["bbox"][3]})
+            for r in page["refs"]:
+                ref_rows.append({**key, "idx": r["idx"], "ref": r["ref"],
+                                 "url": r["url"], "x": r["coord"][0], "y": r["coord"][1]})
+            for bi, blk in enumerate(page["blocks"]):
+                bb = blk["bbox"]
+                block_rows.append({**key, "block_idx": bi, "n_lines": len(blk["lines"]),
+                                   "x1": bb[0], "y1": bb[1], "x2": bb[2], "y2": bb[3]})
+                for li, ln in enumerate(blk["lines"]):
+                    for si, sp in enumerate(ln["spans"]):
+                        span_rows.append({
+                            **key, "block_idx": bi, "line_idx": li, "span_idx": si,
+                            "text": sp["text"],
+                            "font_name": sp["font"]["name"],
+                            "font_flags": sp["font"]["flags"],
+                            "font_size": sp["font"]["size"],
+                            "font_weight": sp["font"]["weight"],
+                            "char_start_idx": sp["char_start_idx"],
+                            "char_end_idx": sp["char_end_idx"],
+                            "rotation": sp["rotation"],
+                            "url": sp["url"] if sp["url"] is not None else "",
+                            "superscript": sp["superscript"],
+                            "subscript": sp["subscript"],
+                            "x1": sp["bbox"][0], "y1": sp["bbox"][1],
+                            "x2": sp["bbox"][2], "y2": sp["bbox"][3],
+                        })
+            for ti_, cells in enumerate(tabs):
+                for ci, cell in enumerate(cells):
+                    table_rows.append({**key, "table_idx": ti_, "cell_idx": ci,
+                                       "text": cell["text"],
+                                       "x1": cell["bbox"][0], "y1": cell["bbox"][1],
+                                       "x2": cell["bbox"][2], "y2": cell["bbox"][3]})
+
+    def write(name, data, schema=None):
+        if data:
+            table = pa.Table.from_pylist(data)
+        else:
+            table = pa.table({"conv_id": pa.array([], pa.string())})
+        pq.write_table(table, os.path.join(out, name))
+
+    write("expected_plain.parquet", plain_rows)
+    write("expected_spans.parquet", span_rows)
+    write("expected_blocks.parquet", block_rows)
+    write("expected_refs.parquet", ref_rows)
+    write("expected_pagemeta.parquet", meta_rows)
+    write("expected_tables.parquet", table_rows)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out

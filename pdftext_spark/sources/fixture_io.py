@@ -24,7 +24,7 @@ FIXTURE_ROOT = os.environ.get("PDFTEXT_SPARK_FIXTURES",
 TIERS = {
     "sf0.001": dict(n_convs=30, max_turns=40, seed=7),
     "sf0.01": dict(n_convs=60, max_turns=80, seed=7),
-    "sf0.1": dict(n_convs=420, max_turns=160, seed=7),
+    "sf0.1": dict(n_convs=5500, max_turns=400, seed=7),
 }
 
 

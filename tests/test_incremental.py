@@ -1,0 +1,56 @@
+"""Resume + metrics tests (FIXTURES.md §4 assertions 7-8)."""
+
+import os
+
+from pdftext_spark.config import ExtractConfig
+from pdftext_spark.metrics import corpus_metrics, partition_metrics
+from pdftext_spark.operators.extract import extract
+from pdftext_spark.streaming.incremental import (
+    read_manifest,
+    read_output,
+    run_incremental,
+)
+
+
+def _collect_sorted(df):
+    return sorted(
+        (r["conv_id"], r["turn_idx"], r["text"], r["error"]) for r in
+        df.select("conv_id", "turn_idx", "text", "error").collect())
+
+
+def test_resume_equals_clean_run(spark, transcripts, fixture_dir, tmp_path):
+    cfg = ExtractConfig(resume_buckets=8)
+    inp = os.path.join(fixture_dir, "transcripts.parquet")
+
+    # clean single-shot reference
+    clean = extract(spark.read.parquet(inp), cfg)
+    expected = _collect_sorted(clean)
+
+    # interrupted run: 3 buckets, then resume to completion
+    out_dir = str(tmp_path / "out")
+    m1 = run_incremental(spark, inp, out_dir, cfg, max_buckets_per_run=3)
+    assert len(m1["completed_buckets"]) == 3
+    partial = _collect_sorted(read_output(spark, out_dir))
+    assert 0 < len(partial) < len(expected)
+
+    m2 = run_incremental(spark, inp, out_dir, cfg)
+    assert len(m2["completed_buckets"]) == 8
+    final = _collect_sorted(read_output(spark, out_dir))
+    assert final == expected
+
+    # idempotence: another run is a no-op
+    m3 = run_incremental(spark, inp, out_dir, cfg)
+    assert m3["runs"] == m2["runs"]
+    assert _collect_sorted(read_output(spark, out_dir)) == expected
+    assert read_manifest(out_dir)["completed_buckets"] == list(range(8))
+
+
+def test_metrics_consistency(spark, transcripts):
+    ext = extract(transcripts, ExtractConfig(), resolve_links=False).persist()
+    per_part = partition_metrics(ext).collect()
+    total = corpus_metrics(ext).collect()[0]
+    assert sum(r["n_turns"] for r in per_part) == total["n_turns"]
+    assert sum(r["n_chars"] for r in per_part) == total["n_chars"]
+    assert total["n_turns"] == transcripts.count()
+    assert total["n_error_turns"] == 0
+    ext.unpersist()
