@@ -69,7 +69,14 @@ def extract(transcripts: DataFrame, cfg: ExtractConfig = ExtractConfig(),
     """
     spark = transcripts.sparkSession
     n_parts = cfg.partitions or spark.sparkContext.defaultParallelism * 2
-    salted = transcripts.repartition(n_parts, "conv_id", "turn_idx")
+    # Salting defeats conversation-clustered inputs (an Iceberg table
+    # bucketed by conv_id would put a mega-conversation in one task). When
+    # the scan already yields byte-balanced fine-grained splits — file
+    # sources split by size, so compute ∝ bytes is balanced by
+    # construction — the extra full-payload shuffle buys nothing; skip it.
+    n_input = transcripts.rdd.getNumPartitions()
+    salted = (transcripts if n_input >= n_parts
+              else transcripts.repartition(n_parts, "conv_id", "turn_idx"))
     out = salted.mapInPandas(_kernel(cfg), schema=EXTRACTED)
     if resolve_links and not cfg.disable_links:
         from pdftext_spark.operators.refs import resolve_refs

@@ -24,7 +24,7 @@ FIXTURE_ROOT = os.environ.get("PDFTEXT_SPARK_FIXTURES",
 TIERS = {
     "sf0.001": dict(n_convs=30, max_turns=40, seed=7),
     "sf0.01": dict(n_convs=60, max_turns=80, seed=7),
-    "sf0.1": dict(n_convs=5500, max_turns=400, seed=7),
+    "sf0.1": dict(n_convs=22000, max_turns=400, seed=7),
 }
 
 
@@ -38,7 +38,9 @@ def _write(path: str, rows: list[dict], schema: pa.Schema | None = None) -> None
         table = pa.Table.from_pylist(rows, schema=schema)
     else:
         table = pa.Table.from_pylist([{"conv_id": "x", "turn_idx": 0}]).slice(0, 0)
-    pq.write_table(table, path)
+    # small row groups so Spark's file splits can actually parallelize the
+    # scan (one huge row group = one scan task no matter the cluster size)
+    pq.write_table(table, path, row_group_size=1000)
 
 
 _TRANSCRIPT_SCHEMA = pa.schema([
@@ -56,8 +58,11 @@ def ensure_fixture_dir(tier: str) -> str:
     cfg = TIERS[tier]
     out = os.path.join(FIXTURE_ROOT, tier)
     marker = os.path.join(out, "_COMPLETE")
-    if os.path.exists(marker):
+    stamp = f"v2:{sorted(cfg.items())}"
+    if os.path.exists(marker) and open(marker).read() == stamp:
         return out
+    import shutil
+    shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
     rows, html_exp, table_exp, sup_exp = build_fixture_tables(**cfg)
     _write(os.path.join(out, "transcripts.parquet"), rows, _TRANSCRIPT_SCHEMA)
@@ -65,7 +70,7 @@ def ensure_fixture_dir(tier: str) -> str:
     _write(os.path.join(out, "expected_table_facts.parquet"), table_exp)
     _write(os.path.join(out, "expected_superscripts.parquet"), sup_exp)
     with open(marker, "w") as f:
-        f.write("ok")
+        f.write(stamp)
     return out
 
 

@@ -14,15 +14,22 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def build_session(app: str = "pdftext_spark", master: str | None = None,
-                  shuffle_partitions: int | None = None) -> SparkSession:
+                  shuffle_partitions: int | None = None,
+                  max_partition_bytes: str | None = None) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     master = master or f"local[{cpus}]"
     shuffle = shuffle_partitions or max(cpus * 2, 8)
+    # sandbox inputs are tens of MB, so the 128 MB default collapses the
+    # scan into one task; on a real cluster with TB inputs leave the default
+    mpb = max_partition_bytes or os.environ.get(
+        "PDFTEXT_SPARK_MAX_PARTITION_BYTES", "4m")
     return (
         SparkSession.builder
         .appName(app)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.files.maxPartitionBytes", mpb)
+        .config("spark.sql.files.openCostInBytes", "262144")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -1,0 +1,73 @@
+"""Multimodal decode plumbing + Structured Streaming ingest tests."""
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from pdftext_spark.operators.multimodal import (
+    attach_synthetic_media,
+    decode_media,
+    decode_media_df,
+)
+
+
+def test_decode_media_deterministic():
+    payload = b"IMG1;W=100;H=50;F=4;" + bytes(range(16))
+    w, h, fr, feat = decode_media(payload)
+    assert (w, h, fr) == (100, 50, 4)
+    assert len(feat) == 8
+    # byte-bucket means of 0..15 over 8 buckets of 2
+    assert feat.tolist() == [0.5, 2.5, 4.5, 6.5, 8.5, 10.5, 12.5, 14.5]
+
+
+def test_decode_media_stub_seam():
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x89PNG\r\n\x1a\n....")  # real image → stubbed
+
+
+def test_decode_media_df(spark, tmp_path):
+    docs = spark.createDataFrame([(1, "abc"), (2, "defgh")], "doc_id long, text string")
+    media = attach_synthetic_media(docs)
+    out = decode_media_df(media).orderBy("doc_id").collect()
+    assert out[0]["width"] == 65 and out[0]["height"] == 49
+    assert out[1]["n_frames"] == 3
+    # exact parity with the local stub
+    row = media.where("doc_id = 1").collect()[0]
+    _, _, _, feat = decode_media(bytes(row["media"]))
+    assert np.allclose(out[0]["feature"], feat)
+    # a non-synthetic payload yields nulls, not a task failure
+    bad = spark.createDataFrame([(9, bytearray(b"\x89PNG..."))],
+                                "doc_id long, media binary")
+    r = decode_media_df(bad).collect()[0]
+    assert r["feature"] is None and r["width"] is None
+
+
+def test_streaming_incremental_ingest(spark, fixture_dir, tmp_path):
+    from pdftext_spark.streaming.stream_job import run_stream
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    full = spark.read.parquet(os.path.join(fixture_dir, "transcripts.parquet"))
+    half_a = full.where("pmod(xxhash64(conv_id), 2) = 0")
+    half_b = full.where("pmod(xxhash64(conv_id), 2) = 1")
+    half_a.write.mode("overwrite").parquet(os.path.join(src, "batch_a"))
+    # file-source streams need flat files in the watched dir
+    _flatten(os.path.join(src, "batch_a"), src, "a")
+    run_stream(spark, src, out, ckpt)
+    n1 = spark.read.parquet(out).count()
+    assert n1 == half_a.count()
+    half_b.write.mode("overwrite").parquet(os.path.join(src, "batch_b"))
+    _flatten(os.path.join(src, "batch_b"), src, "b")
+    run_stream(spark, src, out, ckpt)
+    n2 = spark.read.parquet(out).count()
+    assert n2 == full.count()  # only the new files were processed (checkpoint)
+
+
+def _flatten(subdir: str, dest: str, prefix: str) -> None:
+    for i, f in enumerate(sorted(os.listdir(subdir))):
+        if f.endswith(".parquet"):
+            shutil.move(os.path.join(subdir, f), os.path.join(dest, f"{prefix}_{i}.parquet"))
+    shutil.rmtree(subdir)
