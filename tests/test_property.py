@@ -1,0 +1,121 @@
+"""Property-based kernel-vs-oracle parity (hypothesis, derandomized).
+
+The fixture generator covers realistic layouts; these tests throw
+adversarial random char streams (degenerate boxes, stacked coordinates,
+rotation mixes, hyphen/newline storms, random links) at both
+implementations and require bit-exact agreement.
+"""
+
+import json
+
+import hypothesis.strategies as st
+from hypothesis import HealthCheck, given, settings
+
+from pdftext_spark.config import ExtractConfig
+from pdftext_spark.core.api import process_batch
+from pdftext_spark.core.links import resolve_conversation_refs, rewrite_page_urls
+from pdftext_spark.core.textproc import handle_hyphens, postprocess_text
+from tests.oracle_naive import hyphens_text, oracle_dictionary, oracle_plain, pp_text
+from tests.test_core_parity import deep_eq
+
+SETTINGS = dict(max_examples=150, deadline=None, derandomize=True,
+                suppress_health_check=[HealthCheck.too_slow])
+
+_CHAR_POOL = list("abcXY z12.'-∞ﬁﬀ") + ["\n", "\x02", " ", "\xa0", "\x7f", "\r", "\t"]
+_GRID = [0.0, 3.5, 7.25, 11.0, 14.5, 21.0, 29.5, 36.0, 50.0, 72.0, 100.0]
+
+_char_st = st.tuples(
+    st.sampled_from(_CHAR_POOL),
+    st.sampled_from(_GRID),                      # x1
+    st.sampled_from(_GRID),                      # y1
+    st.sampled_from([0.0, 0.5, 3.0, 6.5, 11.0]),  # width
+    st.sampled_from([0.0, 4.0, 6.5, 8.0, 11.0, 14.0]),  # height
+    st.sampled_from([0.0, 0.0, 0.0, 90.0]),      # char rotation
+    st.integers(0, 2),                           # font id
+)
+
+_FONTS = [
+    {"name": "A", "flags": 4, "size": 11.0, "weight": 400},
+    {"name": "A", "flags": 4, "size": 6.5, "weight": 400},
+    {"name": "B", "flags": 1, "size": 11.0, "weight": 700},
+]
+
+_link_st = st.tuples(
+    st.sampled_from(_GRID), st.sampled_from(_GRID),
+    st.sampled_from([5.0, 20.0, 60.0]), st.sampled_from([5.0, 12.0]),
+    st.sampled_from([None, 0, 1, 2]),            # dest_page
+    st.sampled_from([None, (0.0, 0.0), (72.0, 100.0), (3.5, 3.5)]),
+    st.sampled_from([None, "https://x.example/a"]),
+)
+
+_payload_st = st.builds(
+    lambda chars, rotation, links: _payload(chars, rotation, links),
+    st.lists(_char_st, max_size=40),
+    st.sampled_from([0, 0, 0, 90, 180, 270]),
+    st.lists(_link_st, max_size=3),
+)
+
+
+def _payload(chars, rotation, links):
+    text = "".join(c[0] for c in chars)
+    bbox = []
+    rots = []
+    fids = []
+    for _, x1, y1, w, h, rot, fid in chars:
+        bbox.extend([x1, y1, x1 + w, y1 + h])
+        rots.append(rot)
+        fids.append(fid)
+    obj = {
+        "kind": "chars",
+        "page_bbox": [0.0, 0.0, 200.0, 300.0],
+        "rotation": rotation,
+        "text": text,
+        "bbox": bbox,
+        "charrot": rots if any(rots) else 0.0,
+        "fonts": _FONTS,
+        "font_id": fids,
+    }
+    if links:
+        obj["links"] = [
+            {"bbox": [x, y, x + w, y + h], "dest_page": dp,
+             "dest_pos": list(pos) if pos else None, "url": url}
+            for x, y, w, h, dp, pos, url in links
+        ]
+    return json.dumps(obj, ensure_ascii=False)
+
+
+@given(texts=st.lists(_payload_st, min_size=1, max_size=4))
+@settings(**SETTINGS)
+def test_plain_and_struct_parity(texts):
+    ids = list(range(len(texts)))
+    outs = process_batch(texts, ["user"] * len(texts), ids,
+                         ExtractConfig(keep_chars=True))
+    regs = [(ids[i], *r) for i, o in enumerate(outs) for r in o.registrations]
+    url_map, refs_by_page = resolve_conversation_refs(regs)
+    for o in outs:
+        rewrite_page_urls(o.page, url_map, refs_by_page)
+    exp_plain = oracle_plain(texts, page_ids=ids)
+    exp_pages = oracle_dictionary(texts, keep_chars=True, page_ids=ids)
+    for o, ep, eg in zip(outs, exp_plain, exp_pages):
+        assert o.text == ep
+        for page in (eg, o.page):
+            for blk in page["blocks"]:
+                for ln in blk["lines"]:
+                    for sp in ln["spans"]:
+                        for c in sp.get("chars", []):
+                            c.pop("font", None)
+        r = deep_eq(o.page, eg)
+        assert r is None, r
+
+
+@given(s=st.text(max_size=200))
+@settings(**SETTINGS)
+def test_postprocess_property(s):
+    assert postprocess_text(s) == pp_text(s)
+
+
+@given(s=st.text(alphabet=st.sampled_from(list("ab \x02\n\r\xa0\t")), max_size=80),
+       keep=st.booleans())
+@settings(**SETTINGS)
+def test_hyphens_property(s, keep):
+    assert handle_hyphens(s, keep) == hyphens_text(s, keep)
