@@ -5,6 +5,12 @@ Routing per SURVEY.md §7.0: tool turns (``role='tool'``) carry HTML and go
 through the boilerplate-strip/main-content scorer; everything else is a
 char-stream payload (or plain prose, which degrades to a synthesized
 monospace layout) and goes through the segmentation kernel.
+
+Two consumers share the routing/segmentation core (`route_batch`):
+- `process_batch` → per-turn dicts (tests, the keep_chars path);
+- `core/arrow_out.py` → columnar pyarrow assembly straight from
+  segmentation offsets (the Spark fast path — no per-span Python dicts,
+  no pandas→Arrow conversion).
 """
 
 from __future__ import annotations
@@ -28,7 +34,7 @@ class TurnOutput:
     text: str                      # plain-text render (merge_text(...).strip())
     page: Optional[dict] = None    # dictionary_output page (None for HTML turns)
     tables: list = field(default_factory=list)
-    registrations: list = field(default_factory=list)  # (ord, dest_page, x, y)
+    registrations: list = field(default_factory=list)  # (ord, gid, dest_page, x, y)
     n_chars: int = 0
     n_spans: int = 0
     n_blocks: int = 0
@@ -36,8 +42,26 @@ class TurnOutput:
     error: Optional[str] = None
 
 
-def process_batch(texts: list, roles: list, turn_idxs: list,
-                  cfg: ExtractConfig = ExtractConfig()) -> list[TurnOutput]:
+@dataclass
+class RoutedBatch:
+    """Everything downstream assembly needs, independent of output shape."""
+
+    n: int
+    outputs: list                       # TurnOutput for html/error rows, None for doc rows
+    doc_pos: list                       # batch row index per doc turn (local order)
+    decoded: list                       # DecodedTurn per doc turn
+    page_ids: list                      # turn_idx per doc turn
+    seg: Optional[Segmentation]
+    plains: list                        # plain text per doc turn
+    splits_by_local: dict               # local turn -> {global span idx: [override]}
+    tables_by_local: dict               # local turn -> list of tables
+    regs_by_local: dict                 # local turn -> registrations
+    char_counts: Optional[np.ndarray]
+    span_counts: Optional[np.ndarray]
+
+
+def route_batch(texts: list, roles: list, turn_idxs: list,
+                cfg: ExtractConfig = ExtractConfig()) -> RoutedBatch:
     n = len(texts)
     outputs: list[Optional[TurnOutput]] = [None] * n
 
@@ -62,53 +86,71 @@ def process_batch(texts: list, roles: list, turn_idxs: list,
             doc_pos.append(i)
             decoded.append(dt)
 
-    if decoded:
-        seg = segment_batch(
-            decoded,
-            superscript_height_threshold=cfg.superscript_height_threshold,
-            line_distance_threshold=cfg.line_distance_threshold,
-            tolerance_factor=cfg.block_tolerance_factor,
+    if not decoded:
+        return RoutedBatch(n, outputs, doc_pos, decoded, [], None, [], {}, {},
+                           {}, None, None)
+
+    seg = segment_batch(
+        decoded,
+        superscript_height_threshold=cfg.superscript_height_threshold,
+        line_distance_threshold=cfg.line_distance_threshold,
+        tolerance_factor=cfg.block_tolerance_factor,
+    )
+    plains = plain_text_batch(seg, cfg.sort, cfg.hyphens)
+    want_extras = cfg.emit_struct or cfg.emit_tables
+    span_start_mask = _span_start_mask(seg) if want_extras else None
+    n_local = len(decoded)
+    char_counts = np.bincount(seg.chars.turn_of, minlength=n_local)
+    span_counts = np.bincount(seg.spans.turn, minlength=n_local)
+    page_ids = [int(turn_idxs[i]) for i in doc_pos]
+
+    splits_by_local: dict = {}
+    regs_by_local: dict = {}
+    tables_by_local: dict = {}
+    for local, i in enumerate(doc_pos):
+        dt = decoded[local]
+        page_id = page_ids[local]
+        if want_extras and not cfg.disable_links and dt.links:
+            res = merge_turn_links(seg, local, page_id, dt.links)
+            if res is not None:
+                if res.span_splits:
+                    splits_by_local[local] = res.span_splits
+                    for ovs in res.span_splits.values():
+                        for ov in ovs:
+                            span_start_mask[ov["start"]] = True
+                if res.registrations:
+                    regs_by_local[local] = res.registrations
+        if cfg.emit_tables and dt.tables and dt.img_size:
+            tables_by_local[local] = table_cells_turn(
+                seg, local, dt.tables, dt.img_size, span_start_mask,
+                table_thresh=cfg.table_thresh, space_thresh=cfg.space_thresh)
+
+    return RoutedBatch(n, outputs, doc_pos, decoded, page_ids, seg, plains,
+                       splits_by_local, tables_by_local, regs_by_local,
+                       char_counts, span_counts)
+
+
+def process_batch(texts: list, roles: list, turn_idxs: list,
+                  cfg: ExtractConfig = ExtractConfig()) -> list[TurnOutput]:
+    rb = route_batch(texts, roles, turn_idxs, cfg)
+    seg = rb.seg
+    for local, i in enumerate(rb.doc_pos):
+        page = None
+        if cfg.emit_struct:
+            page = struct_page(seg, local, rb.page_ids[local],
+                               keep_chars=cfg.keep_chars, sort=cfg.sort,
+                               span_splits=rb.splits_by_local.get(local))
+        blo, bhi = int(seg.turn_block_lo[local]), int(seg.turn_block_hi[local])
+        rb.outputs[i] = TurnOutput(
+            text=rb.plains[local],
+            page=page,
+            tables=rb.tables_by_local.get(local, []),
+            registrations=rb.regs_by_local.get(local, []),
+            n_chars=int(rb.char_counts[local]),
+            n_spans=int(rb.span_counts[local]),
+            n_blocks=bhi - blo,
         )
-        plains = plain_text_batch(seg, cfg.sort, cfg.hyphens)
-        want_extras = cfg.emit_struct or cfg.emit_tables
-        span_start_mask = _span_start_mask(seg) if want_extras else None
-        n_local = len(decoded)
-        char_counts = np.bincount(seg.chars.turn_of, minlength=n_local)
-        span_counts = np.bincount(seg.spans.turn, minlength=n_local)
-        for local, i in enumerate(doc_pos):
-            dt = decoded[local]
-            page_id = int(turn_idxs[i])
-            splits = None
-            registrations: list = []
-            if want_extras and not cfg.disable_links and dt.links:
-                res = merge_turn_links(seg, local, page_id, dt.links)
-                if res is not None:
-                    splits = res.span_splits or None
-                    registrations = res.registrations
-                    if splits:
-                        for ovs in splits.values():
-                            for ov in ovs:
-                                span_start_mask[ov["start"]] = True
-            page = None
-            if cfg.emit_struct:
-                page = struct_page(seg, local, page_id, keep_chars=cfg.keep_chars,
-                                   sort=cfg.sort, span_splits=splits)
-            tables = []
-            if cfg.emit_tables and dt.tables and dt.img_size:
-                tables = table_cells_turn(
-                    seg, local, dt.tables, dt.img_size, span_start_mask,
-                    table_thresh=cfg.table_thresh, space_thresh=cfg.space_thresh)
-            blo, bhi = int(seg.turn_block_lo[local]), int(seg.turn_block_hi[local])
-            outputs[i] = TurnOutput(
-                text=plains[local],
-                page=page,
-                tables=tables,
-                registrations=registrations,
-                n_chars=int(char_counts[local]),
-                n_spans=int(span_counts[local]),
-                n_blocks=bhi - blo,
-            )
-    return outputs  # type: ignore[return-value]
+    return rb.outputs  # type: ignore[return-value]
 
 
 def _span_start_mask(seg: Segmentation) -> np.ndarray:

@@ -34,6 +34,21 @@ from pdftext_spark.core.api import process_batch
 from pdftext_spark.operators.schema import EXTRACTED
 
 
+def _arrow_kernel(cfg: ExtractConfig, target_schema):
+    """mapInArrow fast path: RecordBatch in → RecordBatch out, nested
+    arrays built straight from segmentation offsets (core/arrow_out.py)."""
+    def run(batches):
+        from pdftext_spark.core.api import route_batch
+        from pdftext_spark.core.arrow_out import assemble_record_batch
+        for batch in batches:
+            def col(name):
+                return batch.column(batch.schema.get_field_index(name))
+            rb = route_batch(col("text").to_pylist(), col("role").to_pylist(),
+                             col("turn_idx").to_pylist(), cfg)
+            yield assemble_record_batch(batch, rb, cfg, target_schema)
+    return run
+
+
 def _kernel(cfg: ExtractConfig):
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -77,7 +92,13 @@ def extract(transcripts: DataFrame, cfg: ExtractConfig = ExtractConfig(),
     n_input = transcripts.rdd.getNumPartitions()
     salted = (transcripts if n_input >= n_parts
               else transcripts.repartition(n_parts, "conv_id", "turn_idx"))
-    out = salted.mapInPandas(_kernel(cfg), schema=EXTRACTED)
+    if cfg.keep_chars:
+        # char-level output keeps the dict/pandas path (rarely used)
+        out = salted.mapInPandas(_kernel(cfg), schema=EXTRACTED)
+    else:
+        from pyspark.sql.pandas.types import to_arrow_schema
+        target = to_arrow_schema(EXTRACTED)
+        out = salted.mapInArrow(_arrow_kernel(cfg, target), schema=EXTRACTED)
     if resolve_links and not cfg.disable_links:
         from pdftext_spark.operators.refs import resolve_refs
         out = resolve_refs(out)

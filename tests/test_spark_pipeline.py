@@ -11,6 +11,7 @@ from tests.test_core_parity import deep_eq
 
 
 def _spark_pages(rows):
+    rows = list(rows)
     out = {}
     for r in rows:
         out[(r["conv_id"], r["turn_idx"])] = r
@@ -89,6 +90,30 @@ def test_spark_html_turns(fixture_rows, extracted_rows):
         assert got[key]["is_html"] is True
         assert got[key]["text"] == main
         assert got[key]["page"] is None
+
+
+def test_arrow_path_struct_parity(spark, transcripts, fixture_rows):
+    """The mapInArrow fast path (keep_chars=False) must match the oracle
+    exactly, including link urls, refs, sort-mode block order, and the
+    chars column being null."""
+    for sort in (False, True):
+        df = extract(transcripts, ExtractConfig(sort=sort))
+        got = _spark_pages(r.asDict(recursive=True) for r in df.collect())
+        checked = 0
+        for cid in fixture_rows["convs"]:
+            exp = _oracle_for_conv(fixture_rows, cid, keep_chars=False, sort=sort)
+            for tid, page in exp.items():
+                g = got[(cid, tid)]
+                assert g["error"] is None
+                gp = g["page"]
+                for blk in gp["blocks"]:
+                    for ln in blk["lines"]:
+                        for sp in ln["spans"]:
+                            assert sp.pop("chars") is None
+                r = deep_eq(gp, page)
+                assert r is None, f"sort={sort} {cid}/{tid}: {r}"
+                checked += 1
+        assert checked > 50
 
 
 def test_turn_range_filter(spark, transcripts):
