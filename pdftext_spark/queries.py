@@ -399,11 +399,15 @@ def sql_dedup_exact(sf_dir):
 
 
 def _shingle_df(spark, sf_dir):
+    # persisted: the jaccard/minhash pipelines consume it several times
+    # (signatures, candidate verify, per-doc counts); at 100 TB this is a
+    # materialized intermediate table instead
     return (_docs(spark, sf_dir)
             .withColumn("toks", F.expr(_TOKS_SPARK))
             .withColumn("sh", F.expr(_SHINGLES_SPARK))
             .select("doc_id", F.explode("sh").alias("shingle"))
-            .distinct())
+            .distinct()
+            .persist())
 
 
 _SHINGLE_CTE = (

@@ -68,9 +68,27 @@ def run_incremental(spark: SparkSession, input_path: str, output_dir: str,
     df = spark.read.parquet(input_path).withColumn(
         "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(buckets)).cast("int"))
     part = df.where(F.col("bucket").isin(todo))
-    extracted = extract(part.drop("bucket"), cfg).withColumn(
+
+    # Phase 1: kernel pass, link urls left as placeholders — written straight
+    # to storage so nothing needs to stay pinned in executor memory.
+    staged = extract(part.drop("bucket"), cfg, resolve_links=False).withColumn(
         "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(buckets)).cast("int"))
-    (extracted.write.mode("overwrite").partitionBy("bucket")
+    staging = os.path.join(output_dir, "staging")
+    staged.write.mode("overwrite").partitionBy("bucket").parquet(staging)
+
+    # Phase 2: X1 ref resolution over the READ-BACK staged buckets (the
+    # 100 TB shape: two passes over the table, zero .persist()). Bucketing
+    # is by conv_id, so each conversation is complete within this run's
+    # buckets and resolution is correct per increment.
+    staged_back = spark.read.parquet(staging).where(F.col("bucket").isin(todo))
+    if cfg.disable_links:
+        resolved = staged_back
+    else:
+        from pdftext_spark.operators.refs import resolve_refs
+        resolved = resolve_refs(staged_back.drop("bucket"), persist=False) \
+            .withColumn("bucket",
+                        F.pmod(F.xxhash64("conv_id"), F.lit(buckets)).cast("int"))
+    (resolved.write.mode("overwrite").partitionBy("bucket")
      .parquet(os.path.join(output_dir, "data")))
 
     manifest["completed_buckets"] = sorted(done | set(todo))

@@ -35,8 +35,18 @@ def test_resume_equals_clean_run(spark, transcripts, fixture_dir, tmp_path):
 
     m2 = run_incremental(spark, inp, out_dir, cfg)
     assert len(m2["completed_buckets"]) == 8
-    final = _collect_sorted(read_output(spark, out_dir))
+    final_df = read_output(spark, out_dir)
+    final = _collect_sorted(final_df)
     assert final == expected
+
+    # ref resolution happened in the read-back phase: final output has
+    # resolved urls and no placeholders
+    pages = [r["page"] for r in final_df.collect() if r["page"]]
+    urls = [s["url"] for p in pages for b in p["blocks"]
+            for l in b["lines"] for s in l["spans"] if s["url"]]
+    assert not any(u.startswith("#goto|") for u in urls)
+    assert any(u.startswith("#page-") for u in urls)
+    assert any(p["refs"] for p in pages)
 
     # idempotence: another run is a no-op
     m3 = run_incremental(spark, inp, out_dir, cfg)
