@@ -776,6 +776,41 @@ def sql_rel_top_customers(sf_dir):
         "SELECT rank, o_custkey custkey, total_cents, n_orders FROM j WHERE rank <= 10")
 
 
+def q_events_sessionize(spark, sf_dir):
+    """Gap-based sessionization over the events stream table (30-min
+    inactivity closes a session) — lag + running-sum window composition,
+    the batch form of a stateful streaming operator."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    # exact tz-free epoch micros for TIMESTAMP_NTZ (parquet naive timestamps)
+    ev = ev.withColumn("us", F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gap = F.col("us") - F.lag("us").over(w)
+    ev = ev.withColumn("new_s", F.when(gap.isNull() | (gap > 1800 * 1000000), 1)
+                       .otherwise(0))
+    ev = ev.withColumn("session_idx",
+                       F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1)
+    return (ev.groupBy("user_id", "session_idx")
+            .agg(F.count("*").alias("n_events"),
+                 (F.max("us") - F.min("us")).alias("duration_us"),
+                 F.countDistinct("event_type").alias("n_types")))
+
+
+def sql_events_sessionize(sf_dir):
+    return (
+        "WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) us FROM events), "
+        "g AS (SELECT user_id, event_id, event_type, us, "
+        "CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000 "
+        "THEN 1 ELSE 0 END new_s "
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)), "
+        "s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id "
+        "ROWS UNBOUNDED PRECEDING) - 1 session_idx FROM g) "
+        "SELECT user_id, session_idx, count(*) n_events, "
+        "(max(us) - min(us))::BIGINT duration_us, "
+        "count(DISTINCT event_type) n_types "
+        "FROM s GROUP BY user_id, session_idx")
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -808,7 +843,8 @@ QUERIES = {
     # multimodal
     "mm_metadata": (q_mm_metadata, sql_mm_metadata),
     "mm_frame_sample": (q_mm_frame_sample, sql_mm_frame_sample),
-    # relational
+    # relational / stream analytics
     "rel_pricing_summary": (q_rel_pricing_summary, sql_rel_pricing_summary),
     "rel_top_customers": (q_rel_top_customers, sql_rel_top_customers),
+    "events_sessionize": (q_events_sessionize, sql_events_sessionize),
 }

@@ -1,0 +1,91 @@
+"""Reference-shaped entry points + CLI (SURVEY.md §3 surface parity)."""
+
+import json
+import subprocess
+import sys
+
+from pdftext_spark.api_compat import (
+    dictionary_output,
+    paginated_plain_text_output,
+    parse_range_str,
+    plain_text_output,
+    table_output,
+)
+from tests.oracle_naive import oracle_dictionary, oracle_plain, oracle_tables
+
+
+def _conv_payloads(fixture_rows):
+    for cid, turns in fixture_rows["convs"].items():
+        doc = [t for t in turns if t["role"] != "tool"]
+        if len(doc) >= 3:
+            return [t["text"] for t in doc]
+    raise AssertionError("no conversation found")
+
+
+def test_paginated_output(fixture_rows):
+    payloads = _conv_payloads(fixture_rows)
+    text = paginated_plain_text_output(payloads)
+    assert len(text) == len(payloads)  # analog tests/test_extraction.py:5-7
+    assert text == oracle_plain(payloads)
+
+
+def test_plain_text_output(fixture_rows):
+    payloads = _conv_payloads(fixture_rows)
+    assert plain_text_output(payloads) == "\n".join(oracle_plain(payloads))
+
+
+def test_page_range(fixture_rows):
+    payloads = _conv_payloads(fixture_rows)
+    pages = [0, 1]
+    text = paginated_plain_text_output(payloads, page_range=pages)
+    assert len(text) == len(pages)  # analog tests/test_extraction.py:14-17
+    assert text == oracle_plain([payloads[i] for i in pages], page_ids=pages)
+
+
+def test_dictionary_output_matches_oracle(fixture_rows):
+    payloads = _conv_payloads(fixture_rows)
+    pages = dictionary_output(payloads)
+    exp = oracle_dictionary(payloads)
+    assert len(pages) == len(exp)
+    assert pages[0]["blocks"][0]["lines"][0]["spans"][0]["text"] == \
+        exp[0]["blocks"][0]["lines"][0]["spans"][0]["text"]
+    from tests.test_core_parity import deep_eq
+    assert deep_eq(pages, exp) is None
+
+
+def test_table_output(fixture_rows):
+    for cid, turns in fixture_rows["convs"].items():
+        doc = [t for t in turns if t["role"] != "tool"]
+        payloads = [t["text"] for t in doc]
+        if not any('"tables"' in p for p in payloads):
+            continue
+        got = table_output(payloads)
+        exp = oracle_tables(payloads)
+        from tests.test_core_parity import deep_eq
+        assert deep_eq(got, exp) is None
+        return
+    raise AssertionError("no table conversation found")
+
+
+def test_parse_range_str():
+    assert parse_range_str("0,5-10,12") == [0, 5, 6, 7, 8, 9, 10, 12]
+    assert parse_range_str("3,1,1") == [1, 3]
+
+
+def test_cli_smoke(fixture_rows, tmp_path):
+    payloads = _conv_payloads(fixture_rows)
+    src = tmp_path / "conv.jsonl"
+    src.write_text("\n".join(
+        json.dumps({"turn_idx": i, "text": p}) for i, p in enumerate(payloads)))
+    out = subprocess.run(
+        [sys.executable, "scripts/extract_cli.py", str(src), "--pages", "0-1"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert out.returncode == 0, out.stderr[-500:]
+    expected = "\n".join(oracle_plain(payloads[:2]))
+    assert out.stdout.rstrip("\n") == expected.rstrip("\n")
+    # JSON mode round-trips
+    out2 = subprocess.run(
+        [sys.executable, "scripts/extract_cli.py", str(src), "--json"],
+        capture_output=True, text=True, cwd="/root/repo")
+    pages = json.loads(out2.stdout)
+    assert len(pages) == len(payloads)
