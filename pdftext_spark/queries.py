@@ -776,6 +776,34 @@ def sql_rel_top_customers(sf_dir):
         "SELECT rank, o_custkey custkey, total_cents, n_orders FROM j WHERE rank <= 10")
 
 
+def q_rel_region_volume(spark, sf_dir):
+    """Multi-way star join (lineitem ⨝ supplier ⨝ nation ⨝ region) with
+    broadcast dimensions — exact integer cents."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    su = spark.read.parquet(os.path.join(sf_dir, "supplier.parquet"))
+    na = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    re_ = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
+    dims = (su.join(F.broadcast(na), su["s_nationkey"] == na["n_nationkey"])
+            .join(F.broadcast(re_), na["n_regionkey"] == re_["r_regionkey"])
+            .select("s_suppkey", "r_name"))
+    return (li.join(F.broadcast(dims), li["l_suppkey"] == dims["s_suppkey"])
+            .groupBy("r_name")
+            .agg(F.count("*").alias("n_items"),
+                 F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+                 .alias("volume_cents"))
+            .orderBy("r_name"))
+
+
+def sql_rel_region_volume(sf_dir):
+    return (
+        "SELECT r_name, count(*) n_items, "
+        "sum(round(l_extendedprice * 100)::BIGINT) volume_cents "
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "GROUP BY r_name ORDER BY r_name")
+
+
 def q_events_sessionize(spark, sf_dir):
     """Gap-based sessionization over the events stream table (30-min
     inactivity closes a session) — lag + running-sum window composition,
@@ -846,5 +874,6 @@ QUERIES = {
     # relational / stream analytics
     "rel_pricing_summary": (q_rel_pricing_summary, sql_rel_pricing_summary),
     "rel_top_customers": (q_rel_top_customers, sql_rel_top_customers),
+    "rel_region_volume": (q_rel_region_volume, sql_rel_region_volume),
     "events_sessionize": (q_events_sessionize, sql_events_sessionize),
 }
