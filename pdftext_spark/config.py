@@ -37,6 +37,7 @@ class ExtractConfig:
     # analog of Catalyst column pruning, which cannot see into the UDF).
     emit_struct: bool = True
     emit_tables: bool = True
+    emit_plain: bool = True
 
     # --- scale knobs ---
     # Number of partitions for the salted repartition of the heavy scan.

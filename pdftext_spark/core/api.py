@@ -96,9 +96,9 @@ def route_batch(texts: list, roles: list, turn_idxs: list,
         line_distance_threshold=cfg.line_distance_threshold,
         tolerance_factor=cfg.block_tolerance_factor,
     )
-    plains = plain_text_batch(seg, cfg.sort, cfg.hyphens)
-    want_extras = cfg.emit_struct or cfg.emit_tables
-    span_start_mask = _span_start_mask(seg) if want_extras else None
+    plains = plain_text_batch(seg, cfg.sort, cfg.hyphens) if cfg.emit_plain \
+        else [""] * len(decoded)
+    span_start_mask = _span_start_mask(seg) if cfg.emit_tables else None
     n_local = len(decoded)
     char_counts = np.bincount(seg.chars.turn_of, minlength=n_local)
     span_counts = np.bincount(seg.spans.turn, minlength=n_local)
@@ -110,14 +110,15 @@ def route_batch(texts: list, roles: list, turn_idxs: list,
     for local, i in enumerate(doc_pos):
         dt = decoded[local]
         page_id = page_ids[local]
-        if want_extras and not cfg.disable_links and dt.links:
+        if not cfg.disable_links and dt.links:
             res = merge_turn_links(seg, local, page_id, dt.links)
             if res is not None:
                 if res.span_splits:
                     splits_by_local[local] = res.span_splits
-                    for ovs in res.span_splits.values():
-                        for ov in ovs:
-                            span_start_mask[ov["start"]] = True
+                    if span_start_mask is not None:
+                        for ovs in res.span_splits.values():
+                            for ov in ovs:
+                                span_start_mask[ov["start"]] = True
                 if res.registrations:
                     regs_by_local[local] = res.registrations
         if cfg.emit_tables and dt.tables and dt.img_size:

@@ -49,6 +49,52 @@ def _arrow_kernel(cfg: ExtractConfig, target_schema):
     return run
 
 
+def link_registrations(transcripts: DataFrame, cfg: ExtractConfig) -> DataFrame:
+    """Light pre-pass producing only (conv_id, turn_idx, link_dests) for
+    link-bearing turns. The `'"links"'` substring filter is pushed into the
+    parquet scan and selects a superset of link-bearing payloads (~20% of
+    rows here), so the X1 registry never requires persisting — or a second
+    full pass over — the heavy extraction output."""
+    import dataclasses
+
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    light_cfg = dataclasses.replace(cfg, emit_struct=False, emit_tables=False,
+                                    emit_plain=False)
+    schema = T.StructType([
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("link_dests", EXTRACTED["link_dests"].dataType),
+    ])
+    from pyspark.sql.pandas.types import to_arrow_schema
+    target = to_arrow_schema(schema)
+
+    def run(batches):
+        from pdftext_spark.core.api import route_batch
+        from pdftext_spark.core.arrow_out import LINK_DEST_PA
+        for batch in batches:
+            def col(name):
+                return batch.column(batch.schema.get_field_index(name))
+            rb = route_batch(col("text").to_pylist(), col("role").to_pylist(),
+                             col("turn_idx").to_pylist(), light_cfg)
+            dests = [[] for _ in range(rb.n)]
+            for local, i in enumerate(rb.doc_pos):
+                if local in rb.regs_by_local:
+                    dests[i] = [
+                        {"ord": r[0], "gid": r[1], "dest_page": r[2],
+                         "x": r[3], "y": r[4]}
+                        for r in rb.regs_by_local[local]]
+            yield pa.RecordBatch.from_arrays(
+                [col("conv_id"), col("turn_idx"),
+                 pa.array(dests, type=LINK_DEST_PA)],
+                schema=target)
+
+    cand = transcripts.where(F.col("text").contains('"links"'))
+    return cand.mapInArrow(run, schema=schema)
+
+
 def _kernel(cfg: ExtractConfig):
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -101,7 +147,8 @@ def extract(transcripts: DataFrame, cfg: ExtractConfig = ExtractConfig(),
         out = salted.mapInArrow(_arrow_kernel(cfg, target), schema=EXTRACTED)
     if resolve_links and not cfg.disable_links:
         from pdftext_spark.operators.refs import resolve_refs
-        out = resolve_refs(out)
+        regs = link_registrations(transcripts, cfg)
+        out = resolve_refs(out, registrations=regs)
     return out
 
 

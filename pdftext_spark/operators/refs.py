@@ -70,15 +70,24 @@ def _span_with_url(s: Column, url_map: Column) -> Column:
     )
 
 
-def resolve_refs(extracted: DataFrame, persist: bool = True) -> DataFrame:
-    # The registry/targets aggregations and the final join each consume
-    # `extracted`; without persistence Catalyst would re-run the kernel per
-    # consumer. Locally we persist; the production job instead materializes
-    # the kernel output to its Iceberg table and resolves refs as a second
-    # pass over that table (streaming/incremental.py).
-    if persist:
-        extracted = extracted.persist()
-    registry = build_registry(extracted)
+def resolve_refs(extracted: DataFrame, persist: bool = True,
+                 registrations: DataFrame | None = None) -> DataFrame:
+    # The registry needs the link_dests side data. Three supply modes:
+    # 1. `registrations` given (operators/extract.py's light pre-pass over
+    #    only link-bearing turns) — the heavy output is consumed exactly
+    #    once, nothing persists;
+    # 2. persist=True — registry aggregated from `extracted` itself, which
+    #    is persisted so the kernel doesn't re-run per consumer (tests,
+    #    ad-hoc use);
+    # 3. persist=False — caller already materialized `extracted` to storage
+    #    (streaming/incremental.py's staged read-back).
+    if registrations is not None:
+        reg_source = registrations
+    else:
+        if persist:
+            extracted = extracted.persist()
+        reg_source = extracted
+    registry = build_registry(reg_source)
 
     # per-turn url maps: placeholder '#goto|turn|gid' -> '#page-dest-idx'
     url_maps = (registry
@@ -93,7 +102,7 @@ def resolve_refs(extracted: DataFrame, persist: bool = True) -> DataFrame:
                 ))).alias("url_map")))
 
     # per-target-turn refs arrays (refs POINTING TO that turn)
-    targets = (_firsts(_registrations(extracted))
+    targets = (_firsts(_registrations(reg_source))
                .groupBy("conv_id", F.col("dest_page").alias("t_turn"))
                .agg(F.sort_array(F.collect_list(F.struct("idx", "x", "y")))
                     .alias("page_refs")))
