@@ -81,6 +81,10 @@ def table_cells_turn(seg: Segmentation, turn: int, tables: list, img_size: list,
     dt = cb.turns[turn]
     rotation = dt.rotation
     page_w, page_h = dt.page_width, dt.page_height
+    if rotation in (90, 270):
+        # table_output reads the dictionary page's post-rotation dims
+        # (extraction.py:128-129 swaps width/height before tables.py uses them)
+        page_w, page_h = page_h, page_w
     iw, ih = float(img_size[0]), float(img_size[1])
 
     space_thresh = max(space_thresh,

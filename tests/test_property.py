@@ -108,6 +108,78 @@ def test_plain_and_struct_parity(texts):
         assert r is None, r
 
 
+_table_payload_st = st.builds(
+    lambda chars, rotation: _table_payload(chars, rotation),
+    st.lists(_char_st, min_size=1, max_size=30),
+    st.sampled_from([0, 90, 180, 270]),
+)
+
+
+def _table_payload(chars, rotation):
+    obj = json.loads(_payload(chars, rotation, []))
+    # one table covering the whole (rotated) page in image coords at 1.5x —
+    # every line passes the containment filter, so the rotation-specific
+    # cell-adjacency branches (tables.py:28-56) all get exercised
+    pw, ph = 200.0, 300.0
+    if rotation in (90, 270):
+        pw, ph = ph, pw
+    obj["tables"] = [[-10.0 * 1.5, -10.0 * 1.5, (pw + 10) * 1.5, (ph + 10) * 1.5]]
+    obj["img_size"] = [pw * 1.5, ph * 1.5]
+    return json.dumps(obj, ensure_ascii=False)
+
+
+@given(texts=st.lists(_table_payload_st, min_size=1, max_size=3))
+@settings(**SETTINGS)
+def test_table_clustering_parity(texts):
+    from tests.oracle_naive import oracle_tables
+    ids = list(range(len(texts)))
+    outs = process_batch(texts, ["user"] * len(texts), ids,
+                         ExtractConfig(keep_chars=True))
+    exp = oracle_tables(texts, page_ids=ids)
+    for o, e in zip(outs, exp):
+        r = deep_eq(o.tables, e)
+        assert r is None, r
+
+
+def test_table_dynamic_gap_thresh_parity():
+    """>100 same-span char pairs flips the A5 statistic from the default
+    0.01 to a data-driven p80 (tables.py:8-25); check against the oracle
+    at every rotation."""
+    from tests.oracle_naive import oracle_tables
+    texts = []
+    for rotation in (0, 90, 180, 270):
+        bbox, fids = [], []
+        x = 0.0
+        for i in range(140):
+            w = 1.0
+            bbox.extend([x, 10.0, x + w, 18.0])
+            fids.append(0)
+            # mostly tight gaps, every 12th char a wide one -> p80 small,
+            # wide gaps exceed it and split cells
+            x += w + (14.0 if i % 12 == 11 else 0.2)
+        obj = {
+            "kind": "chars", "page_bbox": [0.0, 0.0, max(x, 200.0), 300.0],
+            "rotation": rotation, "text": "ab" * 70, "bbox": bbox,
+            "charrot": 0.0, "fonts": _FONTS, "font_id": fids,
+        }
+        pw, ph = max(x, 200.0), 300.0
+        if rotation in (90, 270):
+            pw, ph = ph, pw
+        obj["tables"] = [[-10.0, -10.0, (pw + 10) * 1.5, (ph + 10) * 1.5]]
+        obj["img_size"] = [pw * 1.5, ph * 1.5]
+        texts.append(json.dumps(obj))
+    ids = list(range(len(texts)))
+    outs = process_batch(texts, ["user"] * len(texts), ids,
+                         ExtractConfig(keep_chars=True))
+    exp = oracle_tables(texts, page_ids=ids)
+    n_cells = 0
+    for o, e in zip(outs, exp):
+        r = deep_eq(o.tables, e)
+        assert r is None, r
+        n_cells += sum(len(t) for t in o.tables)
+    assert n_cells > 4  # the split actually happened somewhere
+
+
 @given(s=st.text(max_size=200))
 @settings(**SETTINGS)
 def test_postprocess_property(s):
