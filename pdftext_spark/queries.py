@@ -123,6 +123,35 @@ def sql_extract_plain(sf_dir):
     return f"SELECT conv_id, turn_idx, text FROM read_parquet('{p}')"
 
 
+def _plain_mode_df(spark, sf_dir, **cfg_kwargs):
+    from pdftext_spark.operators.extract import plain_text
+    tier = tier_for_sf_dir(sf_dir)
+    return plain_text(spark.read.parquet(transcripts_path(tier)),
+                      ExtractConfig(**cfg_kwargs))
+
+
+def q_extract_plain_sorted(spark, sf_dir):
+    """plain_text_output(sort=True): O1 reading-order block sort
+    (reference postprocessing.py:76-92) applied inside the F7 render."""
+    return _plain_mode_df(spark, sf_dir, sort=True)
+
+
+def sql_extract_plain_sorted(sf_dir):
+    p = _fixture_path(sf_dir, "expected_plain_sorted.parquet")
+    return f"SELECT conv_id, turn_idx, text FROM read_parquet('{p}')"
+
+
+def q_extract_plain_hyphens(spark, sf_dir):
+    """plain_text_output(hyphens=True): keep hyphens — F5 `\\x02`→`-\\n`
+    instead of the F6 rejoin scan (reference postprocessing.py:31-53)."""
+    return _plain_mode_df(spark, sf_dir, hyphens=True)
+
+
+def sql_extract_plain_hyphens(sf_dir):
+    p = _fixture_path(sf_dir, "expected_plain_hyphens.parquet")
+    return f"SELECT conv_id, turn_idx, text FROM read_parquet('{p}')"
+
+
 def _flat_spans(spark, sf_dir):
     df = _extracted_df(spark, sf_dir).where(F.col("page").isNotNull())
     b = df.select("conv_id", "turn_idx",
@@ -759,10 +788,14 @@ def q_rel_top_customers(spark, sf_dir):
     agg = (o.groupBy("o_custkey")
            .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("total_cents"),
                 F.count("*").alias("n_orders")))
-    joined = agg.join(F.broadcast(c), agg["o_custkey"] == c["c_custkey"])
+    # broadcast LEFT SEMI keeps the agg side map-side; the global top-10 is
+    # TakeOrderedAndProject (per-partition partial top-k, no full sort /
+    # single-partition window); rank is assigned on the 10 survivors only
+    joined = agg.join(F.broadcast(c.select("c_custkey")),
+                      agg["o_custkey"] == F.col("c_custkey"), "left_semi")
+    top = joined.orderBy(F.desc("total_cents"), F.asc("o_custkey")).limit(10)
     w = Window.orderBy(F.desc("total_cents"), F.asc("o_custkey"))
-    return (joined.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= 10)
+    return (top.withColumn("rank", F.row_number().over(w))
             .select("rank", F.col("o_custkey").alias("custkey"),
                     "total_cents", "n_orders"))
 
@@ -846,6 +879,8 @@ def sql_events_sessionize(sf_dir):
 QUERIES = {
     # extraction (SURVEY.md §2 operator pipeline, oracle = naive-oracle parquet)
     "extract_plain": (q_extract_plain, sql_extract_plain),
+    "extract_plain_sorted": (q_extract_plain_sorted, sql_extract_plain_sorted),
+    "extract_plain_hyphens": (q_extract_plain_hyphens, sql_extract_plain_hyphens),
     "extract_spans": (q_extract_spans, sql_extract_spans),
     "extract_blocks": (q_extract_blocks, sql_extract_blocks),
     "extract_refs": (q_extract_refs, sql_extract_refs),

@@ -31,7 +31,8 @@ def ensure_expected_outputs(tier: str) -> str:
     tables next to the inputs. Idempotent (marker file)."""
     out = ensure_fixture_dir(tier)
     marker = os.path.join(out, "_EXPECTED_COMPLETE")
-    if os.path.exists(marker):
+    stamp = "v2"  # bump when the set of expected tables changes
+    if os.path.exists(marker) and open(marker).read() == stamp:
         return out
 
     from pdftext_spark.core.html_main import extract_main_text
@@ -44,6 +45,7 @@ def ensure_expected_outputs(tier: str) -> str:
 
     plain_rows, span_rows, block_rows, ref_rows, meta_rows, table_rows = \
         [], [], [], [], [], []
+    sorted_rows, hyph_rows = [], []
     for cid in sorted(convs):
         turns = sorted(convs[cid], key=lambda r: r["turn_idx"])
         doc = [t for t in turns if t["role"] != "tool"]
@@ -51,14 +53,22 @@ def ensure_expected_outputs(tier: str) -> str:
         ids = [t["turn_idx"] for t in doc]
         pages = oracle_dictionary(texts, page_ids=ids)
         plains = oracle_plain(texts, page_ids=ids)
+        plains_sorted = oracle_plain(texts, sort=True, page_ids=ids)
+        plains_hyph = oracle_plain(texts, hyphens=True, page_ids=ids)
         tables = oracle_tables(texts, page_ids=ids)
         for t in turns:
             if t["role"] == "tool":
-                plain_rows.append({"conv_id": cid, "turn_idx": t["turn_idx"],
-                                   "text": extract_main_text(t["text"])})
-        for tid, page, plain, tabs in zip(ids, pages, plains, tables):
+                row = {"conv_id": cid, "turn_idx": t["turn_idx"],
+                       "text": extract_main_text(t["text"])}
+                plain_rows.append(row)
+                sorted_rows.append(dict(row))   # sort/hyphens are no-ops
+                hyph_rows.append(dict(row))     # for HTML tool turns
+        for tid, page, plain, psort, phyph, tabs in zip(
+                ids, pages, plains, plains_sorted, plains_hyph, tables):
             key = {"conv_id": cid, "turn_idx": tid}
             plain_rows.append({**key, "text": plain})
+            sorted_rows.append({**key, "text": psort})
+            hyph_rows.append({**key, "text": phyph})
             meta_rows.append({**key, "width": page["width"], "height": page["height"],
                               "rotation": page["rotation"],
                               "b0": page["bbox"][0], "b1": page["bbox"][1],
@@ -103,11 +113,13 @@ def ensure_expected_outputs(tier: str) -> str:
         pq.write_table(table, os.path.join(out, name))
 
     write("expected_plain.parquet", plain_rows)
+    write("expected_plain_sorted.parquet", sorted_rows)
+    write("expected_plain_hyphens.parquet", hyph_rows)
     write("expected_spans.parquet", span_rows)
     write("expected_blocks.parquet", block_rows)
     write("expected_refs.parquet", ref_rows)
     write("expected_pagemeta.parquet", meta_rows)
     write("expected_tables.parquet", table_rows)
     with open(marker, "w") as f:
-        f.write("ok")
+        f.write(stamp)
     return out
