@@ -507,19 +507,21 @@ def q_dedup_minhash_lsh(spark, sf_dir):
                    & (F.col("a.doc_id") < F.col("b.doc_id")))
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b")).distinct())
-    # verify candidates with exact jaccard
-    n = ds.groupBy("doc_id").agg(F.count("*").alias("n"))
-    common = (ds.alias("x").join(ds.alias("y"),
-                                 (F.col("x.shingle") == F.col("y.shingle"))
-                                 & (F.col("x.doc_id") < F.col("y.doc_id")))
-              .groupBy(F.col("x.doc_id").alias("doc_a"),
-                       F.col("y.doc_id").alias("doc_b"))
-              .agg(F.count("*").alias("common")))
-    verified = (cand.join(common, ["doc_a", "doc_b"])
-                .join(n.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
-                .join(n.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+    # verify ONLY the candidate pairs with exact jaccard — per-doc shingle
+    # sets are bounded by doc length, so this is two equi-joins on doc_id
+    # plus O(|set|) work per candidate. (The all-pairs shingle self-join
+    # lives in dedup_jaccard, which is by definition the exact baseline;
+    # reintroducing it here would defeat the point of LSH at 100 TB.)
+    sets = ds.groupBy("doc_id").agg(F.collect_set("shingle").alias("sh"))
+    verified = (cand
+                .join(sets.select(F.col("doc_id").alias("doc_a"),
+                                  F.col("sh").alias("sha")), "doc_a")
+                .join(sets.select(F.col("doc_id").alias("doc_b"),
+                                  F.col("sh").alias("shb")), "doc_b")
+                .withColumn("common", F.size(F.array_intersect("sha", "shb")))
                 .withColumn("jaccard", F.round(
-                    F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6))
+                    F.col("common")
+                    / (F.size("sha") + F.size("shb") - F.col("common")), 6))
                 .where(F.col("jaccard") >= 0.7)
                 .select("doc_a", "doc_b", "jaccard"))
     return verified
