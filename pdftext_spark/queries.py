@@ -608,6 +608,98 @@ def sql_dedup_embedding(sf_dir):
         f"WHERE round({_DOT_DUCK} / ({_NORM_DUCK.format(v='a')} * {_NORM_DUCK.format(v='b')}), 6) >= 0.45")
 
 
+# --- signed-random-projection LSH (the scale path for dedup_embedding):
+# 4 bands x 8 hyperplanes; hyperplane signs are md5-derived job constants
+# embedded as literals in BOTH engines, and the projection is computed on
+# integer-quantized components (round(x*1000) as bigint) so the bucket
+# assignment is bit-identical across engines regardless of float summation
+# order. Candidates = pairs sharing any band; verify = exact cosine >= 0.45.
+# 8 bands x 4 bits: P(candidate) ≈ 1-(1-(1-θ/π)^4)^8 ≈ 0.8 at cos 0.45,
+# >0.99 for true near-dups — recall stays high while the join key space
+# (16 buckets/band) still spreads uniformly at scale.
+_SRP_BANDS, _SRP_BITS, _SRP_DIM = 8, 4, 64
+
+
+def _srp_signs(p):
+    import hashlib
+    return [1 if int(hashlib.md5(f"srp:{p}:{d}".encode()).hexdigest()[:8], 16) % 2 == 0
+            else -1 for d in range(_SRP_DIM)]
+
+
+def _srp_band_expr_spark(bnd):
+    terms = []
+    for k in range(_SRP_BITS):
+        signs = ", ".join(str(s) for s in _srp_signs(bnd * _SRP_BITS + k))
+        dot = (f"aggregate(zip_with(embedding, array({signs}), "
+               "(x, y) -> cast(round(cast(x as double) * 1000) as bigint) * y), "
+               "cast(0 as bigint), (a, v) -> a + v)")
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << k} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def _srp_band_expr_duck(bnd):
+    terms = []
+    for k in range(_SRP_BITS):
+        signs = ", ".join(str(s) for s in _srp_signs(bnd * _SRP_BITS + k))
+        dot = (f"list_sum(list_transform(range(1, len(embedding) + 1), "
+               f"i -> round(embedding[i]::DOUBLE * 1000)::BIGINT * ([{signs}])[i]))")
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << k} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def q_dedup_embedding_lsh(spark, sf_dir):
+    """Embedding near-dup via SRP-LSH banding: only bucket-co-located
+    pairs are cosine-verified — the O(n) shuffle-on-signature plan that
+    replaces dedup_embedding's all-pairs baseline at 100 TB. (Approximate
+    by design: recall is governed by the band structure; both engines
+    compute the identical candidate set.) Band width is a function of
+    corpus size — bits ≈ log2(n / target_bucket_size) — so a production
+    run at 10^9 vectors would use ~20-24 bits/band; 4 bits is sized to the
+    fixture's 500 vectors (~31/bucket)."""
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    sig = e.select("vec_id", *[
+        F.expr(_srp_band_expr_spark(bnd)).alias(f"bh{bnd}")
+        for bnd in range(_SRP_BANDS)])
+    bands = sig.select("vec_id", F.explode(F.array(*[
+        F.struct(F.lit(bnd).alias("band_idx"),
+                 F.col(f"bh{bnd}").cast("long").alias("band_hash"))
+        for bnd in range(_SRP_BANDS)])).alias("b")) \
+        .select("vec_id", "b.band_idx", "b.band_hash")
+    cand = (bands.alias("x").join(
+                bands.alias("y"),
+                (F.col("x.band_idx") == F.col("y.band_idx"))
+                & (F.col("x.band_hash") == F.col("y.band_hash"))
+                & (F.col("x.vec_id") < F.col("y.vec_id")))
+            .select(F.col("x.vec_id").alias("vec_a"),
+                    F.col("y.vec_id").alias("vec_b")).distinct())
+    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    dot = F.expr("aggregate(zip_with(ea, eb, (x, y) -> cast(x as double) * cast(y as double)), "
+                 "cast(0.0 as double), (acc, v) -> acc + v)")
+    na = F.expr("sqrt(aggregate(ea, cast(0.0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double)))")
+    nb = F.expr("sqrt(aggregate(eb, cast(0.0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double)))")
+    return (cand.join(ea, "vec_a").join(eb, "vec_b")
+            .withColumn("cos", F.round(dot / (na * nb), 6))
+            .where(F.col("cos") >= 0.45)
+            .select("vec_a", "vec_b", "cos"))
+
+
+def sql_dedup_embedding_lsh(sf_dir):
+    band_sel = " UNION ALL ".join(
+        f"SELECT vec_id, {bnd} band_idx, ({_srp_band_expr_duck(bnd)}) band_hash "
+        "FROM embeddings" for bnd in range(_SRP_BANDS))
+    return (
+        f"WITH bands AS ({band_sel}), "
+        "cand AS (SELECT DISTINCT x.vec_id vec_a, y.vec_id vec_b "
+        "FROM bands x JOIN bands y ON x.band_idx = y.band_idx "
+        "AND x.band_hash = y.band_hash AND x.vec_id < y.vec_id) "
+        "SELECT vec_a, vec_b, "
+        f"round({_DOT_DUCK} / ({_NORM_DUCK.format(v='a')} * {_NORM_DUCK.format(v='b')}), 6) cos "
+        "FROM cand JOIN embeddings a ON a.vec_id = vec_a "
+        "JOIN embeddings b ON b.vec_id = vec_b "
+        f"WHERE round({_DOT_DUCK} / ({_NORM_DUCK.format(v='a')} * {_NORM_DUCK.format(v='b')}), 6) >= 0.45")
+
+
 # --------------------------------------------------------------------------
 # 2c. similarity search (embeddings)
 # --------------------------------------------------------------------------
@@ -902,6 +994,7 @@ QUERIES = {
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, sql_dedup_minhash_lsh),
     "dedup_simhash": (q_dedup_simhash, sql_dedup_simhash),
     "dedup_embedding": (q_dedup_embedding, sql_dedup_embedding),
+    "dedup_embedding_lsh": (q_dedup_embedding_lsh, sql_dedup_embedding_lsh),
     # similarity search
     "ann_bruteforce": (q_ann_bruteforce, sql_ann_bruteforce),
     "ann_ivf": (q_ann_ivf, sql_ann_ivf),
