@@ -95,6 +95,7 @@ def route_batch(texts: list, roles: list, turn_idxs: list,
         superscript_height_threshold=cfg.superscript_height_threshold,
         line_distance_threshold=cfg.line_distance_threshold,
         tolerance_factor=cfg.block_tolerance_factor,
+        with_scripts=cfg.emit_struct,
     )
     plains = plain_text_batch(seg, cfg.sort, cfg.hyphens) if cfg.emit_plain \
         else [""] * len(decoded)

@@ -74,8 +74,7 @@ def _build_tree(html: str) -> _Node:
         if m is None:
             break
         pos = m.end()
-        end_tag, start_tag, _attrs, self_close, text = \
-            m.group(1), m.group(2), m.group(3), m.group(4), m.group(5)
+        end_tag, start_tag, _attrs, self_close, text = m.group(1, 2, 3, 4, 5)
         if text is not None:
             if "&" in text:
                 text = unescape(text)

@@ -60,13 +60,26 @@ class DecodedTurn:
     img_size: Optional[list] = None
 
 
+try:  # optional fast path: bit-exact double parsing, ~3x faster tokenizer
+    import orjson as _fastjson
+except ImportError:  # pragma: no cover - env without orjson
+    _fastjson = None
+
+
 def maybe_parse_payload(text: str) -> Optional[dict]:
     if not text or text[0] != "{":
         return None
-    try:
-        obj = json.loads(text)
-    except ValueError:
-        return None
+    obj = None
+    if _fastjson is not None:
+        try:
+            obj = _fastjson.loads(text)
+        except ValueError:
+            obj = None  # stricter than stdlib (NaN, >64-bit ints): retry below
+    if obj is None:
+        try:
+            obj = json.loads(text)
+        except ValueError:
+            return None
     if isinstance(obj, dict) and obj.get("kind") == "chars":
         return obj
     return None

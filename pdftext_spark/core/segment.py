@@ -551,15 +551,22 @@ class Segmentation:
 def segment_batch(decoded: list[DecodedTurn],
                   superscript_height_threshold: float = 0.7,
                   line_distance_threshold: float = 0.1,
-                  tolerance_factor: float = 1.5) -> Segmentation:
-    """Full W1→W6 pipeline over a batch of decoded turns."""
+                  tolerance_factor: float = 1.5,
+                  with_scripts: bool = True) -> Segmentation:
+    """Full W1→W6 pipeline over a batch of decoded turns.
+
+    with_scripts=False skips W6 flag assignment — the flags are pure span
+    metadata (never consulted by text render, blocks, links or tables), so
+    plain-text-only callers save the per-line scan."""
     cb0 = build_char_batch(decoded)
     cb = apply_mask(cb0, word_dedup_mask(cb0)) if len(cb0.cps) else cb0
     sp_starts = span_starts(cb, superscript_height_threshold, line_distance_threshold)
     spans = build_span_table(cb, sp_starts)
     ln_starts = line_starts(cb, spans)
     lines = build_line_table(spans, ln_starts)
-    assign_scripts(cb, spans, lines, superscript_height_threshold, line_distance_threshold)
+    if with_scripts:
+        assign_scripts(cb, spans, lines, superscript_height_threshold,
+                       line_distance_threshold)
     n_turns = len(decoded)
     blocks = build_blocks(lines, n_turns, tolerance_factor)
     tb_lo = np.searchsorted(blocks.turn, np.arange(n_turns), side="left")

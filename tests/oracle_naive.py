@@ -19,7 +19,7 @@ import unicodedata
 
 import numpy as np
 
-from pdftext_spark.core.payload import maybe_parse_payload, prose_to_payload
+from pdftext_spark.core.payload import prose_to_payload
 
 SPACES = {" ", "￾", "﻿", "\xa0"}
 LINE_BREAKS = {"\n", "\r"}
@@ -358,8 +358,24 @@ def merge_text_naive(page, sort=False, hyphens=False):
 
 # ---------- page pipeline (pages.py:260-302) ----------
 
+def _parse_payload_stdlib(text):
+    """Independent stdlib-json parse of the payload input contract (the
+    implementation may use orjson; the oracle must not share that code
+    path so float-parsing differences would surface as mismatches)."""
+    import json
+    if not text or text[0] != "{":
+        return None
+    try:
+        obj = json.loads(text)
+    except ValueError:
+        return None
+    if isinstance(obj, dict) and obj.get("kind") == "chars":
+        return obj
+    return None
+
+
 def build_page(payload_text, page_idx, quote_loosebox=True, sht=0.7, ldt=0.1):
-    obj = maybe_parse_payload(payload_text)
+    obj = _parse_payload_stdlib(payload_text)
     if obj is None:
         obj = prose_to_payload(payload_text if payload_text is not None else "")
     chars, pw, ph, rotation, pb = decode_chars(obj, quote_loosebox)
