@@ -486,19 +486,19 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     verified by exact Jaccard ≥ 0.7. Scale path: the band join is an
     equi-join on (band_idx, band_hash) — shuffle keys, no all-pairs."""
     ds = _shingle_df(spark, sf_dir)
-    perms = ds.select("doc_id", "shingle",
-                      F.explode(F.expr(f"sequence(0, {_N_PERM - 1})")).alias("perm"))
-    mh = (perms.withColumn(
-            "h", _h(F.concat(F.col("perm").cast("string"), F.lit("|"), F.col("shingle"))))
-          .groupBy("doc_id", "perm").agg(F.min("h").alias("mh")))
-    sig = mh.groupBy("doc_id").agg(
-        F.array_sort(F.collect_list(F.struct("perm", "mh"))).alias("sig"))
-    bands = sig.select(
-        "doc_id",
-        F.explode(F.expr(
-            f"transform(sequence(0, {_N_PERM // _BAND - 1}), b -> struct(b as band_idx, "
-            f"md5(concat_ws('|', transform(slice(sig, b*{_BAND}+1, {_BAND}), x -> "
-            f"cast(x.mh as string)))) as band_hash))")).alias("bs")) \
+    # all 16 permutation minima in ONE pass over the shingle table: 16
+    # min() aggregates combine map-side, so nothing is exploded x16 and
+    # the shuffle carries only (doc_id, 16 longs) — at 100 TB the shingle
+    # table is read once and never multiplied.
+    sig = ds.groupBy("doc_id").agg(*[
+        F.min(_h(F.concat(F.lit(f"{p}|"), F.col("shingle")))).alias(f"mh{p}")
+        for p in range(_N_PERM)])
+    bands = sig.select("doc_id", F.explode(F.array(*[
+        F.struct(F.lit(bnd).alias("band_idx"),
+                 F.md5(F.concat_ws("|", *[
+                     F.col(f"mh{bnd * _BAND + k}").cast("string")
+                     for k in range(_BAND)])).alias("band_hash"))
+        for bnd in range(_N_PERM // _BAND)])).alias("bs")) \
         .select("doc_id", "bs.band_idx", "bs.band_hash")
     a = bands.alias("a")
     b = bands.alias("b")
