@@ -431,11 +431,13 @@ def _shingle_df(spark, sf_dir):
     # persisted: the jaccard/minhash pipelines consume it several times
     # (signatures, candidate verify, per-doc counts); at 100 TB this is a
     # materialized intermediate table instead
+    # set semantics via per-doc array_distinct BEFORE the explode: the
+    # dedup happens inside the row (JVM, no shuffle) instead of a global
+    # distinct() over the exploded table.
     return (_docs(spark, sf_dir)
             .withColumn("toks", F.expr(_TOKS_SPARK))
             .withColumn("sh", F.expr(_SHINGLES_SPARK))
-            .select("doc_id", F.explode("sh").alias("shingle"))
-            .distinct()
+            .select("doc_id", F.explode(F.array_distinct("sh")).alias("shingle"))
             .persist())
 
 
@@ -479,6 +481,15 @@ def sql_dedup_jaccard(sf_dir):
 
 _N_PERM = 16
 _BAND = 4  # 4 bands of 4
+_M31 = 2147483647  # Mersenne prime; (a*h+b) % _M31 stays exact in int64
+
+
+def _mh_coef(p):
+    """Deterministic affine-permutation coefficients shared verbatim by
+    both engines (md5-derived constants, not runtime randomness)."""
+    import hashlib
+    d = hashlib.md5(f"mh:{p}".encode()).hexdigest()
+    return int(d[:8], 16) % (_M31 - 1) + 1, int(d[8:16], 16) % _M31
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
@@ -486,12 +497,16 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     verified by exact Jaccard ≥ 0.7. Scale path: the band join is an
     equi-join on (band_idx, band_hash) — shuffle keys, no all-pairs."""
     ds = _shingle_df(spark, sf_dir)
-    # all 16 permutation minima in ONE pass over the shingle table: 16
-    # min() aggregates combine map-side, so nothing is exploded x16 and
-    # the shuffle carries only (doc_id, 16 longs) — at 100 TB the shingle
+    # all 16 permutation minima in ONE pass over the shingle table: one
+    # md5 per shingle, then 16 affine permutations (a*h+b) % M31 as 16
+    # map-side-combining min() aggregates — nothing is exploded x16 and
+    # the shuffle carries only (doc_id, 16 longs); at 100 TB the shingle
     # table is read once and never multiplied.
-    sig = ds.groupBy("doc_id").agg(*[
-        F.min(_h(F.concat(F.lit(f"{p}|"), F.col("shingle")))).alias(f"mh{p}")
+    h31 = (_h(F.col("shingle")) % F.lit(_M31)).alias("h31")
+    base = ds.select("doc_id", h31)
+    sig = base.groupBy("doc_id").agg(*[
+        F.min((F.lit(_mh_coef(p)[0]) * F.col("h31") + F.lit(_mh_coef(p)[1]))
+              % F.lit(_M31)).alias(f"mh{p}")
         for p in range(_N_PERM)])
     bands = sig.select("doc_id", F.explode(F.array(*[
         F.struct(F.lit(bnd).alias("band_idx"),
@@ -512,7 +527,15 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     # plus O(|set|) work per candidate. (The all-pairs shingle self-join
     # lives in dedup_jaccard, which is by definition the exact baseline;
     # reintroducing it here would defeat the point of LSH at 100 TB.)
-    sets = ds.groupBy("doc_id").agg(F.collect_set("shingle").alias("sh"))
+    # Sets are built only for docs that appear in a candidate pair. The
+    # candidate table is tiny (near-dup pairs) but referenced twice below;
+    # persist it so the banding pipeline isn't recomputed — at 100 TB this
+    # is a materialized intermediate, same as the shingle table.
+    cand = cand.persist()
+    cand_docs = (cand.select(F.col("doc_a").alias("doc_id"))
+                 .union(cand.select(F.col("doc_b").alias("doc_id"))).distinct())
+    sets = (ds.join(cand_docs, "doc_id")
+            .groupBy("doc_id").agg(F.collect_set("shingle").alias("sh")))
     verified = (cand
                 .join(sets.select(F.col("doc_id").alias("doc_a"),
                                   F.col("sh").alias("sha")), "doc_a")
@@ -528,16 +551,19 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 
 
 def sql_dedup_minhash_lsh(sf_dir):
-    h = _H_SQL.format(c="(perm::VARCHAR || '|' || shingle)")
+    h = _H_SQL.format(c="shingle")
+    mins = ", ".join(
+        f"min(({_mh_coef(p)[0]} * h31 + {_mh_coef(p)[1]}) % {_M31}) mh{p}"
+        for p in range(_N_PERM))
+    band_sel = " UNION ALL ".join(
+        f"SELECT doc_id, {bnd} band_idx, md5("
+        + " || '|' || ".join(f"mh{bnd * _BAND + k}::VARCHAR" for k in range(_BAND))
+        + ") band_hash FROM sig" for bnd in range(_N_PERM // _BAND))
     return (
         _SHINGLE_CTE + ", "
-        f"mh AS (SELECT doc_id, perm, min({h}) mh FROM ds, range({_N_PERM}) r(perm) "
-        "GROUP BY doc_id, perm), "
-        "sig AS (SELECT doc_id, list_transform(list_sort(list(struct_pack(perm := perm, mh := mh))), x -> x.mh) s "
-        "FROM mh GROUP BY doc_id), "
-        f"bands AS (SELECT doc_id, b band_idx, md5(array_to_string("
-        f"list_transform(s[b*{_BAND}+1:b*{_BAND}+{_BAND}], x -> x::VARCHAR), '|')) band_hash "
-        f"FROM sig, range({_N_PERM // _BAND}) r(b)), "
+        f"hh AS (SELECT doc_id, ({h}) % {_M31} h31 FROM ds), "
+        f"sig AS (SELECT doc_id, {mins} FROM hh GROUP BY doc_id), "
+        f"bands AS ({band_sel}), "
         "cand AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b FROM bands a "
         "JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash "
         "AND a.doc_id < b.doc_id), "
