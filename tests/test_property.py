@@ -141,6 +141,49 @@ def test_table_clustering_parity(texts):
         assert r is None, r
 
 
+_tbox_payload_st = st.builds(
+    lambda chars, rotation, ql: (_tbox_payload(chars, rotation), ql),
+    st.lists(_char_st, min_size=1, max_size=30),
+    st.sampled_from([0, 0, 90, 180, 270]),
+    st.booleans(),
+)
+
+
+def _tbox_payload(chars, rotation):
+    obj = json.loads(_payload(chars, rotation, []))
+    # tight boxes for every other char — exercised only where the loose-box
+    # rule turns them on (rotated chars, bare quotes w/ quote_loosebox=False)
+    tbox = {}
+    for i in range(0, len(chars), 2):
+        x1, y1 = chars[i][1], chars[i][2]
+        tbox[str(i)] = [x1 + 0.5, y1 + 0.25, x1 + 2.0, y1 + 3.0]
+    obj["tbox"] = tbox
+    return json.dumps(obj, ensure_ascii=False)
+
+
+@given(items=st.lists(_tbox_payload_st, min_size=1, max_size=3))
+@settings(**SETTINGS)
+def test_tbox_loosebox_parity(items):
+    """S3 tight-box substitution (chars.py:21-23): rotated chars and — with
+    quote_loosebox=False — bare quotes take the char's tight box."""
+    for ql in (True, False):
+        texts = [t for t, _ in items]
+        ids = list(range(len(texts)))
+        outs = process_batch(texts, ["user"] * len(texts), ids,
+                             ExtractConfig(keep_chars=True, quote_loosebox=ql))
+        exp_pages = oracle_dictionary(texts, keep_chars=True,
+                                      quote_loosebox=ql, page_ids=ids)
+        for o, eg in zip(outs, exp_pages):
+            for page in (eg, o.page):
+                for blk in page["blocks"]:
+                    for ln in blk["lines"]:
+                        for sp in ln["spans"]:
+                            for c in sp.get("chars", []):
+                                c.pop("font", None)
+            r = deep_eq(o.page, eg)
+            assert r is None, r
+
+
 def test_table_dynamic_gap_thresh_parity():
     """>100 same-span char pairs flips the A5 statistic from the default
     0.01 to a data-driven p80 (tables.py:8-25); check against the oracle
