@@ -332,6 +332,22 @@ def assign_scripts(cb: CharBatch, spans: SpanTable, lines: LineTable,
     Per-line work; lines with <2 spans and vertical lines are skipped
     (pages.py:25-30), so the loop touches few elements.
     """
+    if len(lines.start) == 0:
+        return
+    # Vectorized line pre-filter. A span can only be flagged when its
+    # line_fullheight ratio h / max(1, line_h) <= threshold (pages.py:39),
+    # so a line whose MINIMUM span-height ratio fails can emit nothing —
+    # along with the <2-span and vertical-line skips (pages.py:25-30).
+    # Same float ops as the scalar path, just hoisted, so bit-identical.
+    sp_h = spans.bbox[:, 3] - spans.bbox[:, 1]
+    ln_w = lines.bbox[:, 2] - lines.bbox[:, 0]
+    ln_h = lines.bbox[:, 3] - lines.bbox[:, 1]
+    n_sp = lines.end - lines.start
+    min_sh = np.minimum.reduceat(sp_h, lines.start)
+    cand = ((n_sp >= 2) & (ln_h <= ln_w)
+            & (min_sh / np.maximum(1.0, ln_h) <= height_threshold))
+    if not cand.any():
+        return
     # one bulk numpy->python conversion; the inner loops then run on plain
     # floats (lines are numerous but spans-per-line is tiny, so scalar
     # Python beats numpy's per-call overhead here)
@@ -343,7 +359,7 @@ def assign_scripts(cb: CharBatch, spans: SpanTable, lines: LineTable,
     span_bbox = spans.bbox.tolist()
     gtext = cb.gtext
     ldt = line_distance_threshold
-    for li in range(len(line_start)):
+    for li in np.nonzero(cand)[0].tolist():
         lo, hi = line_start[li], line_end[li]
         nsp = hi - lo
         if nsp < 2:
