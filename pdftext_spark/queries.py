@@ -577,6 +577,50 @@ def sql_dedup_minhash_lsh(sf_dir):
         "WHERE round(common * 1.0 / (na.n + nb.n - common), 6) >= 0.7")
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS from the verified minhash-LSH pairs: connected
+    components by min-label propagation (Pregel-style), canonical doc =
+    smallest doc_id in the component. This is the step that turns pairwise
+    near-dups into a keep/drop decision at corpus scale; components in a
+    near-dup graph are tiny, so the loop converges in a few supersteps and
+    each superstep is one equi-join + one agg on the (small) pair graph —
+    the 100 TB corpus itself is never touched again."""
+    pairs = q_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    sym = pairs.union(pairs.select(F.col("doc_b").alias("doc_a"),
+                                   F.col("doc_a").alias("doc_b"))).persist()
+    labels = (sym.select(F.col("doc_a").alias("doc_id")).distinct()
+              .withColumn("lbl", F.col("doc_id")).persist())
+    while True:
+        nbr = (sym.join(labels, sym["doc_b"] == labels["doc_id"])
+               .groupBy("doc_a").agg(F.min("lbl").alias("nbr_lbl")))
+        new = (labels.join(nbr, labels["doc_id"] == nbr["doc_a"], "left")
+               .select("doc_id",
+                       F.least("lbl", F.coalesce("nbr_lbl", "lbl")).alias("lbl"))
+               .persist())
+        changed = (new.alias("n").join(labels.alias("o"), "doc_id")
+                   .where(F.col("n.lbl") != F.col("o.lbl")).limit(1).count())
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    return (labels.select("doc_id", F.col("lbl").alias("cluster_id"))
+            .withColumn("is_keeper", F.col("doc_id") == F.col("cluster_id")))
+
+
+def sql_dedup_clusters(sf_dir):
+    return (
+        "WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ("
+        + sql_dedup_minhash_lsh(sf_dir) + ") q), "
+        "e AS (SELECT doc_a, doc_b FROM pairs "
+        "UNION ALL SELECT doc_b, doc_a FROM pairs), "
+        "r AS ("
+        "SELECT DISTINCT doc_a AS doc_id, doc_a AS reach FROM e "
+        "UNION "
+        "SELECT r.doc_id, e.doc_b FROM r JOIN e ON e.doc_a = r.reach) "
+        "SELECT doc_id, min(reach) cluster_id, "
+        "doc_id = min(reach) is_keeper FROM r GROUP BY doc_id")
+
+
 def q_dedup_simhash(spark, sf_dir):
     """32-bit SimHash per document from token hashes."""
     d = _docs(spark, sf_dir).withColumn("toks", F.expr(_TOKS_SPARK))
@@ -1021,6 +1065,7 @@ QUERIES = {
     "dedup_simhash": (q_dedup_simhash, sql_dedup_simhash),
     "dedup_embedding": (q_dedup_embedding, sql_dedup_embedding),
     "dedup_embedding_lsh": (q_dedup_embedding_lsh, sql_dedup_embedding_lsh),
+    "dedup_clusters": (q_dedup_clusters, sql_dedup_clusters),
     # similarity search
     "ann_bruteforce": (q_ann_bruteforce, sql_ann_bruteforce),
     "ann_ivf": (q_ann_ivf, sql_ann_ivf),
