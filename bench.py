@@ -130,10 +130,15 @@ def main():
         for lo, hi in ((2, 8), (4, 16)):
             if lo in tps and hi in tps:
                 pairs[f"eff_{lo}_to_{hi}"] = round((tps[hi] / tps[lo]) / 4.0, 3)
+        # an efficiency > 1 means the low-parallelism probe hit a steal
+        # spike (its throughput was depressed, inflating the ratio) — cap
+        # the headline at 1.0 so a noisy window can't overstate scaling;
+        # the raw per-pair values stay in the JSON for full disclosure
         scaling = {"pinned": have_taskset,
                    **{f"local{n}_tps": v for n, v in sorted(tps.items())},
                    **pairs,
-                   "efficiency": max(pairs.values()) if pairs else None}
+                   "efficiency": (min(1.0, max(pairs.values()))
+                                  if pairs else None)}
 
     out = {
         "metric": "extraction+pipeline query latency",
