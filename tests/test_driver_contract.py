@@ -1,0 +1,50 @@
+"""Guards for the driver's __spark_entry__ contract:
+
+- entry(spark) returns a DataFrame with a stable schema and >= 0 rows
+- queries() and oracle_sql() expose the SAME key set (every operator
+  claimed done has both halves of the two-engine check)
+- every oracle SQL string is well-formed for DuckDB against the driver's
+  pre-registered views (parse check only — full value comparison lives in
+  scripts/check_correctness.py / the driver gate)
+"""
+
+import os
+
+import __spark_entry__ as entrymod
+
+
+def test_queries_and_oracles_in_sync():
+    qs = entrymod.queries()
+    osql = entrymod.oracle_sql()
+    assert set(qs) == set(osql), (
+        f"queries-only: {set(qs) - set(osql)}; oracle-only: {set(osql) - set(qs)}")
+    assert len(qs) >= 30
+    for name, fn in qs.items():
+        assert callable(fn), name
+    for name, s in osql.items():
+        assert isinstance(s, str) and s.strip(), name
+
+
+def test_oracle_sql_parses_in_duckdb():
+    import duckdb
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        p = os.path.join(sf, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    for name, s in entrymod.oracle_sql().items():
+        # EXPLAIN = parse + bind without executing (the extraction oracles
+        # read expected parquet which ensure_expected_outputs materializes
+        # lazily inside oracle_sql(), so binding also checks those paths)
+        con.execute("EXPLAIN " + s)
+    con.close()
+
+
+def test_entry_contract(spark):
+    df = entrymod.entry(spark)
+    cols = dict(zip(df.schema.names, [f.dataType.simpleString()
+                                      for f in df.schema.fields]))
+    assert cols == {"conv_id": "string", "turn_idx": "int", "text": "string"}
+    assert df.count() >= 0
