@@ -792,7 +792,7 @@ def q_ann_bruteforce(spark, sf_dir):
     the queries, scan candidates once — the baseline ANN plan."""
     pairs = _cosine_pairs(spark, sf_dir, F.col("vec_id") < 8)
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
-    return (pairs.withColumn("rank", F.row_number().over(w))
+    return (pairs.withColumn("rank", F.row_number().over(w).cast("long"))
             .where(F.col("rank") <= 5)
             .select("qid", "rank", F.col("cid").alias("neighbor_id"), "cos"))
 
@@ -836,7 +836,7 @@ def q_ann_ivf(spark, sf_dir):
     nc = F.expr("sqrt(aggregate(ce, cast(0.0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double)))")
     scored = cand.withColumn("cos", F.round(dot / (nq * nc), 6))
     w2 = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
-    return (scored.withColumn("rank", F.row_number().over(w2))
+    return (scored.withColumn("rank", F.row_number().over(w2).cast("long"))
             .where(F.col("rank") <= 3)
             .select("qid", "rank", F.col("cid").alias("neighbor_id"), "cos"))
 
@@ -901,7 +901,7 @@ def q_mm_frame_sample(spark, sf_dir):
     """Uniform frame sampling: 4 equally-spaced frame indices per video."""
     meta = q_mm_metadata(spark, sf_dir)
     return (meta.select("doc_id", "n_frames",
-                        F.explode(F.expr("sequence(0, 3)")).alias("slot"))
+                        F.explode(F.expr("sequence(0L, 3L)")).alias("slot"))
             .withColumn("frame_idx",
                         F.floor(F.col("slot") * F.col("n_frames") / 4).cast("long"))
             .select("doc_id", "slot", "frame_idx"))
@@ -936,10 +936,11 @@ def q_rel_pricing_summary(spark, sf_dir):
 def sql_rel_pricing_summary(sf_dir):
     return (
         "SELECT l_returnflag, l_linestatus, "
-        "sum(round(l_quantity)::BIGINT) sum_qty, "
-        "sum(round(l_extendedprice * 100)::BIGINT) sum_price_cents, "
+        # outer ::BIGINT: DuckDB sum(BIGINT) widens to HUGEINT, Spark stays BIGINT
+        "sum(round(l_quantity)::BIGINT)::BIGINT sum_qty, "
+        "sum(round(l_extendedprice * 100)::BIGINT)::BIGINT sum_price_cents, "
         "sum(round(l_extendedprice * 100)::BIGINT * "
-        "(100 - round(l_discount * 100)::BIGINT)) sum_disc_price_e4, "
+        "(100 - round(l_discount * 100)::BIGINT))::BIGINT sum_disc_price_e4, "
         "count(*) count_order FROM lineitem "
         "WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
         "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus")
@@ -959,14 +960,15 @@ def q_rel_top_customers(spark, sf_dir):
                       agg["o_custkey"] == F.col("c_custkey"), "left_semi")
     top = joined.orderBy(F.desc("total_cents"), F.asc("o_custkey")).limit(10)
     w = Window.orderBy(F.desc("total_cents"), F.asc("o_custkey"))
-    return (top.withColumn("rank", F.row_number().over(w))
+    # long cast: DuckDB row_number() is BIGINT, Spark's is INT
+    return (top.withColumn("rank", F.row_number().over(w).cast("long"))
             .select("rank", F.col("o_custkey").alias("custkey"),
                     "total_cents", "n_orders"))
 
 
 def sql_rel_top_customers(sf_dir):
     return (
-        "WITH agg AS (SELECT o_custkey, sum(round(o_totalprice * 100)::BIGINT) total_cents, "
+        "WITH agg AS (SELECT o_custkey, sum(round(o_totalprice * 100)::BIGINT)::BIGINT total_cents, "
         "count(*) n_orders FROM orders GROUP BY o_custkey), "
         "j AS (SELECT agg.*, row_number() OVER (ORDER BY total_cents DESC, o_custkey ASC) rank "
         "FROM agg JOIN customer ON o_custkey = c_custkey) "
@@ -994,7 +996,7 @@ def q_rel_region_volume(spark, sf_dir):
 def sql_rel_region_volume(sf_dir):
     return (
         "SELECT r_name, count(*) n_items, "
-        "sum(round(l_extendedprice * 100)::BIGINT) volume_cents "
+        "sum(round(l_extendedprice * 100)::BIGINT)::BIGINT volume_cents "
         "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
         "JOIN nation ON s_nationkey = n_nationkey "
         "JOIN region ON n_regionkey = r_regionkey "
@@ -1028,8 +1030,8 @@ def sql_events_sessionize(sf_dir):
         "CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000 "
         "THEN 1 ELSE 0 END new_s "
         "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)), "
-        "s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id "
-        "ROWS UNBOUNDED PRECEDING) - 1 session_idx FROM g) "
+        "s AS (SELECT *, (sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id "
+        "ROWS UNBOUNDED PRECEDING) - 1)::BIGINT session_idx FROM g) "
         "SELECT user_id, session_idx, count(*) n_events, "
         "(max(us) - min(us))::BIGINT duration_us, "
         "count(DISTINCT event_type) n_types "

@@ -29,6 +29,58 @@ def norm(v):
     return v
 
 
+# -- type-strict comparison ---------------------------------------------------
+# The driver's value-hash is TYPE-sensitive across type FAMILIES (round 1:
+# DuckDB sum(BIGINT) widens to HUGEINT and hash-fails vs Spark BIGINT even
+# though the Python values compare equal) but NOT within integer widths
+# (round 1: every extraction query passed with Spark int32 vs oracle int64).
+# So: canonicalize both engines' column types, collapse integer widths into
+# one "int" family, and require exact equality otherwise — this replica then
+# can't report green where the driver reports red (HUGEINT/decimal/float vs
+# int) and can't report red where the driver reports green (int32 vs int64).
+
+_SPARK_CANON = {
+    "tinyint": "int", "smallint": "int", "int": "int", "bigint": "int",
+    "float": "float32", "double": "float64", "string": "string",
+    "boolean": "bool", "date": "date", "timestamp": "timestamp",
+    "timestamp_ntz": "timestamp", "binary": "binary",
+}
+
+
+def canon_spark_type(dt: str) -> str:
+    dt = dt.strip()
+    if dt in _SPARK_CANON:
+        return _SPARK_CANON[dt]
+    if dt.startswith("decimal"):
+        return dt.replace(" ", "")
+    if dt.startswith("array<") and dt.endswith(">"):
+        return f"list<{canon_spark_type(dt[6:-1])}>"
+    return "complex"  # struct/map: value compare covers these
+
+
+def canon_arrow_type(t) -> str:
+    import pyarrow as pa
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return {"double": "float64", "float": "float32"}.get(str(t), str(t))
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{canon_arrow_type(t.value_type)}>"
+    return "complex"
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -45,10 +97,13 @@ def main():
             sdf = fn(spark, sf_dir)
             srows = sdf.collect()
             scols = sdf.columns
+            stypes = [canon_spark_type(dt) for _, dt in sdf.dtypes]
             sql = sql_fn(sf_dir)
             dres = con.sql(sql)
-            dcols = [d[0] for d in dres.description]
-            drows = dres.fetchall()
+            darrow = dres.arrow()
+            dcols = darrow.column_names
+            dtypes_c = [canon_arrow_type(f.type) for f in darrow.schema]
+            drows = [tuple(r.values()) for r in darrow.to_pylist()]
         except Exception as exc:
             failures.append((name, f"EXEC ERROR: {exc}"))
             print(f"{name:24s} ERROR {str(exc)[:160]}")
@@ -58,6 +113,9 @@ def main():
             status.append(f"rows {len(srows)} vs {len(drows)}")
         if [c.lower() for c in scols] != [c.lower() for c in dcols]:
             status.append(f"cols {scols} vs {dcols}")
+        elif stypes != dtypes_c:
+            bad = [(c, a, b) for c, a, b in zip(scols, stypes, dtypes_c) if a != b]
+            status.append(f"dtypes differ {bad}")
         sset = sorted(tuple(norm(v) for v in row) for row in srows)
         dset = sorted(tuple(norm(v) for v in row) for row in drows)
         if sset != dset:
