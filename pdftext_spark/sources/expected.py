@@ -31,14 +31,17 @@ def ensure_expected_outputs(tier: str) -> str:
     tables next to the inputs. Idempotent (marker file)."""
     out = ensure_fixture_dir(tier)
     marker = os.path.join(out, "_EXPECTED_COMPLETE")
-    stamp = "v2"  # bump when the set of expected tables changes
+    stamp = "v3"  # bump when the set of expected tables changes
     if os.path.exists(marker) and open(marker).read() == stamp:
         return out
 
-    from pdftext_spark.core.html_main import extract_main_text
     from tests.oracle_naive import oracle_dictionary, oracle_plain, oracle_tables
 
-    rows, *_ = build_fixture_tables(**TIERS[tier])
+    # HTML tool-turn truth comes from the GENERATOR's own fact table
+    # (fixtures.py html_exp), never from the extract_main_text code under
+    # test — keeps the driver gate a two-implementation check for HTML too.
+    rows, html_exp, *_ = build_fixture_tables(**TIERS[tier])
+    html_truth = {(h["conv_id"], h["turn_idx"]): h["main_text"] for h in html_exp}
     convs = collections.defaultdict(list)
     for r in rows:
         convs[r["conv_id"]].append(r)
@@ -59,7 +62,7 @@ def ensure_expected_outputs(tier: str) -> str:
         for t in turns:
             if t["role"] == "tool":
                 row = {"conv_id": cid, "turn_idx": t["turn_idx"],
-                       "text": extract_main_text(t["text"])}
+                       "text": html_truth[(cid, t["turn_idx"])]}
                 plain_rows.append(row)
                 sorted_rows.append(dict(row))   # sort/hyphens are no-ops
                 hyph_rows.append(dict(row))     # for HTML tool turns
