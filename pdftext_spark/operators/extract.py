@@ -16,9 +16,9 @@ Scale notes (the parts that must survive 1000 executors / 100 TB):
   side-table of link registrations — a few bytes per linked turn — and
   joined back with broadcast joins; the char payloads never shuffle again
   (operators/refs.py).
-- **Python boundary**: one Arrow round-trip for the kernel. Rows that need
-  url/ref rewriting (a small fraction) take a second, filtered round-trip;
-  everything else stays JVM-side.
+- **Python boundary**: exactly one Arrow round-trip for the kernel (the
+  default links_via="persist" caches it); url/ref rewriting is a pure
+  JVM-side columnar projection over the cache.
 """
 
 from __future__ import annotations
@@ -50,11 +50,13 @@ def _arrow_kernel(cfg: ExtractConfig, target_schema):
 
 
 def link_registrations(transcripts: DataFrame, cfg: ExtractConfig) -> DataFrame:
-    """Light pre-pass producing only (conv_id, turn_idx, link_dests) for
-    link-bearing turns. The `'"links"'` substring filter is pushed into the
-    parquet scan and selects a superset of link-bearing payloads (~20% of
-    rows here), so the X1 registry never requires persisting — or a second
-    full pass over — the heavy extraction output."""
+    """OPT-IN light pre-pass producing only (conv_id, turn_idx, link_dests)
+    for link-bearing turns (extract(links_via="prepass")). The `'"links"'`
+    substring filter is pushed into the parquet scan and selects a superset
+    of link-bearing payloads (~20% of rows here), so the X1 registry never
+    requires caching the heavy extraction output — at the price of decoding
+    link-bearing payloads twice (~15% of the struct pipeline). The default
+    path ("persist") runs the kernel once and caches it instead."""
     import dataclasses
 
     import pyarrow as pa
@@ -122,11 +124,22 @@ def _kernel(cfg: ExtractConfig):
 
 
 def extract(transcripts: DataFrame, cfg: ExtractConfig = ExtractConfig(),
-            resolve_links: bool = True) -> DataFrame:
+            resolve_links: bool = True, links_via: str = "persist") -> DataFrame:
     """Run the extraction kernel over a transcript table.
 
     Input columns: (conv_id, turn_idx, role, text, tool, ts) — the
     BASELINE.json input_hint contract.
+
+    links_via chooses how the X1 registry gets its link_dests side data:
+    - "persist" (default): ONE kernel pass, cached MEMORY_AND_DISK; the
+      registry aggregates the tiny cached link_dests column (columnar
+      cache prunes the heavy page column from that scan) and the rewrite
+      joins back against the same cache. The right trade on anything with
+      working storage — no payload is ever decoded twice.
+    - "prepass": no caching; a second, filtered light kernel pass over the
+      `'"links"'` superset supplies registrations (link_registrations).
+      For pipelines where caching the extracted output is off the table
+      and a ~15% decode tax is cheaper than the storage.
     """
     spark = transcripts.sparkSession
     n_parts = cfg.partitions or spark.sparkContext.defaultParallelism * 2
@@ -147,8 +160,11 @@ def extract(transcripts: DataFrame, cfg: ExtractConfig = ExtractConfig(),
         out = salted.mapInArrow(_arrow_kernel(cfg, target), schema=EXTRACTED)
     if resolve_links and not cfg.disable_links:
         from pdftext_spark.operators.refs import resolve_refs
-        regs = link_registrations(transcripts, cfg)
-        out = resolve_refs(out, registrations=regs)
+        if links_via == "prepass":
+            regs = link_registrations(transcripts, cfg)
+            out = resolve_refs(out, registrations=regs)
+        else:
+            out = resolve_refs(out, persist=True)
     return out
 
 

@@ -48,15 +48,18 @@ _EXTRACT_CACHE: dict = {}
 
 
 def _extracted_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full extraction over the fixture tier matching sf_dir, persisted so
-    the several extraction queries share one kernel run per session."""
+    """Full extraction over the fixture tier matching sf_dir. extract()
+    itself caches the single kernel pass (links_via="persist"), so the
+    several extraction queries share one kernel run per session; only the
+    cheap JVM-side ref-rewrite projection re-runs per consumer. No outer
+    persist — that would hold a second copy of the heavy page column."""
     tier = tier_for_sf_dir(sf_dir)
     key = (spark.sparkContext.applicationId, tier)
     if key not in _EXTRACT_CACHE:
         df = extract(
             spark.read.parquet(transcripts_path(tier)),
             ExtractConfig(),
-        ).persist()
+        )
         _EXTRACT_CACHE[key] = df
     return _EXTRACT_CACHE[key]
 
