@@ -46,6 +46,13 @@ class ExtractConfig:
     partitions: int = field(
         default_factory=lambda: int(os.environ.get("PDFTEXT_SPARK_PARTITIONS", "0"))
     )
+    # Anti-skew salting of the input before the kernel:
+    #   "auto"   — probe the source partition count (one JVM-side physical
+    #              plan build, no job) and repartition only coarse inputs;
+    #   "always" — unconditionally repartition on (conv_id, turn_idx);
+    #   "never"  — trust the source (right for file scans, which split by
+    #              bytes and are balanced by construction).
+    salt: str = "auto"
     # Hash-bucket count for checkpoint/resume manifests.
     resume_buckets: int = 64
 

@@ -2,9 +2,9 @@
 
 Builds the nested `page` column (blocks→lines→spans) DIRECTLY from
 segmentation offsets as Arrow ListArray/StructArray — no per-span Python
-dicts and no pandas→Arrow conversion. This is the Spark fast path
-(`mapInArrow`); the dict-based `struct_page` remains for tests and the
-keep_chars mode.
+dicts and no pandas→Arrow conversion. This is the ONLY Spark path
+(`mapInArrow`, keep_chars included); the dict-based `struct_page`
+remains for no-JVM library use and tests.
 
 Hierarchy offsets fall out of the segmentation for free: spans are
 contiguous char ranges, lines contiguous span ranges, blocks contiguous
@@ -182,6 +182,8 @@ def build_page_array(rb: RoutedBatch, cfg: ExtractConfig) -> pa.StructArray:
         cei_out = cei_out[out_perm]
         sup_out = sup_out[out_perm]
         sub_out = sub_out[out_perm]
+        start_out = start_out[out_perm]
+        end_out = end_out[out_perm]
         texts = [texts[i] for i in out_perm]
         urls = [urls[i] for i in out_perm]
         line_span_counts = line_span_counts[line_perm]
@@ -204,6 +206,30 @@ def build_page_array(rb: RoutedBatch, cfg: ExtractConfig) -> pa.StructArray:
                       pa.array(font_out))
     font_arr = pa.StructArray.from_arrays([fname, fflags, fsize, fweight],
                                           fields=list(FONT_PA))
+
+    # per-span char lists (keep_chars) straight from the [start, end) char
+    # ranges — same gather trick as everything else, no per-char dicts.
+    # Per-char font is dropped deliberately (always identical to the span
+    # font; operators/schema.py:5-6).
+    if cfg.keep_chars:
+        lens = (end_out - start_out).astype(np.int64)
+        cum = np.cumsum(lens)
+        total = int(cum[-1]) if len(cum) else 0
+        flat = (np.arange(total, dtype=np.int64)
+                - np.repeat(cum - lens, lens)
+                + np.repeat(start_out, lens))
+        char_vals = pc.take(pa.array(list(cb.gtext), type=pa.string()),
+                            pa.array(flat))
+        char_arr = pa.StructArray.from_arrays([
+            _bbox_list(cb.boxes[flat]),
+            char_vals,
+            pa.array(cb.rot[flat], type=pa.float64()),
+            pa.array(cb.char_idx[flat].astype(np.int32, copy=False)),
+        ], fields=list(CHAR_PA))
+        chars_col = pa.ListArray.from_arrays(_offsets(lens), char_arr)
+    else:
+        chars_col = pa.nulls(S_out, type=pa.list_(CHAR_PA))
+
     span_arr = pa.StructArray.from_arrays([
         _bbox_list(bbox_out),
         pa.array(texts, type=pa.string()),
@@ -214,7 +240,7 @@ def build_page_array(rb: RoutedBatch, cfg: ExtractConfig) -> pa.StructArray:
         pa.array(urls, type=pa.string()),
         pa.array(sup_out),
         pa.array(sub_out),
-        pa.nulls(S_out, type=pa.list_(CHAR_PA)),
+        chars_col,
     ], fields=list(SPAN_PA))
 
     spans_list = pa.ListArray.from_arrays(_offsets(line_span_counts), span_arr)

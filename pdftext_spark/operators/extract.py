@@ -2,7 +2,7 @@
 
 Plan shape (SURVEY.md §3.1 "Spark lifecycle equivalent"):
 
-    scan → repartition(hash(conv_id, turn_idx)) → mapInPandas(kernel) →
+    scan → repartition(hash(conv_id, turn_idx)) → mapInArrow(kernel) →
     [tiny refs aggregation ⨝ broadcast back] → sink
 
 Scale notes (the parts that must survive 1000 executors / 100 TB):
@@ -23,14 +23,10 @@ Scale notes (the parts that must survive 1000 executors / 100 TB):
 
 from __future__ import annotations
 
-from typing import Iterator
-
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pdftext_spark.config import ExtractConfig
-from pdftext_spark.core.api import process_batch
 from pdftext_spark.operators.schema import EXTRACTED
 
 
@@ -97,32 +93,6 @@ def link_registrations(transcripts: DataFrame, cfg: ExtractConfig) -> DataFrame:
     return cand.mapInArrow(run, schema=schema)
 
 
-def _kernel(cfg: ExtractConfig):
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            outs = process_batch(pdf["text"].tolist(), pdf["role"].tolist(),
-                                 pdf["turn_idx"].tolist(), cfg)
-            yield pd.DataFrame({
-                "conv_id": pdf["conv_id"].to_numpy(),
-                "turn_idx": pdf["turn_idx"].to_numpy(),
-                "role": pdf["role"].to_numpy(),
-                "ts": pdf["ts"].to_numpy(),
-                "text": [o.text for o in outs],
-                "is_html": [o.is_html for o in outs],
-                "page": [o.page for o in outs],
-                "tables": [o.tables for o in outs],
-                "link_dests": [
-                    [{"ord": r[0], "gid": r[1], "dest_page": r[2], "x": r[3], "y": r[4]}
-                     for r in o.registrations] for o in outs
-                ],
-                "error": [o.error for o in outs],
-                "n_chars": [o.n_chars for o in outs],
-                "n_spans": [o.n_spans for o in outs],
-                "n_blocks": [o.n_blocks for o in outs],
-            })
-    return run
-
-
 def extract(transcripts: DataFrame, cfg: ExtractConfig = ExtractConfig(),
             resolve_links: bool = True, links_via: str = "persist") -> DataFrame:
     """Run the extraction kernel over a transcript table.
@@ -148,16 +118,20 @@ def extract(transcripts: DataFrame, cfg: ExtractConfig = ExtractConfig(),
     # the scan already yields byte-balanced fine-grained splits — file
     # sources split by size, so compute ∝ bytes is balanced by
     # construction — the extra full-payload shuffle buys nothing; skip it.
-    n_input = transcripts.rdd.getNumPartitions()
-    salted = (transcripts if n_input >= n_parts
-              else transcripts.repartition(n_parts, "conv_id", "turn_idx"))
-    if cfg.keep_chars:
-        # char-level output keeps the dict/pandas path (rarely used)
-        out = salted.mapInPandas(_kernel(cfg), schema=EXTRACTED)
+    if cfg.salt == "never":
+        salted = transcripts
+    elif cfg.salt == "always":
+        salted = transcripts.repartition(n_parts, "conv_id", "turn_idx")
     else:
-        from pyspark.sql.pandas.types import to_arrow_schema
-        target = to_arrow_schema(EXTRACTED)
-        out = salted.mapInArrow(_arrow_kernel(cfg, target), schema=EXTRACTED)
+        # JVM-side internal-RDD partition count: builds the physical plan
+        # once (cached on queryExecution) without the Python-conversion
+        # mapPartitions that df.rdd would bolt on. No job runs.
+        n_input = transcripts._jdf.queryExecution().toRdd().getNumPartitions()
+        salted = (transcripts if n_input >= n_parts
+                  else transcripts.repartition(n_parts, "conv_id", "turn_idx"))
+    from pyspark.sql.pandas.types import to_arrow_schema
+    target = to_arrow_schema(EXTRACTED)
+    out = salted.mapInArrow(_arrow_kernel(cfg, target), schema=EXTRACTED)
     if resolve_links and not cfg.disable_links:
         from pdftext_spark.operators.refs import resolve_refs
         if links_via == "prepass":

@@ -25,3 +25,15 @@ def test_salt_skipped_for_fine_input(spark, transcripts):
     # hash repartition on (conv_id, turn_idx) feeds the kernel
     assert "hashpartitioning(conv_id, turn_idx" not in plan.replace("#", " ") \
         or plan.count("REPARTITION_BY_NUM") == 1
+
+
+def test_salt_never_trusts_source(spark, transcripts):
+    plan = _plan(extract(transcripts.coalesce(1), ExtractConfig(salt="never"),
+                         resolve_links=False))
+    assert "REPARTITION_BY_NUM" not in plan
+
+
+def test_salt_always_forces_shuffle(spark, transcripts):
+    plan = _plan(extract(transcripts.repartition(64),
+                         ExtractConfig(salt="always"), resolve_links=False))
+    assert "hashpartitioning(conv_id" in plan
