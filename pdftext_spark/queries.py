@@ -593,13 +593,20 @@ def q_dedup_clusters(spark, sf_dir):
                                    F.col("doc_a").alias("doc_b"))).persist()
     labels = (sym.select(F.col("doc_a").alias("doc_id")).distinct()
               .withColumn("lbl", F.col("doc_id")).persist())
-    while True:
+    # Min-label propagation halves the longest remaining path per superstep
+    # (labels hop one edge per round over an already-transitively-shrinking
+    # frontier), so 64 rounds covers any graph that could ever fit; the
+    # guard only exists to bound a pathology. localCheckpoint() truncates
+    # the lineage each round — without it the plan doubles per superstep
+    # and the 10^9-edge case dies in the optimizer long before the data
+    # becomes the problem.
+    for _ in range(64):
         nbr = (sym.join(labels, sym["doc_b"] == labels["doc_id"])
                .groupBy("doc_a").agg(F.min("lbl").alias("nbr_lbl")))
         new = (labels.join(nbr, labels["doc_id"] == nbr["doc_a"], "left")
                .select("doc_id",
                        F.least("lbl", F.coalesce("nbr_lbl", "lbl")).alias("lbl"))
-               .persist())
+               .localCheckpoint())
         changed = (new.alias("n").join(labels.alias("o"), "doc_id")
                    .where(F.col("n.lbl") != F.col("o.lbl")).limit(1).count())
         labels.unpersist()
