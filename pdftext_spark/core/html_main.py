@@ -35,12 +35,16 @@ _WS_RE = re.compile(r"\s+")
 
 
 class _Node:
-    __slots__ = ("tag", "children", "parent")
+    __slots__ = ("tag", "children", "parent", "text", "link", "p")
 
     def __init__(self, tag: str, parent):
         self.tag = tag
         self.children: list = []  # _Node | str
         self.parent = parent
+        # subtree stats, filled by one bottom-up pass in _fill_stats:
+        self.text = 0   # non-boilerplate text chars in the subtree
+        self.link = 0   # of those, chars under an <a>
+        self.p = 0      # direct <p> children
 
 
 # Single-pass tokenizer: comments / doctype / processing instructions /
@@ -74,13 +78,18 @@ def _build_tree(html: str) -> _Node:
         if m is None:
             break
         pos = m.end()
-        end_tag, start_tag, _attrs, self_close, text = m.group(1, 2, 3, 4, 5)
-        if text is not None:
+        # dispatch on lastindex: 1 = end tag, 4 = start tag (groups 3/4
+        # always participate), 5 = text, None = comment/doctype/PI/stray '<'
+        li = m.lastindex
+        if li == 5:
+            text = m.group(5)
             if "&" in text:
                 text = unescape(text)
             cur.children.append(text)
             continue
-        if start_tag is not None:
+        if li == 4:
+            start_tag = m.group(2)
+            self_close = m.group(4)
             tag = start_tag.lower()
             if tag in _RAWTEXT:
                 # swallow raw content up to the matching close tag
@@ -125,8 +134,8 @@ def _build_tree(html: str) -> _Node:
             cur.children.append(node)
             cur = node
             continue
-        if end_tag is not None:
-            tag = end_tag.lower()
+        if li == 1:
+            tag = m.group(1).lower()
             # close up to the nearest matching open tag (tolerant nesting)
             node = cur
             while node is not None and node.tag != tag:
@@ -138,45 +147,72 @@ def _build_tree(html: str) -> _Node:
     return root
 
 
-def _collect(node: _Node, stats: dict, in_link: bool, in_boiler: bool) -> None:
-    for child in node.children:
-        if isinstance(child, str):
-            n = len(child.strip())
-            if n and not in_boiler:
-                stats["text"] += n
-                if in_link:
-                    stats["link"] += n
-            continue
-        if child.tag in BOILERPLATE_TAGS:
-            _collect(child, stats, in_link, True)
-        else:
-            if child.tag == "p" and child is not None and not in_boiler and node is stats["self"]:
-                stats["p"] += 1
-            _collect(child, stats, in_link or child.tag == "a", in_boiler)
+def _fill_stats(root: _Node) -> None:
+    """One bottom-up pass filling (text, link, p) for EVERY node — replaces
+    the per-candidate subtree re-walk, which was quadratic in nesting depth
+    (every div on the spine re-counted the whole page). Iterative: real
+    pages nest deeper than Python's recursion limit.
+
+    Semantics match the old walk: boilerplate subtrees contribute nothing
+    to any ancestor; text under an <a> (boilerplate excluded) is link
+    text; p counts direct children only. Each node's own stats treat the
+    node as the scoring root, so candidates inside boilerplate still score
+    on their own subtree."""
+    # children-before-parents = reversed pre-order
+    order = [root]
+    i = 0
+    while i < len(order):
+        for ch in order[i].children:
+            if not isinstance(ch, str):
+                order.append(ch)
+        i += 1
+    for node in reversed(order):
+        text = link = p = 0
+        for ch in node.children:
+            if isinstance(ch, str):
+                text += len(ch.strip())
+            elif ch.tag not in BOILERPLATE_TAGS:
+                text += ch.text
+                link += ch.text if ch.tag == "a" else ch.link
+                if ch.tag == "p":
+                    p += 1
+        node.text = text
+        node.link = link
+        node.p = p
 
 
 def _emit_blocks(node: _Node, blocks: list[list[str]]) -> None:
-    for child in node.children:
+    """Winner-subtree text grouped into blocks; iterative for deep pages.
+    The stack holds strings (text), _Node (to descend), and None (block
+    close marker emitted after a block element's children)."""
+    stack: list = list(reversed(node.children))
+    while stack:
+        child = stack.pop()
+        if child is None:
+            blocks.append([])
+            continue
         if isinstance(child, str):
             blocks[-1].append(child)
             continue
         if child.tag in BOILERPLATE_TAGS:
             continue
-        is_block = child.tag in BLOCK_TAGS
-        if is_block:
+        if child.tag in BLOCK_TAGS:
             blocks.append([])
-        _emit_blocks(child, blocks)
-        if is_block:
-            blocks.append([])
+            stack.append(None)
+        for gc in reversed(child.children):
+            stack.append(gc)
 
 
-def _walk_candidates(node: _Node, out: list[_Node]) -> None:
-    for child in node.children:
-        if isinstance(child, str):
-            continue
-        if child.tag in CANDIDATE_TAGS:
-            out.append(child)
-        _walk_candidates(child, out)
+def _walk_candidates(root: _Node, out: list[_Node]) -> None:
+    """Candidates in document (pre-)order; iterative for deep pages."""
+    stack = [root]
+    while stack:
+        node = stack.pop()
+        for child in reversed(node.children):
+            if not isinstance(child, str):
+                stack.append(child)
+        if node is not root and node.tag in CANDIDATE_TAGS:
+            out.append(node)
 
 
 def extract_main_text(html: str) -> str:
@@ -191,15 +227,14 @@ def extract_main_text(html: str) -> str:
     _walk_candidates(root, candidates)
     if not candidates:
         candidates = [root]
+    _fill_stats(root)
     best = None
     best_score = float("-inf")
     for cand in candidates:
-        stats = {"text": 0, "link": 0, "p": 0, "self": cand}
-        _collect(cand, stats, False, False)
-        if stats["text"] == 0:
+        if cand.text == 0:
             continue
-        link_density = stats["link"] / stats["text"]
-        score = stats["text"] * (1.0 - link_density) + 30.0 * stats["p"]
+        link_density = cand.link / cand.text
+        score = cand.text * (1.0 - link_density) + 30.0 * cand.p
         if cand.tag in ("article", "main"):
             score += 50.0
         if score > best_score:

@@ -202,3 +202,19 @@ def test_html_facts(fixture_rows):
             assert got == exp[(cid, t["turn_idx"])], (cid, t["turn_idx"], got[:200])
             checked += 1
     assert checked > 10
+
+
+def test_html_deep_spine():
+    """Pages nested beyond the recursion limit must parse (iterative
+    walks), and scoring must pick the content-dense spine node."""
+    from pdftext_spark.core.html_main import extract_main_text
+    depth = 3000
+    deep = ("<body>"
+            + "".join(f"<div><p>paragraph {i} body text for scoring</p>"
+                      f"<a href=x>l{i}</a>" for i in range(depth))
+            + "</div>" * depth + "</body>")
+    out = extract_main_text(deep)
+    assert "paragraph 0 body text for scoring" in out
+    assert f"paragraph {depth - 1} body text for scoring" in out
+    # link text may appear, boilerplate must not dominate: sanity on shape
+    assert out.count("\n") >= depth - 1
