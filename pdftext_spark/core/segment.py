@@ -165,6 +165,29 @@ def apply_mask(cb: CharBatch, mask: np.ndarray) -> CharBatch:
     )
 
 
+def _segment_running_envelope(starts: np.ndarray, boxes: np.ndarray) -> np.ndarray:
+    """Per-row running bbox envelope (cummin x1/y1, cummax x2/y2) with
+    resets at segment starts — Hillis-Steele doubling, O(n · log maxseg)
+    pure numpy. Fancy-indexed reads are materialized before the write, so
+    each round combines prefix-2^k values synchronously."""
+    m = len(starts)
+    run = boxes.copy()
+    if m == 0:
+        return run
+    idx = np.arange(m)
+    seg_start_pos = np.flatnonzero(starts)
+    dist = idx - seg_start_pos[np.cumsum(starts) - 1]
+    maxd = int(dist.max())
+    shift = 1
+    while shift <= maxd:
+        valid = np.flatnonzero(dist >= shift)
+        src = valid - shift
+        run[valid, :2] = np.minimum(run[valid, :2], run[src, :2])
+        run[valid, 2:] = np.maximum(run[valid, 2:], run[src, 2:])
+        shift <<= 1
+    return run
+
+
 def _refine_running_breaks(starts: np.ndarray, boxes: np.ndarray,
                            violate: Callable[[np.ndarray, np.ndarray], np.ndarray],
                            candidates: Optional[np.ndarray] = None,
@@ -196,15 +219,7 @@ def _refine_running_breaks(starts: np.ndarray, boxes: np.ndarray,
     for _ in range(max_rounds):
         sub_starts = starts[index]
         sub_boxes = boxes[index]
-        seg = np.cumsum(sub_starts) - 1
-        g = pd.DataFrame({"x1": sub_boxes[:, 0], "y1": sub_boxes[:, 1],
-                          "x2": sub_boxes[:, 2], "y2": sub_boxes[:, 3]}) \
-            .groupby(seg, sort=False)
-        run = np.empty_like(sub_boxes)
-        run[:, 0] = g["x1"].cummin().to_numpy()
-        run[:, 1] = g["y1"].cummin().to_numpy()
-        run[:, 2] = g["x2"].cummax().to_numpy()
-        run[:, 3] = g["y2"].cummax().to_numpy()
+        run = _segment_running_envelope(sub_starts, sub_boxes)
         prev = np.empty_like(run)
         prev[1:] = run[:-1]
         prev[0] = 0.0
