@@ -19,6 +19,7 @@ Reference semantics are documented per-operator in SURVEY.md §2 with
 `file:line` citations into /root/reference.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from pdftext_spark.config import ExtractConfig  # noqa: F401
+from pdftext_spark.core.geometry import Bbox  # noqa: F401

@@ -93,3 +93,93 @@ def ensure_nonzero_area(boxes: np.ndarray) -> np.ndarray:
     out[:, 2] = np.maximum(out[:, 0], out[:, 2] + 1)
     out[:, 3] = np.maximum(out[:, 1], out[:, 3] + 1)
     return out
+
+
+class Bbox:
+    """Single-box convenience view over the vectorized kernels — the public
+    geometry surface a user porting reference code expects (reference
+    pdftext/schema.py:7-126). The engine itself never loops over these;
+    everything hot runs on the ``(N, 4)`` array functions above."""
+
+    __slots__ = ("bbox",)
+
+    def __init__(self, bbox, ensure_nonzero_area: bool = False):
+        b = [float(v) for v in bbox]
+        if ensure_nonzero_area:
+            b[2] = max(b[0], b[2] + 1)
+            b[3] = max(b[1], b[3] + 1)
+        self.bbox = b
+
+    def __getitem__(self, item):
+        return self.bbox[item]
+
+    def __repr__(self):
+        return f"Bbox({self.bbox})"
+
+    def __eq__(self, other):
+        return isinstance(other, Bbox) and self.bbox == other.bbox
+
+    @property
+    def height(self) -> float:
+        return self.bbox[3] - self.bbox[1]
+
+    @property
+    def width(self) -> float:
+        return self.bbox[2] - self.bbox[0]
+
+    @property
+    def area(self) -> float:
+        return self.width * self.height
+
+    @property
+    def center(self) -> list:
+        return [(self.bbox[0] + self.bbox[2]) / 2, (self.bbox[1] + self.bbox[3]) / 2]
+
+    @property
+    def size(self) -> list:
+        return [self.width, self.height]
+
+    @property
+    def x_start(self) -> float:
+        return self.bbox[0]
+
+    @property
+    def y_start(self) -> float:
+        return self.bbox[1]
+
+    @property
+    def x_end(self) -> float:
+        return self.bbox[2]
+
+    @property
+    def y_end(self) -> float:
+        return self.bbox[3]
+
+    def merge(self, other: "Bbox") -> "Bbox":
+        """Envelope of the two boxes (schema.py:58-64)."""
+        return Bbox([min(self.bbox[0], other.bbox[0]),
+                     min(self.bbox[1], other.bbox[1]),
+                     max(self.bbox[2], other.bbox[2]),
+                     max(self.bbox[3], other.bbox[3])])
+
+    def overlap_x(self, other: "Bbox") -> float:
+        return max(0.0, min(self.bbox[2], other.bbox[2])
+                    - max(self.bbox[0], other.bbox[0]))
+
+    def overlap_y(self, other: "Bbox") -> float:
+        return max(0.0, min(self.bbox[3], other.bbox[3])
+                    - max(self.bbox[1], other.bbox[1]))
+
+    def intersection_area(self, other: "Bbox") -> float:
+        return self.overlap_x(other) * self.overlap_y(other)
+
+    def intersection_pct(self, other: "Bbox") -> float:
+        return intersection_pct(np.asarray(self.bbox), np.asarray(other.bbox))
+
+    def rotate(self, page_width: float, page_height: float, rotation: int) -> "Bbox":
+        out = rotate_boxes(np.asarray([self.bbox]), page_width, page_height, rotation)
+        return Bbox(out[0].tolist())
+
+    def rescale(self, img_w: float, img_h: float, page_w: float, page_h: float) -> "Bbox":
+        out = rescale_boxes(np.asarray([self.bbox]), img_w, img_h, page_w, page_h)
+        return Bbox(out[0].tolist())

@@ -89,3 +89,41 @@ def test_cli_smoke(fixture_rows, tmp_path):
         capture_output=True, text=True, cwd="/root/repo")
     pages = json.loads(out2.stdout)
     assert len(pages) == len(payloads)
+
+
+def test_bbox_public_api():
+    """Bbox object view matches the vectorized kernels and the reference
+    semantics (schema.py:7-126)."""
+    from pdftext_spark import Bbox
+
+    b = Bbox([10, 20, 30, 60])
+    assert (b.width, b.height, b.area) == (20, 40, 800)
+    assert b.center == [20, 40]
+    assert b.size == [20, 40]
+    assert (b.x_start, b.y_start, b.x_end, b.y_end) == (10, 20, 30, 60)
+    assert b[2] == 30
+
+    # degenerate box padded on request (schema.py:8-12)
+    d = Bbox([5, 5, 5, 5], ensure_nonzero_area=True)
+    assert d.bbox == [5, 5, 6, 6]
+
+    m = b.merge(Bbox([0, 30, 25, 70]))
+    assert m.bbox == [0, 20, 30, 70]
+
+    o = Bbox([20, 40, 50, 80])
+    assert b.overlap_x(o) == 10 and b.overlap_y(o) == 20
+    assert b.intersection_area(o) == 200
+    assert b.intersection_pct(o) == 200 / 800
+    assert Bbox([1, 1, 1, 9]).intersection_pct(b) == 0.0  # degenerate self
+
+    # rotation matches the page-level kernel incl. corner normalization
+    r = Bbox([10, 20, 30, 60]).rotate(100, 200, 90)
+    assert r.bbox == [140, 10, 180, 30]
+    try:
+        Bbox([0, 0, 1, 1]).rotate(10, 10, 45)
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
+
+    s = Bbox([10, 20, 30, 60]).rescale(50, 100, 100, 200)
+    assert s.bbox == [5, 10, 15, 30]
