@@ -72,10 +72,18 @@ def main():
     results["extract_plain_text"] = round(t, 3)
     plain_tps = n_turns / t
 
-    t, _ = _timed(lambda: extract(
-        spark.read.parquet(path), ExtractConfig()).count())
-    t2, _ = _timed(lambda: extract(
-        spark.read.parquet(path), ExtractConfig()).count())
+    # extract() caches its kernel pass (links_via="persist") and Spark's
+    # cache manager dedupes by logical plan, so a repeat run would read the
+    # first run's cache and time ~nothing. Clear the cache before each pass
+    # so this measures the real cold pipeline (kernel + cache write +
+    # registry + rewrite), which is what one production pass costs.
+    def _run_struct():
+        spark.catalog.clearCache()
+        return extract(spark.read.parquet(path), ExtractConfig()).count()
+
+    t, _ = _timed(_run_struct)
+    t2, _ = _timed(_run_struct)
+    spark.catalog.clearCache()
     results["extract_struct_links"] = round(min(t, t2), 3)
 
     for name in ("dedup_minhash_lsh", "dedup_simhash", "ann_bruteforce",

@@ -497,20 +497,28 @@ def _mh_coef(p):
 
 def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash signatures + LSH banding: candidate pairs sharing a band,
-    verified by exact Jaccard ≥ 0.7. Scale path: the band join is an
-    equi-join on (band_idx, band_hash) — shuffle keys, no all-pairs."""
-    ds = _shingle_df(spark, sf_dir)
-    # all 16 permutation minima in ONE pass over the shingle table: one
-    # md5 per shingle, then 16 affine permutations (a*h+b) % M31 as 16
-    # map-side-combining min() aggregates — nothing is exploded x16 and
-    # the shuffle carries only (doc_id, 16 longs); at 100 TB the shingle
-    # table is read once and never multiplied.
-    h31 = (_h(F.col("shingle")) % F.lit(_M31)).alias("h31")
-    base = ds.select("doc_id", h31)
-    sig = base.groupBy("doc_id").agg(*[
-        F.min((F.lit(_mh_coef(p)[0]) * F.col("h31") + F.lit(_mh_coef(p)[1]))
-              % F.lit(_M31)).alias(f"mh{p}")
-        for p in range(_N_PERM)])
+    verified by exact Jaccard ≥ 0.7. Scale path: signatures are computed
+    ROW-WISE — per-doc shingle array → 16 array_min(transform(...)) — so
+    the corpus scan produces (doc_id, 16 longs) with ZERO shuffle and no
+    explode; the only shuffles left are the band equi-join on
+    (band_idx, band_hash) and the candidate-doc set verify, both sized by
+    near-dup density, not corpus size."""
+    h31_sql = ("CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT) % "
+               f"{_M31}")
+    mins = [
+        "array_min(transform(hs, h -> ({a}L * h + {b}L) % {m}L)) AS mh{p}"
+        .format(a=_mh_coef(p)[0], b=_mh_coef(p)[1], m=_M31, p=p)
+        for p in range(_N_PERM)]
+    sig = (_docs(spark, sf_dir)
+           .withColumn("toks", F.expr(_TOKS_SPARK))
+           .withColumn("sh", F.expr(_SHINGLES_SPARK))
+           .withColumn("hs", F.expr(
+               f"transform(array_distinct(sh), s -> {h31_sql})"))
+           .selectExpr("doc_id", "array_distinct(sh) AS shset", *mins)
+           # tiny: doc_id + shingle set + 16 longs, reused by the two sides
+           # of the band join and the verify step; at 100 TB a materialized
+           # signature table
+           .persist())
     bands = sig.select("doc_id", F.explode(F.array(*[
         F.struct(F.lit(bnd).alias("band_idx"),
                  F.md5(F.concat_ws("|", *[
@@ -525,20 +533,11 @@ def q_dedup_minhash_lsh(spark, sf_dir):
                    & (F.col("a.doc_id") < F.col("b.doc_id")))
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b")).distinct())
-    # verify ONLY the candidate pairs with exact jaccard — per-doc shingle
-    # sets are bounded by doc length, so this is two equi-joins on doc_id
-    # plus O(|set|) work per candidate. (The all-pairs shingle self-join
+    # verify ONLY the candidate pairs with exact jaccard on the per-doc
+    # shingle sets already carried on sig. (The all-pairs shingle self-join
     # lives in dedup_jaccard, which is by definition the exact baseline;
     # reintroducing it here would defeat the point of LSH at 100 TB.)
-    # Sets are built only for docs that appear in a candidate pair. The
-    # candidate table is tiny (near-dup pairs) but referenced twice below;
-    # persist it so the banding pipeline isn't recomputed — at 100 TB this
-    # is a materialized intermediate, same as the shingle table.
-    cand = cand.persist()
-    cand_docs = (cand.select(F.col("doc_a").alias("doc_id"))
-                 .union(cand.select(F.col("doc_b").alias("doc_id"))).distinct())
-    sets = (ds.join(cand_docs, "doc_id")
-            .groupBy("doc_id").agg(F.collect_set("shingle").alias("sh")))
+    sets = sig.select("doc_id", F.col("shset").alias("sh"))
     verified = (cand
                 .join(sets.select(F.col("doc_id").alias("doc_a"),
                                   F.col("sh").alias("sha")), "doc_a")
