@@ -631,19 +631,25 @@ def sql_dedup_clusters(sf_dir):
 
 
 def q_dedup_simhash(spark, sf_dir):
-    """32-bit SimHash per document from token hashes."""
-    d = _docs(spark, sf_dir).withColumn("toks", F.expr(_TOKS_SPARK))
-    tok = d.select("doc_id", F.explode("toks").alias("t"))
-    tok = tok.withColumn("h", _h(F.col("t")))
-    bits = tok.select("doc_id", "h",
-                      F.explode(F.expr("sequence(0, 31)")).alias("j"))
-    bits = bits.withColumn(
-        "w", F.expr("CASE WHEN (h div cast(pow(2, j) as bigint)) % 2 = 1 "
-                    "THEN 1 ELSE -1 END"))
-    agg = bits.groupBy("doc_id", "j").agg(F.sum("w").alias("s"))
-    return agg.groupBy("doc_id").agg(
-        F.sum(F.expr("CASE WHEN s > 0 THEN cast(pow(2, j) as bigint) ELSE 0 END"))
-        .alias("simhash"))
+    """32-bit SimHash per document from token hashes — fully ROW-WISE:
+    per-bit ±1 sums and the final bit assembly are nested higher-order
+    array expressions over the token-hash array, so the corpus scan emits
+    (doc_id, simhash) directly with no explode and no shuffle. Integer
+    sums of ±1 are order-independent, so values are bit-identical to the
+    grouped formulation the DuckDB oracle uses."""
+    h31 = "CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT)"
+    return (_docs(spark, sf_dir)
+            .withColumn("toks", F.expr(_TOKS_SPARK))
+            .where(F.size("toks") > 0)  # grouped form drops token-less docs
+            .withColumn("hs", F.expr(f"transform(toks, t -> {h31})"))
+            .withColumn("sums", F.expr(
+                "transform(sequence(0, 31), j -> aggregate(hs, 0L, "
+                "(acc, h) -> acc + IF((shiftright(h, j) & 1) = 1, 1, -1)))"))
+            .selectExpr(
+                "doc_id",
+                "aggregate(sequence(0, 31), 0L, (acc, j) -> "
+                "acc + IF(element_at(sums, j + 1) > 0, shiftleft(1L, j), 0L)) "
+                "AS simhash"))
 
 
 def sql_dedup_simhash(sf_dir):
