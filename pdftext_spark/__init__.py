@@ -9,11 +9,13 @@ clustering), re-expressed Spark-first:
   ``(conv_id string, turn_idx int, role string, text string, tool string,
   ts timestamp)`` where document-like turns carry a serialized char-stream
   payload and tool turns carry HTML;
-- engine: ``mapInPandas`` over Arrow batches; the kernel is vectorized
-  numpy *across all turns in a batch* (zero Spark-level per-row Python);
-- cross-turn state (link reference registry) is resolved on a tiny
-  projected side-table and broadcast-joined back, so the heavy char data
-  shuffles exactly once (the initial salted repartition).
+- engine: one ``mapInArrow`` pass; the kernel is vectorized numpy
+  *across all turns in a batch* (zero Spark-level per-row Python) and its
+  output is assembled as Arrow arrays straight from segmentation offsets;
+- cross-turn state (link reference registry) is aggregated from the tiny
+  link_dests column of the cached kernel output and broadcast-joined
+  back, so no payload is decoded twice and the heavy char data never
+  shuffles (the salted repartition engages only for clustered sources).
 
 Reference semantics are documented per-operator in SURVEY.md §2 with
 `file:line` citations into /root/reference.

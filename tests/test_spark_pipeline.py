@@ -159,3 +159,17 @@ def test_no_heavy_shuffle_after_kernel(spark, transcripts):
     exchanges = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
     heavy = [l for l in exchanges if "conv_id" in l and "turn_idx" in l and "page" not in l]
     assert len(exchanges) >= 1
+
+
+def test_links_via_prepass_matches_persist(spark, transcripts):
+    """The opt-in storage-constrained refs path (second filtered kernel
+    pass) must produce byte-identical output to the default cached
+    single-pass path."""
+    cfg = ExtractConfig()
+    a = extract(transcripts, cfg, links_via="persist") \
+        .orderBy("conv_id", "turn_idx").collect()
+    b = extract(transcripts, cfg, links_via="prepass") \
+        .orderBy("conv_id", "turn_idx").collect()
+    assert len(a) == len(b)
+    for ra, rb in zip(a, b):
+        assert ra.asDict(recursive=True) == rb.asDict(recursive=True)
