@@ -1054,6 +1054,106 @@ def sql_events_sessionize(sf_dir):
 
 
 # --------------------------------------------------------------------------
+# pipeline-composition queries (dedup materialization, sampling,
+# heavy hitters, benchmark contamination)
+# --------------------------------------------------------------------------
+
+def q_dedup_apply(spark, sf_dir):
+    """END-TO-END dedup materialization: the corpus with non-keeper
+    near-dup cluster members removed — the keep/drop decision the cluster
+    query produces, actually applied. The drop list is O(near-dups), so
+    it broadcasts; the corpus takes one anti-join scan, no shuffle of the
+    heavy text column."""
+    drop = (q_dedup_clusters(spark, sf_dir)
+            .where(~F.col("is_keeper")).select("doc_id"))
+    return (_docs(spark, sf_dir)
+            .join(F.broadcast(drop), "doc_id", "left_anti")
+            .select("doc_id", "n_chars"))
+
+
+def sql_dedup_apply(sf_dir):
+    return ("SELECT doc_id, n_chars FROM documents WHERE doc_id NOT IN ("
+            "SELECT doc_id FROM (" + sql_dedup_clusters(sf_dir) + ") c "
+            "WHERE NOT is_keeper)")
+
+
+def q_sample_hash(spark, sf_dir):
+    """Deterministic 20% corpus sample: md5(doc_id) mod 100 < 20. The
+    idiomatic reproducible sample for a 10^12-row corpus — pure scan +
+    filter (predicate pushes to the source), no RNG state, stable across
+    reruns/engines, and stratification-friendly (the hash is uniform
+    within every lang/source slice)."""
+    return (_docs(spark, sf_dir)
+            .where((_h(F.col("doc_id").cast("string")) % 100) < 20)
+            .select("doc_id", "lang", "source"))
+
+
+def sql_sample_hash(sf_dir):
+    h = _H_SQL.format(c="doc_id::VARCHAR")
+    return f"SELECT doc_id, lang, source FROM documents WHERE {h} % 100 < 20"
+
+
+def q_text_topterms(spark, sf_dir):
+    """Top-20 terms by document frequency — the heavy-hitter profile a
+    corpus audit starts with. Per-doc array_distinct happens inside the
+    row (no global distinct shuffle); the explode feeds a map-side
+    combining count; the top-k is TakeOrderedAndProject (per-partition
+    partial top-k, never a full sort)."""
+    d = _docs(spark, sf_dir).withColumn("toks", F.expr(_TOKS_SPARK))
+    return (d.select(F.explode(F.array_distinct("toks")).alias("term"))
+            .groupBy("term").agg(F.count("*").alias("doc_freq"))
+            .orderBy(F.desc("doc_freq"), F.asc("term")).limit(20))
+
+
+def sql_text_topterms(sf_dir):
+    return (
+        "WITH t AS (SELECT doc_id, " + _TOKS_DUCK + " toks FROM documents), "
+        "g AS (SELECT DISTINCT doc_id, unnest(toks) term FROM t) "
+        "SELECT term, count(*) doc_freq FROM g GROUP BY term "
+        "ORDER BY doc_freq DESC, term ASC LIMIT 20")
+
+
+def _kgram_spark(k: int) -> str:
+    return (f"CASE WHEN size(toks) < {k} THEN array() ELSE "
+            f"transform(sequence(1, size(toks) - {k} + 1), "
+            f"i -> concat_ws(' ', slice(toks, i, {k}))) END")
+
+
+def _kgram_duck(k: int) -> str:
+    return (f"CASE WHEN len(toks) < {k} THEN [] ELSE "
+            f"list_transform(range(1, len(toks) - {k} + 2), "
+            f"i -> array_to_string(toks[i:i+{k}-1], ' ')) END")
+
+
+def q_contamination(spark, sf_dir):
+    """Benchmark-contamination check: which corpus docs share a 4-gram
+    with the benchmark set (here: doc_id < 10 stands in for an eval
+    suite). The benchmark n-gram set is tiny by definition — broadcast
+    it; the corpus is scanned once and only overlapping grams survive the
+    join, so the aggregate is sized by contamination, not corpus."""
+    d = _docs(spark, sf_dir).withColumn("toks", F.expr(_TOKS_SPARK))
+    grams = d.select("doc_id",
+                     F.explode(F.array_distinct(F.expr(_kgram_spark(4))))
+                     .alias("g"))
+    bench = (grams.where(F.col("doc_id") < 10)
+             .select(F.col("g").alias("bg")).distinct())
+    return (grams.where(F.col("doc_id") >= 10)
+            .join(F.broadcast(bench), grams["g"] == F.col("bg"))
+            .groupBy("doc_id").agg(F.count("*").alias("n_overlap")))
+
+
+def sql_contamination(sf_dir):
+    toks = _kgram_duck(4)
+    return (
+        "WITH t AS (SELECT doc_id, " + _TOKS_DUCK + " toks FROM documents), "
+        f"k AS (SELECT doc_id, {toks} grams FROM t), "
+        "g AS (SELECT DISTINCT doc_id, unnest(grams) g FROM k), "
+        "b AS (SELECT DISTINCT g FROM g WHERE doc_id < 10) "
+        "SELECT doc_id, count(*) n_overlap FROM g JOIN b USING (g) "
+        "WHERE doc_id >= 10 GROUP BY doc_id")
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -1083,6 +1183,11 @@ QUERIES = {
     "dedup_embedding": (q_dedup_embedding, sql_dedup_embedding),
     "dedup_embedding_lsh": (q_dedup_embedding_lsh, sql_dedup_embedding_lsh),
     "dedup_clusters": (q_dedup_clusters, sql_dedup_clusters),
+    "dedup_apply": (q_dedup_apply, sql_dedup_apply),
+    # pipeline composition
+    "sample_hash": (q_sample_hash, sql_sample_hash),
+    "text_topterms": (q_text_topterms, sql_text_topterms),
+    "contamination": (q_contamination, sql_contamination),
     # similarity search
     "ann_bruteforce": (q_ann_bruteforce, sql_ann_bruteforce),
     "ann_ivf": (q_ann_ivf, sql_ann_ivf),
