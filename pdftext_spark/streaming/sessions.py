@@ -1,0 +1,135 @@
+"""Streaming event analytics: stateful sessionization + windowed counts.
+
+The batch form of gap-based sessionization lives in
+queries.q_events_sessionize (lag + running-sum windows). These are its
+Structured Streaming twins over the same events table
+(event_id, ts, user_id, event_type, value, props):
+
+- ``sessionize_stream``: custom stateful operator via
+  ``applyInPandasWithState`` — per-user state carries the OPEN session
+  (last event time, start, counts, type set) across micro-batches; a
+  session is emitted the moment an event arrives more than ``gap_s``
+  after the previous one. Open sessions stay in state (a continuous
+  stream never knows a session is over until the gap is observed; a
+  production deployment would add GroupStateTimeout.EventTimeTimeout to
+  flush sessions whose gap has provably passed the watermark — the
+  emit-on-gap path tested here is the deterministic core either way).
+- ``windowed_event_counts``: watermark + tumbling-window aggregation —
+  the late-data-tolerant rollup (counts and value sums per
+  window × event_type).
+
+Scale notes: state is O(active users) × O(1) per user (the type set is
+bounded by event-type cardinality); each micro-batch shuffles only the
+new events on user_id — the same partitioning the batch query uses.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+GAP_US_DEFAULT = 1800 * 1_000_000  # 30 min, matches q_events_sessionize
+
+SESSION_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("session_start_us", LongType()),
+    StructField("n_events", LongType()),
+    StructField("duration_us", LongType()),
+    StructField("n_types", LongType()),
+])
+
+# open-session state: last event us, session start us, event count,
+# "|"-joined sorted distinct event types (struct-of-scalars keeps the
+# state codec trivial)
+STATE_SCHEMA = StructType([
+    StructField("us_last", LongType()),
+    StructField("us_start", LongType()),
+    StructField("n_events", LongType()),
+    StructField("types", StringType()),
+])
+
+
+def _epoch_us(ts_col):
+    return F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {ts_col})")
+
+
+def _close(user_id: int, st) -> dict:
+    return {
+        "user_id": user_id,
+        "session_start_us": st[1],
+        "n_events": st[2],
+        "duration_us": st[0] - st[1],
+        "n_types": len(st[3].split("|")) if st[3] else 0,
+    }
+
+
+def _session_fn(gap_us: int):
+    def update(key, pdfs, state):
+        user_id = key[0]
+        events = pd.concat(list(pdfs), ignore_index=True)
+        if len(events) == 0:
+            return
+        events = events.sort_values(["us", "event_id"])
+        if state.exists:
+            st = list(state.get)
+        else:
+            st = None
+        closed = []
+        for us, etype in zip(events["us"].tolist(),
+                             events["event_type"].tolist()):
+            if st is None:
+                st = [us, us, 1, etype]
+                continue
+            if us - st[0] > gap_us:
+                closed.append(_close(user_id, st))
+                st = [us, us, 1, etype]
+            else:
+                types = set(st[3].split("|")) if st[3] else set()
+                types.add(etype)
+                st = [us, st[1], st[2] + 1, "|".join(sorted(types))]
+        state.update(tuple(st))
+        if closed:
+            yield pd.DataFrame(closed)
+
+    return update
+
+
+def sessionize_stream(events: DataFrame, gap_s: int = 1800) -> DataFrame:
+    """events readStream → closed sessions (append). Input needs columns
+    (event_id, ts, user_id, event_type)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    # epoch micros come from the parquet-naive (NTZ) ts; the watermark
+    # column must be TIMESTAMP, so cast a copy (session tz is fixed UTC in
+    # sources/session.py, making the mapping stable)
+    ev = events.withColumn("us", _epoch_us("ts")) \
+        .withColumn("wts", F.col("ts").cast("timestamp")) \
+        .select("user_id", "event_id", "event_type", "us", "wts") \
+        .withWatermark("wts", "1 minute")
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _session_fn(gap_s * 1_000_000),
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def windowed_event_counts(events: DataFrame, window: str = "1 hour",
+                          watermark: str = "30 minutes") -> DataFrame:
+    """Tumbling-window event rollup with a watermark for late data:
+    (window, event_type) → count + exact value cents sum."""
+    events = events.withColumn("wts", F.col("ts").cast("timestamp"))
+    return (events.withWatermark("wts", watermark)
+            .groupBy(F.window("wts", window).alias("w"), "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum(F.round(F.col("value") * 100).cast("long"))
+                 .alias("value_cents")))

@@ -1,0 +1,96 @@
+"""Streaming sessionization (applyInPandasWithState) + watermarked window
+aggregation, verified against independently computed batch truth."""
+
+import os
+
+import duckdb
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _batch_sessions():
+    """Ground truth from DuckDB: 30-min-gap sessions per user, split into
+    (closed-by-a-later-event, open-at-end-of-data)."""
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT user_id, epoch_us(ts) us, event_id, event_type "
+        f"FROM read_parquet('{SF}/events.parquet') "
+        f"ORDER BY user_id, us, event_id").fetchall()
+    sessions = {}
+    cur = {}
+    for user, us, _eid, etype in rows:
+        st = cur.get(user)
+        if st is None:
+            cur[user] = [us, us, 1, {etype}]
+            continue
+        if us - st[0] > 1800 * 1_000_000:
+            sessions.setdefault(user, []).append(st)
+            cur[user] = [us, us, 1, {etype}]
+        else:
+            st[0] = us
+            st[2] += 1
+            st[3].add(etype)
+    closed = {(u, st[1], st[2], st[0] - st[1], len(st[3]))
+              for u, sts in sessions.items() for st in sts}
+    open_ = {(u, st[1], st[2], st[0] - st[1], len(st[3]))
+             for u, st in cur.items()}
+    return closed, open_
+
+
+@pytest.fixture()
+def two_batch_dir(spark, tmp_path):
+    """The events corpus split into two time-ordered file batches, so the
+    stream crosses a micro-batch boundary mid-session."""
+    src = spark.read.parquet(os.path.join(SF, "events.parquet"))
+    mid = src.selectExpr("percentile_approx(ts, 0.5) m").collect()[0]["m"]
+    d = str(tmp_path / "events_in")
+    src.where(src.ts <= mid).coalesce(1).write.parquet(d)
+    src.where(src.ts > mid).coalesce(1).write.mode("append").parquet(d)
+    return d
+
+
+def test_sessionize_stream_matches_batch_truth(spark, two_batch_dir, tmp_path):
+    from pdftext_spark.streaming.sessions import sessionize_stream
+
+    schema = spark.read.parquet(os.path.join(SF, "events.parquet")).schema
+    stream = spark.readStream.schema(schema) \
+        .option("maxFilesPerTrigger", 1).parquet(two_batch_dir)
+    q = (sessionize_stream(stream).writeStream
+         .format("memory").queryName("sess_out")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r["user_id"], r["session_start_us"], r["n_events"],
+            r["duration_us"], r["n_types"])
+           for r in spark.sql("SELECT * FROM sess_out").collect()}
+    closed, open_ = _batch_sessions()
+    # every gap-closed session must be emitted exactly once, and nothing
+    # else: sessions still open at end-of-data stay in state by design
+    assert got == closed
+    assert got.isdisjoint(open_)
+
+
+def test_windowed_event_counts_matches_batch(spark, two_batch_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from pdftext_spark.streaming.sessions import windowed_event_counts
+
+    schema = spark.read.parquet(os.path.join(SF, "events.parquet")).schema
+    stream = spark.readStream.schema(schema).parquet(two_batch_dir)
+    q = (windowed_event_counts(stream).writeStream
+         .format("memory").queryName("win_out").outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "ckpt_w"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r["w"]["start"], r["event_type"], r["n_events"], r["value_cents"])
+           for r in spark.sql("SELECT * FROM win_out").collect()}
+    batch = (spark.read.parquet(two_batch_dir)
+             .withColumn("wts", F.col("ts").cast("timestamp"))
+             .groupBy(F.window("wts", "1 hour").alias("w"), "event_type")
+             .agg(F.count("*").alias("n_events"),
+                  F.sum(F.round(F.col("value") * 100).cast("long"))
+                  .alias("value_cents")))
+    exp = {(r["w"]["start"], r["event_type"], r["n_events"], r["value_cents"])
+           for r in batch.collect()}
+    assert got == exp and len(got) > 10
