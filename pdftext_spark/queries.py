@@ -827,6 +827,57 @@ def sql_ann_bruteforce(sf_dir):
         "SELECT qid, rank, cid neighbor_id, cos FROM r WHERE rank <= 5")
 
 
+def q_ann_bruteforce_np(spark, sf_dir):
+    """The same brute-force top-5, scored by an ARROW-BATCHED NUMPY kernel
+    (mapInPandas) — the 100 TB form of the dot product. Each batch computes
+    cosines against the driver-collected query matrix (8 rows — the
+    broadcast side) and emits only its partial top-k per query, so the
+    shuffle carries O(batches × k) rows instead of |queries| × |corpus|;
+    the final window ranks the tiny union.
+
+    Value parity: sums run in SEQUENTIAL order (np.cumsum row scans), which
+    is bit-identical to the aggregate() fold of ann_bruteforce and the
+    DuckDB list_sum oracle — this query shares ann_bruteforce's oracle SQL.
+    Partial top-k uses the unrounded cosine with a 16-wide margin, so the
+    post-round tie order (cos DESC, cid ASC) cannot change membership."""
+    import numpy as np
+    import pandas as pd
+
+    e = _emb(spark, sf_dir)
+    qrows = e.where(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+    qids = [int(r["vec_id"]) for r in qrows]
+    Q = np.asarray([r["embedding"] for r in qrows], dtype=np.float64)
+    nq = np.sqrt(np.cumsum(Q * Q, axis=1)[:, -1])
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+            cids = pdf["vec_id"].to_numpy()
+            ncand = np.sqrt(np.cumsum(E * E, axis=1)[:, -1])
+            out = []
+            for qi, qid in enumerate(qids):
+                dots = np.cumsum(E * Q[qi][None, :], axis=1)[:, -1]
+                cos = dots / (nq[qi] * ncand)
+                keep = np.flatnonzero(cids != qid)
+                order = np.lexsort((cids[keep], -cos[keep]))[:16]
+                sel = keep[order]
+                out.append(pd.DataFrame(
+                    {"qid": qid, "cid": cids[sel], "cos": cos[sel]}))
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    scored = e.select("vec_id", "embedding").mapInPandas(
+        score, "qid long, cid long, cos double")
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_r"), F.asc("cid"))
+    return (scored.withColumn("cos_r", F.round("cos", 6))
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= 5)
+            .select("qid", "rank", F.col("cid").alias("neighbor_id"),
+                    F.col("cos_r").alias("cos")))
+
+
 def q_ann_ivf(spark, sf_dir):
     """IVF-style bucketed search: centroids = vec_id < 8; every vector is
     assigned to its nearest centroid (one shuffle on bucket id), then
@@ -1190,6 +1241,7 @@ QUERIES = {
     "contamination": (q_contamination, sql_contamination),
     # similarity search
     "ann_bruteforce": (q_ann_bruteforce, sql_ann_bruteforce),
+    "ann_bruteforce_np": (q_ann_bruteforce_np, sql_ann_bruteforce),
     "ann_ivf": (q_ann_ivf, sql_ann_ivf),
     # multimodal
     "mm_metadata": (q_mm_metadata, sql_mm_metadata),
