@@ -1,0 +1,53 @@
+"""Physical-plan assertions: the scale-critical plan properties the
+queries claim in their docstrings must actually appear in the executed
+plan — broadcasts broadcast, partial top-k stays partial, scans that
+should not shuffle do not."""
+
+from pdftext_spark import queries as Q
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name):
+    df = Q.QUERIES[name][0](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _shuffles(plan):
+    # data-moving exchanges only (broadcast exchanges are the cheap side)
+    return plan.count("Exchange") - plan.count("BroadcastExchange")
+
+
+def test_sample_hash_is_pure_scan(spark):
+    p = _plan(spark, "sample_hash")
+    assert _shuffles(p) == 0 and "BroadcastHashJoin" not in p
+
+
+def test_dedup_apply_broadcast_anti_join(spark):
+    p = _plan(spark, "dedup_apply")
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    # the corpus side never shuffles; only the tiny drop-list pipeline does
+    assert "Exchange hashpartitioning(doc_id" not in p.split("LeftAnti")[0]
+
+
+def test_contamination_broadcasts_benchmark(spark):
+    p = _plan(spark, "contamination")
+    assert "BroadcastHashJoin" in p
+
+
+def test_topterms_partial_topk(spark):
+    p = _plan(spark, "text_topterms")
+    assert "TakeOrderedAndProject" in p  # no global sort
+    assert _shuffles(p) == 1            # exactly the term aggregation
+
+
+def test_minhash_signatures_no_aggregation_shuffle(spark):
+    # signatures are row-wise; the only data shuffle left is the band join
+    p = _plan(spark, "dedup_minhash_lsh")
+    assert _shuffles(p) <= 1
+    assert p.count("BroadcastHashJoin") >= 2  # candidate + verify joins
+
+
+def test_simhash_no_shuffle(spark):
+    p = _plan(spark, "dedup_simhash")
+    assert _shuffles(p) == 0 and "Generate" not in p  # no explode at all
