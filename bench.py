@@ -87,7 +87,7 @@ def main():
     results["extract_struct_links"] = round(min(t, t2), 3)
 
     for name in ("dedup_minhash_lsh", "dedup_simhash", "ann_bruteforce",
-                 "text_quality", "rel_pricing_summary"):
+                 "ann_bruteforce_np", "text_quality", "rel_pricing_summary"):
         fn, _sql = QUERIES[name]
         t, _ = _timed(lambda f=fn: f(spark, SF_DIR).count())
         results[name] = round(t, 3)
