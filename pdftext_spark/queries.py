@@ -327,17 +327,30 @@ def sql_extract_span_counts(sf_dir):
 # 2a. text analysis (documents)
 # --------------------------------------------------------------------------
 
+# GPT-2-style pretokenizer, restricted to constructs RE2 (DuckDB) and
+# java.util.regex (Spark) treat identically: leftmost-first alternation
+# over letter runs / digit runs / punctuation runs (each with an optional
+# leading space) / space runs. No lookahead (RE2 has none).
+_BPE_RE = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
+
+
 def q_text_tokens(spark, sf_dir):
+    """Token counting, both ways the pipeline needs it: whitespace tokens
+    (the cheap budget estimate) and BPE-ish pretokenizer pieces (the
+    LLM-cost proxy)."""
     d = _docs(spark, sf_dir)
     return d.select(
         "doc_id",
         F.expr(f"size({_TOKS_SPARK})").cast("long").alias("n_tokens"),
+        F.size(F.expr(f"regexp_extract_all(text, '{_BPE_RE}', 0)"))
+        .cast("long").alias("n_bpe_tokens"),
         F.length("text").cast("long").alias("n_chars"),
     )
 
 
 def sql_text_tokens(sf_dir):
     return (f"SELECT doc_id, len({_TOKS_DUCK})::BIGINT n_tokens, "
+            f"len(regexp_extract_all(text, '{_BPE_RE}'))::BIGINT n_bpe_tokens, "
             f"length(text)::BIGINT n_chars FROM documents")
 
 
