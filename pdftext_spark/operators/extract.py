@@ -89,7 +89,8 @@ def link_registrations(transcripts: DataFrame, cfg: ExtractConfig) -> DataFrame:
                  pa.array(dests, type=LINK_DEST_PA)],
                 schema=target)
 
-    cand = transcripts.where(F.col("text").contains('"links"'))
+    cand = (transcripts.select("conv_id", "turn_idx", "role", "text")
+            .where(F.col("text").contains('"links"')))
     return cand.mapInArrow(run, schema=schema)
 
 
@@ -112,6 +113,10 @@ def extract(transcripts: DataFrame, cfg: ExtractConfig = ExtractConfig(),
       and a ~15% decode tax is cheaper than the storage.
     """
     spark = transcripts.sparkSession
+    # Catalyst cannot prune columns INTO the Python kernel, so project the
+    # kernel's contract explicitly — extra input columns (e.g. `tool`)
+    # would otherwise be scanned and, worse, shuffled by the salt.
+    transcripts = transcripts.select("conv_id", "turn_idx", "role", "text", "ts")
     n_parts = cfg.partitions or spark.sparkContext.defaultParallelism * 2
     # Salting defeats conversation-clustered inputs (an Iceberg table
     # bucketed by conv_id would put a mega-conversation in one task). When
