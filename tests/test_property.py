@@ -234,3 +234,61 @@ def test_postprocess_property(s):
 @settings(**SETTINGS)
 def test_hyphens_property(s, keep):
     assert handle_hyphens(s, keep) == hyphens_text(s, keep)
+
+
+def _arrow_rows(texts, cfg):
+    """Run the Arrow fast path (route_batch + assemble_record_batch) on an
+    in-process RecordBatch — the exact code Spark's mapInArrow executes —
+    and return python rows."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from pdftext_spark.core.api import route_batch
+    from pdftext_spark.core.arrow_out import assemble_record_batch
+    from pdftext_spark.operators.schema import EXTRACTED
+
+    target = to_arrow_schema(EXTRACTED)
+    n = len(texts)
+    ids = list(range(n))
+    batch = pa.RecordBatch.from_arrays([
+        pa.array([f"c{i}" for i in ids]),
+        pa.array(ids, pa.int32()),
+        pa.array(["user"] * n),
+        pa.array(texts),
+        pa.array([0] * n, target.field("ts").type),
+    ], names=["conv_id", "turn_idx", "role", "text", "ts"])
+    rb = route_batch(texts, ["user"] * n, ids, cfg)
+    return assemble_record_batch(batch, rb, cfg, target).to_pylist()
+
+
+@given(texts=st.lists(_payload_st, min_size=1, max_size=4),
+       keep_chars=st.booleans(), sort=st.booleans())
+@settings(**SETTINGS)
+def test_arrow_path_equals_dict_path(texts, keep_chars, sort):
+    """The columnar Arrow assembly must be value-identical to the dict
+    kernel for every flag combination, including link splits and
+    keep_chars char gathers, on adversarial payloads."""
+    cfg = ExtractConfig(keep_chars=keep_chars, sort=sort)
+    rows = _arrow_rows(texts, cfg)
+    outs = process_batch(texts, ["user"] * len(texts),
+                         list(range(len(texts))), cfg)
+    assert len(rows) == len(outs)
+    for row, o in zip(rows, outs):
+        assert row["text"] == o.text
+        assert row["n_chars"] == o.n_chars
+        assert row["n_spans"] == o.n_spans
+        dests = [{"ord": r[0], "gid": r[1], "dest_page": r[2],
+                  "x": r[3], "y": r[4]} for r in o.registrations]
+        assert deep_eq(row["link_dests"], dests) is None
+        exp_page = o.page
+        if exp_page is not None:
+            for blk in exp_page["blocks"]:
+                for ln in blk["lines"]:
+                    for sp in ln["spans"]:
+                        if keep_chars:
+                            for c in sp.get("chars", []):
+                                c.pop("font", None)
+                        else:
+                            sp.setdefault("chars", None)
+        r = deep_eq(row["page"], exp_page)
+        assert r is None, r
