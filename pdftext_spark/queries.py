@@ -1217,6 +1217,39 @@ def sql_contamination(sf_dir):
         "WHERE doc_id >= 10 GROUP BY doc_id")
 
 
+def q_curate_corpus(spark, sf_dir):
+    """The END-TO-END curation pipeline in one plan — what a training-data
+    job actually ships: language gate (stopword-vote lang-id == 'en'),
+    quality gate (stopword ratio ≥ 0.05), near-dup removal (broadcast
+    anti-join against the non-keeper list), and benchmark-contamination
+    removal (broadcast anti-join against contaminated doc ids). One corpus
+    scan; every side input is O(flagged docs) and broadcasts."""
+    d = _docs(spark, sf_dir).withColumn("toks", F.expr(_TOKS_SPARK))
+    votes = {lang: F.expr(f"size(filter(toks, t -> t IN ({_sw_list(lang)})))")
+             for lang in _STOPWORDS}
+    is_en = (votes["en"] >= votes["de"]) & (votes["en"] >= votes["fr"])
+    sw_ratio = votes["en"] / F.expr("size(toks)")
+    filt = d.where(is_en & (sw_ratio >= 0.05)).select("doc_id", "n_chars")
+    drop = (q_dedup_clusters(spark, sf_dir)
+            .where(~F.col("is_keeper")).select("doc_id"))
+    contam = q_contamination(spark, sf_dir).select("doc_id")
+    return (filt.join(F.broadcast(drop), "doc_id", "left_anti")
+            .join(F.broadcast(contam), "doc_id", "left_anti"))
+
+
+def sql_curate_corpus(sf_dir):
+    v = {lang: f"len(list_filter(toks, t -> t IN ({_sw_list(lang)})))"
+         for lang in _STOPWORDS}
+    return (
+        "WITH t AS (SELECT doc_id, n_chars, " + _TOKS_DUCK + " toks FROM documents), "
+        f"f AS (SELECT doc_id, n_chars FROM t WHERE {v['en']} >= {v['de']} "
+        f"AND {v['en']} >= {v['fr']} AND {v['en']} * 1.0 / len(toks) >= 0.05) "
+        "SELECT doc_id, n_chars FROM f WHERE doc_id NOT IN ("
+        "SELECT doc_id FROM (" + sql_dedup_clusters(sf_dir) + ") c "
+        "WHERE NOT is_keeper) AND doc_id NOT IN ("
+        "SELECT doc_id FROM (" + sql_contamination(sf_dir) + ") x)")
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1252,6 +1285,7 @@ QUERIES = {
     "sample_hash": (q_sample_hash, sql_sample_hash),
     "text_topterms": (q_text_topterms, sql_text_topterms),
     "contamination": (q_contamination, sql_contamination),
+    "curate_corpus": (q_curate_corpus, sql_curate_corpus),
     # similarity search
     "ann_bruteforce": (q_ann_bruteforce, sql_ann_bruteforce),
     "ann_bruteforce_np": (q_ann_bruteforce_np, sql_ann_bruteforce),
