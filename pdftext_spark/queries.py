@@ -1082,6 +1082,37 @@ def sql_rel_region_volume(sf_dir):
         "GROUP BY r_name ORDER BY r_name")
 
 
+def q_rel_rollup(spark, sf_dir):
+    """Hierarchical rollup (region → nation → grand total) over supplier
+    account balances — grouping-sets coverage with exact integer cents.
+    Dimensions broadcast; the rollup is one map-side-combining aggregate
+    over the fact scan."""
+    su = spark.read.parquet(os.path.join(sf_dir, "supplier.parquet"))
+    na = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    re_ = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
+    j = (su.join(F.broadcast(na), su["s_nationkey"] == na["n_nationkey"])
+         .join(F.broadcast(re_), na["n_regionkey"] == re_["r_regionkey"]))
+    # rollup NULL indicators become explicit 'ALL' labels so the output
+    # carries no NULL grouping keys (names are non-null, so no ambiguity)
+    return (j.rollup("r_name", "n_name")
+            .agg(F.count("*").alias("n_suppliers"),
+                 F.sum(F.round(F.col("s_acctbal") * 100).cast("long"))
+                 .cast("long").alias("acctbal_cents"))
+            .select(F.coalesce("r_name", F.lit("ALL")).alias("r_name"),
+                    F.coalesce("n_name", F.lit("ALL")).alias("n_name"),
+                    "n_suppliers", "acctbal_cents"))
+
+
+def sql_rel_rollup(sf_dir):
+    return (
+        "SELECT coalesce(r_name, 'ALL') r_name, coalesce(n_name, 'ALL') n_name, "
+        "count(*) n_suppliers, "
+        "sum(round(s_acctbal * 100)::BIGINT)::BIGINT acctbal_cents "
+        "FROM supplier JOIN nation ON s_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "GROUP BY ROLLUP (r_name, n_name)")
+
+
 def q_events_sessionize(spark, sf_dir):
     """Gap-based sessionization over the events stream table (30-min
     inactivity closes a session) — lag + running-sum window composition,
@@ -1297,5 +1328,6 @@ QUERIES = {
     "rel_pricing_summary": (q_rel_pricing_summary, sql_rel_pricing_summary),
     "rel_top_customers": (q_rel_top_customers, sql_rel_top_customers),
     "rel_region_volume": (q_rel_region_volume, sql_rel_region_volume),
+    "rel_rollup": (q_rel_rollup, sql_rel_rollup),
     "events_sessionize": (q_events_sessionize, sql_events_sessionize),
 }

@@ -116,8 +116,10 @@ def main():
         elif stypes != dtypes_c:
             bad = [(c, a, b) for c, a, b in zip(scols, stypes, dtypes_c) if a != b]
             status.append(f"dtypes differ {bad}")
-        sset = sorted(tuple(norm(v) for v in row) for row in srows)
-        dset = sorted(tuple(norm(v) for v in row) for row in drows)
+        # key=repr: None/mixed-type cells are not mutually orderable, but
+        # identical multisets sort identically under repr
+        sset = sorted((tuple(norm(v) for v in row) for row in srows), key=repr)
+        dset = sorted((tuple(norm(v) for v in row) for row in drows), key=repr)
         if sset != dset:
             diff = [(a, b) for a, b in zip(sset, dset) if a != b][:2]
             extra_s = [r for r in sset if r not in dset][:2]
