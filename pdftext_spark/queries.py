@@ -1113,6 +1113,30 @@ def sql_rel_rollup(sf_dir):
         "GROUP BY ROLLUP (r_name, n_name)")
 
 
+def q_events_value_stats(spark, sf_dir):
+    """Exact ordered statistics per event type — median and p90 of the
+    value column via Spark's exact `percentile` (DuckDB `quantile_cont`;
+    both use the standard (n-1)·p linear interpolation). At 100 TB the
+    exact sort-based percentile becomes approx_percentile with a bounded
+    error budget; here the gate wants bit-equality, so exact it is."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return (ev.groupBy("event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+                 F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+                 F.round(F.min("value"), 6).alias("vmin"),
+                 F.round(F.max("value"), 6).alias("vmax")))
+
+
+def sql_events_value_stats(sf_dir):
+    return (
+        "SELECT event_type, count(*) n_events, "
+        "round(quantile_cont(value, 0.5), 6) p50, "
+        "round(quantile_cont(value, 0.9), 6) p90, "
+        "round(min(value), 6) vmin, round(max(value), 6) vmax "
+        "FROM events GROUP BY event_type")
+
+
 def q_events_sessionize(spark, sf_dir):
     """Gap-based sessionization over the events stream table (30-min
     inactivity closes a session) — lag + running-sum window composition,
@@ -1329,5 +1353,6 @@ QUERIES = {
     "rel_top_customers": (q_rel_top_customers, sql_rel_top_customers),
     "rel_region_volume": (q_rel_region_volume, sql_rel_region_volume),
     "rel_rollup": (q_rel_rollup, sql_rel_rollup),
+    "events_value_stats": (q_events_value_stats, sql_events_value_stats),
     "events_sessionize": (q_events_sessionize, sql_events_sessionize),
 }
