@@ -292,3 +292,16 @@ def test_arrow_path_equals_dict_path(texts, keep_chars, sort):
                             sp.setdefault("chars", None)
         r = deep_eq(row["page"], exp_page)
         assert r is None, r
+
+
+@given(s=st.lists(st.sampled_from(
+    list("<>/&;=\"' abcdiv!-[]CDATA\n\tspan") + ["<div", "<a href=", "</div>",
+         "<script>", "</script>", "<!--", "-->", "<![CDATA[", "]]>", "&amp;",
+         "<p>", "<body>", "<template>", "<br/>"]), max_size=120).map("".join))
+@settings(**SETTINGS)
+def test_html_tag_soup_never_crashes(s):
+    """100 TB of scraped HTML contains every malformed construct there is;
+    the scorer must always terminate and return a string, never raise."""
+    from pdftext_spark.core.html_main import extract_main_text
+    out = extract_main_text(s)
+    assert isinstance(out, str)
