@@ -7,6 +7,7 @@ implementations and require bit-exact agreement.
 """
 
 import json
+import os
 
 import hypothesis.strategies as st
 from hypothesis import HealthCheck, given, settings
@@ -18,7 +19,9 @@ from pdftext_spark.core.textproc import handle_hyphens, postprocess_text
 from tests.oracle_naive import hyphens_text, oracle_dictionary, oracle_plain, pp_text
 from tests.test_core_parity import deep_eq
 
-SETTINGS = dict(max_examples=150, deadline=None, derandomize=True,
+# HYP_EXAMPLES=2000 for a heavy pre-release shake-out run
+SETTINGS = dict(max_examples=int(os.environ.get("HYP_EXAMPLES", "150")),
+                deadline=None, derandomize=True,
                 suppress_health_check=[HealthCheck.too_slow])
 
 _CHAR_POOL = list("abcXY z12.'-∞ﬁﬀ") + ["\n", "\x02", " ", "\xa0", "\x7f", "\r", "\t"]
