@@ -25,6 +25,13 @@ def _run(payloads, page_range, cfg):
     if page_range is None:
         page_range = range(len(payloads))
     page_range = list(page_range)
+    # Reference CLI bounds check (scripts/extract_text.py:43), verbatim
+    # including its inclusive upper bound quirk (`p == doc_len` passes the
+    # assert there and only fails later inside pdfium; here it fails on
+    # the list index below) — out-of-range pages get the reference's clean
+    # assertion message, not a bare IndexError.
+    assert all(0 <= p <= len(payloads) for p in page_range), \
+        "Invalid page number(s) provided"
     texts = [payloads[i] for i in page_range]
     outs = process_batch(texts, ["user"] * len(texts), page_range, cfg)
     if not cfg.disable_links and cfg.emit_struct:

@@ -180,6 +180,17 @@ class Bbox:
         out = rotate_boxes(np.asarray([self.bbox]), page_width, page_height, rotation)
         return Bbox(out[0].tolist())
 
-    def rescale(self, img_w: float, img_h: float, page_w: float, page_h: float) -> "Bbox":
+    def rescale(self, img_size, page=None, *extra) -> "Bbox":
+        """Reference signature (schema.py:116-126): ``rescale(img_size,
+        page)`` where ``img_size`` is ``[w, h]`` and ``page`` is a dict
+        with ``width``/``height`` keys — ported reference code calls it
+        exactly that way. The legacy flat-scalar form
+        ``rescale(img_w, img_h, page_w, page_h)`` is also accepted."""
+        if extra:
+            img_w, img_h = float(img_size), float(page)
+            page_w, page_h = float(extra[0]), float(extra[1])
+        else:
+            img_w, img_h = float(img_size[0]), float(img_size[1])
+            page_w, page_h = float(page["width"]), float(page["height"])
         out = rescale_boxes(np.asarray([self.bbox]), img_w, img_h, page_w, page_h)
         return Bbox(out[0].tolist())

@@ -15,8 +15,17 @@ inside spans and (b) a tiny `link_dests` side column. This operator is
    nested page column (which also dodges a pyarrow segfault on
    arrow→pandas for this depth of nesting).
 
-At 10^12 turns the registry is millions of rows — negligible — so the
-broadcast joins hold; the heavy data shuffles zero times here.
+At 10^12 turns the registry is usually millions of rows — small enough
+to broadcast — but on link-dense corpora the per-turn url-map table is
+O(linked turns) and a hard-forced broadcast would OOM the driver instead
+of degrading. `resolve_refs` therefore counts the registrations (a
+column-pruned scan of the tiny `link_dests` column) and drops the
+`F.broadcast` hints above `broadcast_threshold`, letting AQE pick a
+broadcast or sort-merge join on (conv_id, turn_idx) at runtime. Both
+side tables are pre-merged into ONE per-(conv, turn) table so the heavy
+nested page column meets at most one join: zero shuffles on the
+broadcast path, exactly one (the unavoidable sort-merge exchange) on
+the fallback path.
 """
 
 from __future__ import annotations
@@ -70,22 +79,35 @@ def _span_with_url(s: Column, url_map: Column) -> Column:
     )
 
 
+# Above this many registrations the per-turn url-map / target tables stop
+# being "obviously driver-safe" (rule of thumb: ~100 bytes/row -> ~500 MB
+# at 5e6, within spark.sql.autoBroadcastJoinThreshold territory but not a
+# forced-broadcast bet). AQE decides from real runtime sizes beyond it.
+DEFAULT_BROADCAST_THRESHOLD = 5_000_000
+
+
 def resolve_refs(extracted: DataFrame, persist: bool = True,
-                 registrations: DataFrame | None = None) -> DataFrame:
+                 registrations: DataFrame | None = None,
+                 broadcast_threshold: int | None = DEFAULT_BROADCAST_THRESHOLD,
+                 ) -> DataFrame:
     # The registry needs the link_dests side data. Three supply modes:
     # 1. `registrations` given (operators/extract.py's light pre-pass over
     #    only link-bearing turns) — the heavy output is consumed exactly
-    #    once, nothing persists;
+    #    once; the small registrations frame is persisted since the
+    #    registry build + size gate read it several times;
     # 2. persist=True — registry aggregated from `extracted` itself, which
     #    is persisted so the kernel doesn't re-run per consumer (tests,
     #    ad-hoc use);
     # 3. persist=False — caller already materialized `extracted` to storage
     #    (streaming/incremental.py's staged read-back).
+    persisted: list[DataFrame] = []
     if registrations is not None:
-        reg_source = registrations
+        reg_source = registrations.persist()
+        persisted.append(reg_source)
     else:
         if persist:
             extracted = extracted.persist()
+            persisted.append(extracted)
         reg_source = extracted
     registry = build_registry(reg_source)
 
@@ -103,23 +125,36 @@ def resolve_refs(extracted: DataFrame, persist: bool = True,
 
     # per-target-turn refs arrays (refs POINTING TO that turn)
     targets = (_firsts(_registrations(reg_source))
-               .groupBy("conv_id", F.col("dest_page").alias("t_turn"))
+               .groupBy("conv_id", F.col("dest_page").alias("turn_idx"))
                .agg(F.sort_array(F.collect_list(F.struct("idx", "x", "y")))
                     .alias("page_refs")))
 
+    # ONE side table so the heavy page column meets at most one join.
+    side = url_maps.join(targets, on=["conv_id", "turn_idx"], how="full_outer")
+
+    # Broadcast size gate (VERDICT r2): a hard-forced broadcast on a
+    # link-dense corpus OOMs the driver instead of degrading. The
+    # registration count is a column-pruned scan of the tiny link_dests
+    # column — cheap against the already-persisted/staged reg_source.
+    do_broadcast = True
+    if broadcast_threshold is not None:
+        n_regs = (reg_source.select(F.coalesce(F.size("link_dests"), F.lit(0))
+                                    .alias("n"))
+                  .agg(F.sum("n")).collect()[0][0] or 0)
+        do_broadcast = n_regs <= broadcast_threshold
+    if do_broadcast:
+        side = F.broadcast(side)
+
     out = (extracted.alias("e")
-           .join(F.broadcast(url_maps.alias("u")),
+           .join(side.alias("u"),
                  on=[F.col("e.conv_id") == F.col("u.conv_id"),
-                     F.col("e.turn_idx") == F.col("u.turn_idx")], how="left")
-           .join(F.broadcast(targets.alias("t")),
-                 on=[F.col("e.conv_id") == F.col("t.conv_id"),
-                     F.col("e.turn_idx") == F.col("t.t_turn")], how="left"))
+                     F.col("e.turn_idx") == F.col("u.turn_idx")], how="left"))
 
     page = F.col("e.page")
     url_map = F.col("u.url_map")
     refs_col = F.when(
-        F.col("t.page_refs").isNotNull(),
-        F.transform(F.col("t.page_refs"), lambda r: F.struct(
+        F.col("u.page_refs").isNotNull(),
+        F.transform(F.col("u.page_refs"), lambda r: F.struct(
             r["idx"].alias("idx"),
             page["page"].alias("page"),
             F.array(r["x"], r["y"]).alias("coord"),
@@ -151,5 +186,9 @@ def resolve_refs(extracted: DataFrame, persist: bool = True,
     ).cast(PAGE)).otherwise(F.lit(None).cast(PAGE))
 
     keep = [F.col(f"e.{c}").alias(c) for c in extracted.columns if c != "page"]
-    return out.select(*keep, new_page.alias("page")) \
+    result = out.select(*keep, new_page.alias("page")) \
         .select(*extracted.columns)  # restore original column order
+    # handle for cache-eviction seams (queries.unpersist_tier): the persist
+    # above is internal, so callers need this to release storage memory
+    result._pdftext_persisted = persisted
+    return result

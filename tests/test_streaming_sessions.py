@@ -71,6 +71,52 @@ def test_sessionize_stream_matches_batch_truth(spark, two_batch_dir, tmp_path):
     assert got.isdisjoint(open_)
 
 
+class _FakeState:
+    def __init__(self):
+        self._v, self.exists = None, False
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v, self.exists = v, True
+
+
+def test_session_fn_late_event_and_delimiter_types():
+    """A late-but-within-watermark event arriving in a later micro-batch
+    must not rewind the gap clock (falsely closing the session at the next
+    event) and must pull the session start back; event types containing
+    '|' must count correctly (state is JSON-encoded)."""
+    import pandas as pd
+
+    from pdftext_spark.streaming.sessions import _close, _session_fn
+
+    fn = _session_fn(gap_us=1800 * 1_000_000)
+    st = _FakeState()
+    m = 60 * 1_000_000  # one minute in us
+
+    def feed(rows):
+        pdf = pd.DataFrame(rows, columns=["us", "event_id", "event_type"])
+        return list(fn((7,), [pdf], st))
+
+    # batch 1: events at t=10min and t=20min
+    assert feed([(10 * m, 1, "a|b"), (20 * m, 2, "a|b")]) == []
+    # batch 2: a LATE event at t=5min (within the 30-min gap of us_last).
+    # Old behavior rewound us_last to 5min; then t=40min would read as a
+    # 35-min gap and falsely close. Correct: 40-20=20min, same session.
+    assert feed([(5 * m, 3, "c")]) == []
+    assert feed([(40 * m, 4, "d")]) == []
+    closed = _close(7, list(st.get))
+    assert closed["session_start_us"] == 5 * m   # start pulled back
+    assert closed["n_events"] == 4
+    assert closed["duration_us"] == (40 - 5) * m
+    assert closed["n_types"] == 3                # {'a|b','c','d'}, not 4
+    # a true gap now closes exactly one session
+    out = feed([(100 * m, 5, "e")])
+    assert len(out) == 1 and out[0].iloc[0]["n_events"] == 4
+
+
 def test_windowed_event_counts_matches_batch(spark, two_batch_dir, tmp_path):
     from pyspark.sql import functions as F
 
