@@ -43,6 +43,15 @@ def _timed(fn):
     return time.time() - t0, out
 
 
+def _timed_reps(fn, reps: int):
+    """(best, median) over `reps` runs — best-of-N is the headline (least
+    co-tenant noise), the median shows how noisy the window was without
+    digging through BENCH_local_r*.jsonl."""
+    import statistics
+    ts = [_timed(fn)[0] for _ in range(reps)]
+    return min(ts), statistics.median(ts)
+
+
 def _run_plain(spark, path):
     df = plain_text(spark.read.parquet(path))
     return df.count()
@@ -66,10 +75,10 @@ def main():
     # the honest throughput figure.
     _run_plain(spark, path)
 
-    t, _ = _timed(lambda: _run_plain(spark, path))
-    t2, _ = _timed(lambda: _run_plain(spark, path))
-    t = min(t, t2)
+    medians: dict[str, float] = {}
+    t, med = _timed_reps(lambda: _run_plain(spark, path), 3)
     results["extract_plain_text"] = round(t, 3)
+    medians["extract_plain_text"] = round(med, 3)
     plain_tps = n_turns / t
 
     # extract() caches its kernel pass (links_via="persist") and Spark's
@@ -81,16 +90,23 @@ def main():
         spark.catalog.clearCache()
         return extract(spark.read.parquet(path), ExtractConfig()).count()
 
-    t, _ = _timed(_run_struct)
-    t2, _ = _timed(_run_struct)
+    t, med = _timed_reps(_run_struct, 2)
     spark.catalog.clearCache()
-    results["extract_struct_links"] = round(min(t, t2), 3)
+    results["extract_struct_links"] = round(t, 3)
+    medians["extract_struct_links"] = round(med, 3)
 
+    from pdftext_spark.queries import unpersist_registered
     for name in ("dedup_minhash_lsh", "dedup_simhash", "ann_bruteforce",
                  "ann_bruteforce_np", "text_quality", "rel_pricing_summary"):
         fn, _sql = QUERIES[name]
-        t, _ = _timed(lambda f=fn: f(spark, SF_DIR).count())
+
+        def _run(f=fn):
+            unpersist_registered()
+            return f(spark, SF_DIR).count()
+
+        t, med = _timed_reps(_run, 3)
         results[name] = round(t, 3)
+        medians[name] = round(med, 3)
 
     # the BASELINE.json headline: per-turn text-equality match rate vs the
     # independent naive oracle (exact string equality, sf0.01 tier)
@@ -159,6 +175,7 @@ def main():
         "value": round(sum(results.values()), 3),
         "unit": "sec",
         "queries": results,
+        "queries_median": medians,
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
         "n_turns": n_turns,
         "turns_per_sec": round(plain_tps, 1),

@@ -344,82 +344,128 @@ def assign_scripts(cb: CharBatch, spans: SpanTable, lines: LineTable,
                    height_threshold: float, line_distance_threshold: float) -> None:
     """W6 — super/subscript flags per span (pages.py:22-74), in place.
 
-    Per-line work; lines with <2 spans and vertical lines are skipped
-    (pages.py:25-30), so the loop touches few elements.
+    Fully BATCHED across lines: every per-span quantity (neighbor
+    comparisons, fullheight ratios, the vs-every-other-span above/below
+    tests) is one numpy pass over the concatenation of all candidate
+    lines' spans — the per-line loop and its small-array overhead are
+    gone. The reference's O(nsp²) "any other span" test becomes a
+    max-excluding-self per line (tj < max_{k≠j} up_lim[k] is the same
+    predicate). The only Python left is the per-span text gate, and the
+    script_text_ok call runs only on spans that already pass every
+    geometric gate. All float ops match the scalar formulation
+    (IEEE double either way), so flags are bit-identical.
     """
     if len(lines.start) == 0:
         return
-    # Vectorized line pre-filter. A span can only be flagged when its
+    # Line pre-filter. A span can only be flagged when its
     # line_fullheight ratio h / max(1, line_h) <= threshold (pages.py:39),
     # so a line whose MINIMUM span-height ratio fails can emit nothing —
     # along with the <2-span and vertical-line skips (pages.py:25-30).
-    # Same float ops as the scalar path, just hoisted, so bit-identical.
-    sp_h = spans.bbox[:, 3] - spans.bbox[:, 1]
+    sp_h_all = spans.bbox[:, 3] - spans.bbox[:, 1]
     ln_w = lines.bbox[:, 2] - lines.bbox[:, 0]
     ln_h = lines.bbox[:, 3] - lines.bbox[:, 1]
     n_sp = lines.end - lines.start
-    min_sh = np.minimum.reduceat(sp_h, lines.start)
+    min_sh = np.minimum.reduceat(sp_h_all, lines.start)
     cand = ((n_sp >= 2) & (ln_h <= ln_w)
             & (min_sh / np.maximum(1.0, ln_h) <= height_threshold))
     if not cand.any():
         return
-    # one bulk numpy->python conversion; the inner loops then run on plain
-    # floats (lines are numerous but spans-per-line is tiny, so scalar
-    # Python beats numpy's per-call overhead here)
-    line_start = lines.start.tolist()
-    line_end = lines.end.tolist()
-    line_bbox = lines.bbox.tolist()
-    span_start = spans.start.tolist()
-    span_end = spans.end.tolist()
-    span_bbox = spans.bbox.tolist()
-    gtext = cb.gtext
+
+    cl = np.flatnonzero(cand)
+    lo = lines.start[cl]
+    cnt = (lines.end - lines.start)[cl]          # >= 2 by the filter
+    total = int(cnt.sum())
+    lstart = np.cumsum(cnt) - cnt                # segment starts in flat space
+    line_ord = np.repeat(np.arange(len(cl)), cnt)
+    flat = np.arange(total) - lstart[line_ord] + np.repeat(lo, cnt)
+
+    tops = spans.bbox[flat, 1]
+    bottoms = spans.bbox[flat, 3]
+    heights = bottoms - tops
     ldt = line_distance_threshold
-    for li in np.nonzero(cand)[0].tolist():
-        lo, hi = line_start[li], line_end[li]
-        nsp = hi - lo
-        if nsp < 2:
-            continue
-        lb = line_bbox[li]
-        line_h = lb[3] - lb[1]
-        if line_h > lb[2] - lb[0]:
-            continue
-        boxes = span_bbox[lo:hi]
-        tops = [b[1] for b in boxes]
-        bottoms = [b[3] for b in boxes]
-        heights = [b - t for t, b in zip(tops, bottoms)]
-        texts = [gtext[span_start[lo + j]:span_end[lo + j]] for j in range(nsp)]
-        # thresholds vs every *other* span in the line (pages.py:43-49)
-        up_lim = [t - h * ldt for t, h in zip(tops, heights)]
-        dn_lim = [b + h * ldt for b, h in zip(bottoms, heights)]
-        line_h_div = max(1, line_h)
-        prev_j = None  # reference's prev_span is the previously *iterated* span
-        for j in range(nsp):
-            is_first = j == 0 or not texts[prev_j].strip()
-            is_last = j == nsp - 1 or not texts[j + 1].strip()
-            h = heights[j]
-            line_fullheight = h / line_h_div <= height_threshold
-            next_fullheight = is_last or h / max(1, heights[j + 1]) <= height_threshold
-            prev_fullheight = is_first or h / max(1, heights[prev_j]) <= height_threshold
-            if not (prev_fullheight or next_fullheight) or not line_fullheight:
-                prev_j = j
-                continue
-            text_ok = script_text_ok(texts[j])
-            if not text_ok:
-                prev_j = j
-                continue
-            tj = tops[j]
-            bj = bottoms[j]
-            above = any(tj < up_lim[k] for k in range(nsp) if k != j)
-            below = any(bj > dn_lim[k] for k in range(nsp) if k != j)
-            prev_above = is_first or tj < tops[prev_j]
-            next_above = is_last or tj < tops[j + 1]
-            prev_below = is_first or bj > bottoms[prev_j]
-            next_below = is_last or bj > bottoms[j + 1]
-            if (prev_above or next_above) and above:
-                spans.superscript[lo + j] = True
-            elif (prev_below or next_below) and below:
-                spans.subscript[lo + j] = True
-            prev_j = j
+    up_lim = tops - heights * ldt
+    dn_lim = bottoms + heights * ldt
+
+    first = np.zeros(total, dtype=bool)
+    first[lstart] = True
+    last = np.zeros(total, dtype=bool)
+    last[lstart + cnt - 1] = True
+
+    # blank-neighbor checks (reference prev_span = previously iterated =
+    # j-1): texts materialized once per candidate span
+    s_start = spans.start[flat].tolist()
+    s_end = spans.end[flat].tolist()
+    gtext = cb.gtext
+    texts = [gtext[a:b] for a, b in zip(s_start, s_end)]
+    blank = np.fromiter((not t.strip() for t in texts), dtype=bool,
+                        count=total)
+    prev_blank = np.empty(total, dtype=bool)
+    prev_blank[0] = False
+    prev_blank[1:] = blank[:-1]
+    next_blank = np.empty(total, dtype=bool)
+    next_blank[-1] = False
+    next_blank[:-1] = blank[1:]
+    is_first = first | prev_blank
+    is_last = last | next_blank
+
+    # fullheight gates (pages.py:37-41); shifted values at line borders
+    # are masked by is_first/is_last exactly like the scalar short-circuit
+    h_prev = np.empty(total)
+    h_prev[0] = 1.0
+    h_prev[1:] = heights[:-1]
+    h_next = np.empty(total)
+    h_next[-1] = 1.0
+    h_next[:-1] = heights[1:]
+    line_h_div = np.maximum(1.0, ln_h[cl])
+    line_fullheight = heights / line_h_div[line_ord] <= height_threshold
+    prev_fullheight = is_first | (heights / np.maximum(1.0, h_prev)
+                                  <= height_threshold)
+    next_fullheight = is_last | (heights / np.maximum(1.0, h_next)
+                                 <= height_threshold)
+    gate = (prev_fullheight | next_fullheight) & line_fullheight
+    if not gate.any():
+        return
+
+    def _excl_self(vals, reducer, sentinel):
+        """Per line, reducer(vals over k != j) for each j, via the
+        best/second-best trick (duplicate extrema handled by counting)."""
+        m1 = reducer.reduceat(vals, lstart)
+        at_ext = vals == m1[line_ord]
+        n_ext = np.add.reduceat(at_ext, lstart)
+        m2 = reducer.reduceat(np.where(at_ext, sentinel, vals), lstart)
+        return np.where(at_ext & (n_ext[line_ord] == 1),
+                        m2[line_ord], m1[line_ord])
+
+    above = tops < _excl_self(up_lim, np.maximum, -np.inf)
+    below = bottoms > _excl_self(dn_lim, np.minimum, np.inf)
+
+    t_prev = np.empty(total)
+    t_prev[0] = 0.0
+    t_prev[1:] = tops[:-1]
+    t_next = np.empty(total)
+    t_next[-1] = 0.0
+    t_next[:-1] = tops[1:]
+    b_prev = np.empty(total)
+    b_prev[0] = 0.0
+    b_prev[1:] = bottoms[:-1]
+    b_next = np.empty(total)
+    b_next[-1] = 0.0
+    b_next[:-1] = bottoms[1:]
+    sup_geo = gate & above & (is_first | (tops < t_prev)
+                              | is_last | (tops < t_next))
+    sub_geo = gate & below & (is_first | (bottoms > b_prev)
+                              | is_last | (bottoms > b_next))
+    need_text = sup_geo | sub_geo
+    gi = np.flatnonzero(need_text)
+    if len(gi) == 0:
+        return
+    text_ok = np.zeros(total, dtype=bool)
+    for i in gi.tolist():
+        text_ok[i] = script_text_ok(texts[i])
+    sup = sup_geo & text_ok
+    sub = sub_geo & text_ok & ~sup  # reference elif: superscript wins
+    spans.superscript[flat[sup]] = True
+    spans.subscript[flat[sub]] = True
 
 
 @dataclass

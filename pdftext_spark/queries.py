@@ -599,26 +599,71 @@ def _mh_coef(p):
     return int(d[:8], 16) % (_M31 - 1) + 1, int(d[8:16], 16) % _M31
 
 
+def _shc(k):
+    """Shingle-combination coefficients (md5-derived job constants)."""
+    import hashlib
+    return int(hashlib.md5(f"shc:{k}".encode()).hexdigest()[:8], 16) \
+        % (_M31 - 1) + 1
+
+
+# Hashed 3-token shingles: ONE md5 per token (not per shingle string),
+# trigram hash = positional linear combination of the three token hashes
+# mod M31. Cheaper than hashing concatenated shingle strings (1/3 of the
+# bytes through md5, no concat allocations, and the carried shingle sets
+# become bigint arrays instead of strings). Every product stays < 2^62
+# (both factors < 2^31), so int64/BIGINT arithmetic is exact in both
+# engines and the values are bit-identical across Spark and DuckDB.
+_TOKH_SPARK = (f"CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT) "
+               f"% {_M31}")
+_TOKH_DUCK = f"('0x'||substr(md5(t),1,8))::BIGINT % {_M31}"
+
+_HSHINGLES_SPARK = (
+    f"CASE WHEN size(hs) = 0 THEN array(0L) "
+    f"WHEN size(hs) < 3 THEN array(aggregate(hs, 0L, "
+    f"(a, h) -> (a * {_shc(0)}L + h) % {_M31}L)) "
+    f"ELSE transform(sequence(1, size(hs)-2), i -> "
+    f"((({_shc(1)}L * element_at(hs, i)) % {_M31}L) "
+    f"+ (({_shc(2)}L * element_at(hs, i+1)) % {_M31}L) "
+    f"+ (({_shc(3)}L * element_at(hs, i+2)) % {_M31}L)) % {_M31}L) END")
+_HSHINGLES_DUCK = (
+    f"CASE WHEN len(hs) = 0 THEN [0::BIGINT] "
+    f"WHEN len(hs) < 3 THEN [list_reduce(hs, "
+    f"(a, h) -> (a * {_shc(0)} + h) % {_M31})] "
+    f"ELSE list_transform(range(1, len(hs)-1), i -> "
+    f"((({_shc(1)} * hs[i]) % {_M31}) + (({_shc(2)} * hs[i+1]) % {_M31}) "
+    f"+ (({_shc(3)} * hs[i+2]) % {_M31})) % {_M31}) END")
+
+# hashed-shingle CTE for the minhash oracle (dedup_jaccard keeps the
+# string CTE — it is the exact baseline and must stay literal n-grams)
+_HSHINGLE_CTE = (
+    "WITH t AS (SELECT doc_id, " + _TOKS_DUCK + " toks FROM documents), "
+    "th AS (SELECT doc_id, list_transform(toks, t -> " + _TOKH_DUCK
+    + ") hs FROM t), "
+    "sx AS (SELECT doc_id, " + _HSHINGLES_DUCK + " sh FROM th), "
+    "ds AS (SELECT DISTINCT doc_id, unnest(sh) shingle FROM sx)"
+)
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash signatures + LSH banding: candidate pairs sharing a band,
-    verified by exact Jaccard ≥ 0.7. Scale path: signatures are computed
-    ROW-WISE — per-doc shingle array → 16 array_min(transform(...)) — so
-    the corpus scan produces (doc_id, 16 longs) with ZERO shuffle and no
-    explode; the only shuffles left are the band equi-join on
-    (band_idx, band_hash) and the candidate-doc set verify, both sized by
-    near-dup density, not corpus size."""
-    h31_sql = ("CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT) % "
-               f"{_M31}")
+    verified by exact Jaccard ≥ 0.7 over the hashed shingle sets. Scale
+    path: signatures are computed ROW-WISE — per-doc shingle-hash array →
+    16 array_min(transform(...)) — so the corpus scan produces (doc_id,
+    16 longs) with ZERO shuffle and no explode; the only shuffles left are
+    the band equi-join on (band_idx, band_hash) and the candidate-doc set
+    verify, both sized by near-dup density, not corpus size. Shingles are
+    hashed from PER-TOKEN md5 via _HSHINGLES (1/3 the md5 bytes of
+    hashing shingle strings; measured A/B in BENCH.md round 3)."""
     mins = [
-        "array_min(transform(hs, h -> ({a}L * h + {b}L) % {m}L)) AS mh{p}"
+        "array_min(transform(shs, h -> ({a}L * h + {b}L) % {m}L)) AS mh{p}"
         .format(a=_mh_coef(p)[0], b=_mh_coef(p)[1], m=_M31, p=p)
         for p in range(_N_PERM)]
     sig = (_docs(spark, sf_dir)
            .withColumn("toks", F.expr(_TOKS_SPARK))
-           .withColumn("sh", F.expr(_SHINGLES_SPARK))
-           .withColumn("hs", F.expr(
-               f"transform(array_distinct(sh), s -> {h31_sql})"))
-           .selectExpr("doc_id", "array_distinct(sh) AS shset", *mins)
+           .withColumn("hs", F.expr(f"transform(toks, t -> {_TOKH_SPARK})"))
+           .withColumn("shs", F.expr(
+               f"array_distinct({_HSHINGLES_SPARK})"))
+           .selectExpr("doc_id", "shs AS shset", *mins)
            # tiny: doc_id + shingle set + 16 longs, reused by the two sides
            # of the band join and the verify step; at 100 TB a materialized
            # signature table. Registered for unpersist_registered() —
@@ -659,18 +704,16 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 
 
 def sql_dedup_minhash_lsh(sf_dir):
-    h = _H_SQL.format(c="shingle")
     mins = ", ".join(
-        f"min(({_mh_coef(p)[0]} * h31 + {_mh_coef(p)[1]}) % {_M31}) mh{p}"
+        f"min(({_mh_coef(p)[0]} * shingle + {_mh_coef(p)[1]}) % {_M31}) mh{p}"
         for p in range(_N_PERM))
     band_sel = " UNION ALL ".join(
         f"SELECT doc_id, {bnd} band_idx, md5("
         + " || '|' || ".join(f"mh{bnd * _BAND + k}::VARCHAR" for k in range(_BAND))
         + ") band_hash FROM sig" for bnd in range(_N_PERM // _BAND))
     return (
-        _SHINGLE_CTE + ", "
-        f"hh AS (SELECT doc_id, ({h}) % {_M31} h31 FROM ds), "
-        f"sig AS (SELECT doc_id, {mins} FROM hh GROUP BY doc_id), "
+        _HSHINGLE_CTE + ", "
+        f"sig AS (SELECT doc_id, {mins} FROM ds GROUP BY doc_id), "
         f"bands AS ({band_sel}), "
         "cand AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b FROM bands a "
         "JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash "
