@@ -1174,6 +1174,161 @@ def sql_ann_ivf_probe(sf_dir):
         "SELECT qid, rank, cid neighbor_id, cos FROM r WHERE rank <= 3")
 
 
+# --- k-means-refined IVF --------------------------------------------------
+# Centroid refinement without a single float in the loop state: a cluster
+# "centroid" is the elementwise INTEGER SUM of its members' quantized
+# embeddings (round(x*1000) int64). Cosine is scale-invariant, so the sum
+# vector scores identically to the mean vector — no division, no float
+# accumulation order, and the whole iteration is exact int64 arithmetic
+# that Spark and DuckDB reproduce bit-for-bit. Assignment uses the
+# 6-dp-rounded cosine with centroid-id tie-break (floats appear only in
+# the final sqrt/divide, which is deterministic IEEE on both engines).
+_KM_ITERS = 2
+_KM_K = 8          # seeds = vec_id < 8, centroid id = seed vec_id
+_KM_NPROBE = 2
+
+
+def _km_cos_sql_spark(cvec):
+    arr = ", ".join(f"{int(v)}L" for v in cvec)
+    nc2 = sum(int(v) * int(v) for v in cvec)
+    nc = "1.0" if nc2 == 0 else f"sqrt({nc2})"
+    return (f"round(aggregate(zip_with(qe, array({arr}), (x, y) -> x * y), "
+            f"0L, (a, v) -> a + v) / "
+            f"((CASE WHEN nq2 = 0 THEN 1.0 ELSE sqrt(nq2) END) * {nc}), 6)")
+
+
+def _km_argmax_expr(cents):
+    """array_max over (cos, -cid) structs: max cosine, ties to smaller
+    centroid id (struct comparison is lexicographic by field order)."""
+    structs = ", ".join(
+        f"struct({_km_cos_sql_spark(cv)} AS cos, {-cid} AS negk)"
+        for cid, cv in sorted(cents.items()))
+    return f"-array_max(array({structs})).negk"
+
+
+def _km_cent_scores(cents):
+    """Array of (cos, cid) structs for probe ranking."""
+    return "array(" + ", ".join(
+        f"struct({_km_cos_sql_spark(cv)} AS cos, {cid} AS cid)"
+        for cid, cv in sorted(cents.items())) + ")"
+
+
+def q_ann_ivf_kmeans(spark, sf_dir):
+    """IVF with K-MEANS-REFINED centroids (the recall upgrade over
+    ann_ivf's raw seed vectors) + nprobe=2: _KM_ITERS Lloyd rounds where
+    assignment is a pure column expression against driver-resident
+    centroid literals (the standard Spark k-means shape: centroids are
+    KB-sized and broadcast into the expression tree; each round is one
+    corpus scan + one tiny partial-aggregated shuffle of (cid, dim)
+    sums). Cluster state stays exact int64 (see block comment above), so
+    the unrolled-CTE DuckDB oracle reproduces every assignment and the
+    gate stays a full value-hash check. Empty clusters keep their
+    previous centroid on both engines."""
+    e = (_emb(spark, sf_dir)
+         .select("vec_id", "embedding")
+         .withColumn("qe", F.expr(
+             "transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))"))
+         .withColumn("nq2", F.expr("aggregate(qe, 0L, (a, x) -> a + x * x)"))
+         .persist())
+    _register_persisted(e)
+    cents = {int(r["vec_id"]): list(r["qe"])
+             for r in e.where(F.col("vec_id") < _KM_K)
+             .select("vec_id", "qe").collect()}
+    dim = len(next(iter(cents.values())))
+    assert dim == 64, "oracle SQL unrolls a fixed 64-dim range"
+    for _ in range(_KM_ITERS):
+        rows = (e.select(F.expr(_km_argmax_expr(cents)).alias("cid"),
+                         F.posexplode("qe").alias("i", "v"))
+                .groupBy("cid", "i").agg(F.sum("v").alias("s")).collect())
+        sums: dict = {}
+        for r in rows:
+            sums.setdefault(int(r["cid"]), [0] * dim)[int(r["i"])] = int(r["s"])
+        cents = {cid: sums.get(cid, cv) for cid, cv in cents.items()}
+
+    assign = e.select("vec_id",
+                      F.expr(_km_argmax_expr(cents)).alias("cid"))
+    probes = (e.where((F.col("vec_id") >= 8) & (F.col("vec_id") < 24))
+              .select("vec_id", F.explode(F.expr(_km_cent_scores(cents)))
+                      .alias("cs"))
+              .select("vec_id", "cs.cos", "cs.cid"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cid"))
+    probes = (probes.withColumn("rn", F.row_number().over(w))
+              .where(F.col("rn") <= _KM_NPROBE)
+              .select(F.col("vec_id").alias("qid"), F.col("cid").alias("qc")))
+    q = (e.join(probes, e["vec_id"] == probes["qid"])
+         .select("qid", F.col("embedding").alias("qev"), "qc"))
+    c = (e.join(assign, "vec_id")
+         .select(F.col("vec_id").alias("cid_v"),
+                 F.col("embedding").alias("cev"), F.col("cid").alias("cc")))
+    cand = F.broadcast(q).join(c, (F.col("qc") == F.col("cc"))
+                               & (F.col("qid") != F.col("cid_v")))
+    dot = F.expr("aggregate(zip_with(qev, cev, (x, y) -> cast(x as double) * cast(y as double)), "
+                 "cast(0.0 as double), (acc, v) -> acc + v)")
+    nq = F.expr("sqrt(aggregate(qev, cast(0.0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double)))")
+    nc = F.expr("sqrt(aggregate(cev, cast(0.0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double)))")
+    scored = cand.withColumn("cos", F.round(dot / (nq * nc), 6))
+    w2 = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid_v"))
+    return (scored.withColumn("rank", F.row_number().over(w2).cast("long"))
+            .where(F.col("rank") <= 3)
+            .select("qid", "rank", F.col("cid_v").alias("neighbor_id"), "cos"))
+
+
+def _km_cos_duck(qe, cv_expr, nq2_expr):
+    return (f"round(list_sum(list_transform(range(1, len({qe}) + 1), "
+            f"i -> {qe}[i] * ({cv_expr})[i])) / "
+            f"((CASE WHEN {nq2_expr} = 0 THEN 1.0 ELSE sqrt({nq2_expr}) END) "
+            f"* (CASE WHEN list_sum(list_transform({cv_expr}, x -> x * x)) = 0 "
+            f"THEN 1.0 ELSE sqrt(list_sum(list_transform({cv_expr}, x -> x * x))) END)), 6)")
+
+
+def sql_ann_ivf_kmeans(sf_dir):
+    # Unrolled Lloyd iterations as CTEs. cN = centroid sum-vectors after
+    # round N (empty clusters keep the previous vector via the LEFT JOIN
+    # COALESCE); assignment aN ranks the exact same rounded cosine the
+    # Spark expression computes.
+    cos = _km_cos_duck("q.qe", "c.cv", "q.nq2")
+    parts = [
+        "WITH q AS (SELECT vec_id, embedding, "
+        "list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) qe, "
+        "list_sum(list_transform(list_transform(embedding, "
+        "x -> round(x::DOUBLE * 1000)::BIGINT), x -> x * x)) nq2 "
+        "FROM embeddings), "
+        f"c0 AS (SELECT vec_id cid, qe cv FROM q WHERE vec_id < {_KM_K})",
+    ]
+    prev = "c0"
+    for it in range(1, _KM_ITERS + 1):
+        parts.append(
+            f"r{it} AS (SELECT q.vec_id, c.cid, {cos} cos, row_number() OVER "
+            f"(PARTITION BY q.vec_id ORDER BY {cos} DESC, c.cid ASC) rn "
+            f"FROM q, {prev} c), "
+            f"a{it} AS (SELECT vec_id, cid FROM r{it} WHERE rn = 1), "
+            # FROM-clause range() cannot be laterally correlated in DuckDB;
+            # the embeddings table is fixed 64-dim (asserted Spark-side)
+            f"s{it} AS (SELECT a.cid, i, sum(q.qe[i]) s FROM a{it} a "
+            f"JOIN q USING (vec_id), range(1, 65) t(i) "
+            f"GROUP BY a.cid, i), "
+            f"n{it} AS (SELECT cid, list(s ORDER BY i) cv FROM s{it} GROUP BY cid), "
+            f"c{it} AS (SELECT p.cid, COALESCE(n.cv, p.cv) cv "
+            f"FROM {prev} p LEFT JOIN n{it} n USING (cid))")
+        prev = f"c{it}"
+    parts.append(
+        f"fa AS (SELECT vec_id, cid FROM (SELECT q.vec_id, c.cid, "
+        f"row_number() OVER (PARTITION BY q.vec_id ORDER BY {cos} DESC, "
+        f"c.cid ASC) rn FROM q, {prev} c) WHERE rn = 1), "
+        f"pr AS (SELECT vec_id qid, cid qc FROM (SELECT q.vec_id, c.cid, "
+        f"row_number() OVER (PARTITION BY q.vec_id ORDER BY {cos} DESC, "
+        f"c.cid ASC) rn FROM q, {prev} c WHERE q.vec_id >= 8 AND q.vec_id < 24) "
+        f"WHERE rn <= {_KM_NPROBE}), "
+        "p AS (SELECT pr.qid, c.vec_id cid, " + _COS_DUCK + " cos "
+        "FROM pr JOIN embeddings q ON q.vec_id = pr.qid "
+        "JOIN fa ON fa.cid = pr.qc JOIN embeddings c ON c.vec_id = fa.vec_id "
+        "WHERE pr.qid != c.vec_id), "
+        "rr AS (SELECT qid, cid, cos, row_number() OVER "
+        "(PARTITION BY qid ORDER BY cos DESC, cid ASC) rank FROM p) "
+        "SELECT qid, rank, cid neighbor_id, cos FROM rr WHERE rank <= 3")
+    return ", ".join(parts[:1]) + ", " + ", ".join(parts[1:])
+
+
 # --------------------------------------------------------------------------
 # 2d. multimodal (synthetic binary payloads over documents)
 # --------------------------------------------------------------------------
@@ -1584,6 +1739,7 @@ QUERIES = {
     "ann_bruteforce_np": (q_ann_bruteforce_np, sql_ann_bruteforce),
     "ann_ivf": (q_ann_ivf, sql_ann_ivf),
     "ann_ivf_probe": (q_ann_ivf_probe, sql_ann_ivf_probe),
+    "ann_ivf_kmeans": (q_ann_ivf_kmeans, sql_ann_ivf_kmeans),
     # multimodal
     "mm_metadata": (q_mm_metadata, sql_mm_metadata),
     "mm_frame_sample": (q_mm_frame_sample, sql_mm_frame_sample),

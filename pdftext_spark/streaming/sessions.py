@@ -74,12 +74,22 @@ def _close(user_id: int, st) -> dict:
     }
 
 
-def _session_fn(gap_us: int):
+def _session_fn(gap_us: int, flush_on_timeout: bool = False):
     def update(key, pdfs, state):
         user_id = key[0]
-        events = pd.concat(list(pdfs), ignore_index=True)
-        if len(events) == 0:
+        if flush_on_timeout and state.hasTimedOut:
+            # the watermark has provably passed this open session's gap
+            # boundary: no in-watermark event can extend it any more, so
+            # emit it and drop the state (the NoTimeout mode keeps it
+            # open forever — fine for tests, a leak on a real stream)
+            st = list(state.get)
+            state.remove()
+            yield pd.DataFrame([_close(user_id, st)])
             return
+        frames = [f for f in pdfs if len(f)]
+        if not frames:
+            return
+        events = pd.concat(frames, ignore_index=True)
         events = events.sort_values(["us", "event_id"])
         if state.exists:
             st = list(state.get)
@@ -105,15 +115,30 @@ def _session_fn(gap_us: int):
                 st = [max(st[0], us), min(st[1], us), st[2] + 1,
                       json.dumps(sorted(types))]
         state.update(tuple(st))
+        if flush_on_timeout:
+            # fire once the event-time watermark passes last-seen + gap;
+            # clamp above the current watermark (Spark rejects timestamps
+            # at or below it — if the gap has already provably passed, the
+            # state times out at the very next trigger)
+            ts_ms = (st[0] + gap_us) // 1000 + 1
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(ts_ms, wm + 1))
         if closed:
             yield pd.DataFrame(closed)
 
     return update
 
 
-def sessionize_stream(events: DataFrame, gap_s: int = 1800) -> DataFrame:
+def sessionize_stream(events: DataFrame, gap_s: int = 1800,
+                      flush_on_timeout: bool = False) -> DataFrame:
     """events readStream → closed sessions (append). Input needs columns
-    (event_id, ts, user_id, event_type)."""
+    (event_id, ts, user_id, event_type).
+
+    flush_on_timeout=True adds GroupStateTimeout.EventTimeTimeout: an open
+    session is emitted (and its state dropped) once the watermark passes
+    its last event + gap — the point where no admissible late event could
+    extend it. Without it, sessions with no successor event stay in state
+    forever (deterministic core, but a state leak on endless streams)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     # epoch micros come from the parquet-naive (NTZ) ts; the watermark
@@ -124,11 +149,12 @@ def sessionize_stream(events: DataFrame, gap_s: int = 1800) -> DataFrame:
         .select("user_id", "event_id", "event_type", "us", "wts") \
         .withWatermark("wts", "1 minute")
     return ev.groupBy("user_id").applyInPandasWithState(
-        _session_fn(gap_s * 1_000_000),
+        _session_fn(gap_s * 1_000_000, flush_on_timeout),
         outputStructType=SESSION_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(GroupStateTimeout.EventTimeTimeout if flush_on_timeout
+                     else GroupStateTimeout.NoTimeout),
     )
 
 

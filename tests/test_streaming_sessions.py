@@ -117,6 +117,58 @@ def test_session_fn_late_event_and_delimiter_types():
     assert len(out) == 1 and out[0].iloc[0]["n_events"] == 4
 
 
+def test_sessionize_flush_on_timeout(spark, tmp_path):
+    """EventTimeTimeout mode: an open session whose gap boundary the
+    watermark has provably passed is emitted and its state dropped;
+    sessions that could still be extended stay open. Synthetic two-file
+    stream: user 1 goes quiet early, user 2 keeps the watermark moving."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from pdftext_spark.streaming.sessions import sessionize_stream
+
+    m = 60  # seconds per minute; gap = 30 min, watermark delay = 1 min
+    base = 1_700_000_000  # any fixed epoch
+    rows1 = [
+        # user 1: two events, then silence forever
+        (1, 1, "a", base + 0 * m), (2, 1, "b", base + 5 * m),
+        # user 2: events that push the batch-1 watermark well past
+        # user 1's last event + gap (+ 1 min delay)
+        (3, 2, "x", base + 0 * m), (4, 2, "x", base + 50 * m),
+    ]
+    # batch 2 only needs to exist so a trigger runs AFTER the watermark
+    # from batch 1 (50min - 1min delay = 49min > 5min + 30min gap)
+    rows2 = [(5, 2, "y", base + 95 * m)]
+    schema = ("event_id long, user_id long, event_type string, sec long")
+    d = str(tmp_path / "flush_in")
+    for rows in (rows1, rows2):
+        (spark.createDataFrame(rows, schema)
+         .selectExpr("event_id", "user_id", "event_type",
+                     "timestamp_seconds(sec) as ts")
+         .coalesce(1).write.mode("append").parquet(d))
+    stream_schema = spark.read.parquet(d).schema
+    stream = spark.readStream.schema(stream_schema) \
+        .option("maxFilesPerTrigger", 1).parquet(d)
+    q = (sessionize_stream(stream, flush_on_timeout=True).writeStream
+         .format("memory").queryName("flush_out")
+         .option("checkpointLocation", str(tmp_path / "ckpt_f"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r["user_id"], r["session_start_us"], r["n_events"],
+            r["duration_us"], r["n_types"])
+           for r in spark.sql("SELECT * FROM flush_out").collect()}
+    us = 1_000_000
+    # user 1's quiet session is flushed by the TIMEOUT (the only mechanism
+    # that can emit it — no later user-1 event exists); user 2's two
+    # single-event sessions close by ordinary gaps (0→50min and 50→95min
+    # both exceed 30min); the 95min session stays open — no trigger ever
+    # runs after its boundary passes
+    assert got == {
+        (1, base * us, 2, 5 * m * us, 2),          # timeout-flushed
+        (2, base * us, 1, 0, 1),                   # gap-closed
+        (2, (base + 50 * m) * us, 1, 0, 1),        # gap-closed
+    }
+
+
 def test_windowed_event_counts_matches_batch(spark, two_batch_dir, tmp_path):
     from pyspark.sql import functions as F
 
