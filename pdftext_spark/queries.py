@@ -517,6 +517,112 @@ def sql_text_fingerprint(sf_dir):
         f"list_min(list_transform(sh, s -> {h})) min_shingle_hash FROM s")
 
 
+def q_text_repetition(spark, sf_dir):
+    """Self-repetition ratio per document (Gopher-style quality rule):
+    1 - distinct/total over 3-token shingles. Pure row-wise higher-order
+    array expressions — the corpus scan emits the ratios directly with
+    zero shuffle."""
+    d = (_docs(spark, sf_dir)
+         .withColumn("toks", F.expr(_TOKS_SPARK))
+         .withColumn("sh", F.expr(_SHINGLES_SPARK)))
+    return d.select(
+        "doc_id",
+        F.expr("size(sh)").cast("long").alias("n_shingles"),
+        F.expr("size(array_distinct(sh))").cast("long").alias("n_distinct"),
+        F.round(F.lit(1.0) - F.expr("size(array_distinct(sh))")
+                / F.expr("size(sh)"), 6).alias("rep_ratio"),
+    )
+
+
+def sql_text_repetition(sf_dir):
+    return (
+        "WITH t AS (SELECT doc_id, " + _TOKS_DUCK + " toks FROM documents), "
+        "s AS (SELECT doc_id, " + _SHINGLES_DUCK + " sh FROM t) "
+        "SELECT doc_id, len(sh)::BIGINT n_shingles, "
+        "len(list_distinct(sh))::BIGINT n_distinct, "
+        "round(1.0 - len(list_distinct(sh)) * 1.0 / len(sh), 6) rep_ratio "
+        "FROM s")
+
+
+_CHUNK_TOKENS = 50
+
+
+def q_text_chunks(spark, sf_dir):
+    """Fixed-size token chunking (training-sample / RAG prep): each doc
+    split into consecutive 50-token chunks; emits per-chunk token count
+    and content hash. Chunk construction is row-wise (sequence +
+    transform + slice); the explode multiplies rows but never shuffles —
+    a downstream writer would stream chunks straight to parquet. Docs
+    with zero tokens are dropped (both engines)."""
+    d = (_docs(spark, sf_dir)
+         .withColumn("toks", F.expr(_TOKS_SPARK))
+         .where(F.expr("size(toks) > 0"))
+         .withColumn("chunks", F.expr(
+             f"transform(sequence(0, cast(ceil(size(toks) / {_CHUNK_TOKENS}.0) as int) - 1), "
+             f"i -> slice(toks, i * {_CHUNK_TOKENS} + 1, {_CHUNK_TOKENS}))")))
+    c = d.select("doc_id", F.posexplode("chunks").alias("chunk_idx", "chunk"))
+    return c.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size("chunk").cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", "chunk")).alias("chunk_md5"),
+    )
+
+
+def sql_text_chunks(sf_dir):
+    n = _CHUNK_TOKENS
+    return (
+        "WITH t AS (SELECT doc_id, " + _TOKS_DUCK + " toks FROM documents), "
+        f"c AS (SELECT doc_id, unnest(list_transform("
+        f"range(0, CAST(ceil(len(toks) / {n}.0) AS INT)), "
+        f"i -> {{'chunk_idx': i, 'chunk': list_slice(toks, i * {n} + 1, "
+        f"i * {n} + {n})}})) u FROM t WHERE len(toks) > 0) "
+        "SELECT doc_id, u.chunk_idx::BIGINT chunk_idx, "
+        "len(u.chunk)::BIGINT n_tokens, "
+        "md5(array_to_string(u.chunk, ' ')) chunk_md5 FROM c")
+
+
+def q_text_tfidf(spark, sf_dir):
+    """Per-document top-3 salient terms by tf·(N/df) — the corpus-stats-
+    broadcast-back pattern: term document frequencies are aggregated once
+    (vocabulary-sized), broadcast, and joined against per-doc term counts;
+    ranking is a per-doc window. The idf factor is the RAW ratio N/df
+    (not log): int64 inputs + one IEEE division are bit-identical across
+    engines, where ln() could differ in the last ulp between libms."""
+    d = (_docs(spark, sf_dir)
+         .withColumn("toks", F.expr(_TOKS_SPARK))
+         .select("doc_id", F.explode("toks").alias("term")))
+    d = d.persist()
+    _register_persisted(d)
+    n_docs = _docs(spark, sf_dir).count()
+    tf = d.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = (d.select("doc_id", "term").distinct()
+          .groupBy("term").agg(F.count("*").alias("df")))
+    scored = (tf.join(F.broadcast(df), "term")
+              .withColumn("score", F.round(
+                  (F.col("tf") * F.lit(n_docs)).cast("double") / F.col("df"),
+                  6)))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= 3)
+            .select("doc_id", "rank", "term", "score"))
+
+
+def sql_text_tfidf(sf_dir):
+    return (
+        "WITH tk AS (SELECT doc_id, unnest(" + _TOKS_DUCK + ") term "
+        "FROM documents), "
+        "tf AS (SELECT doc_id, term, count(*) tf FROM tk GROUP BY 1, 2), "
+        "df AS (SELECT term, count(DISTINCT doc_id) df FROM tk GROUP BY 1), "
+        "n AS (SELECT count(*) n FROM documents), "
+        "s AS (SELECT tf.doc_id, tf.term, "
+        "round((tf.tf * n.n)::DOUBLE / df.df, 6) score "
+        "FROM tf JOIN df USING (term), n), "
+        "r AS (SELECT doc_id, term, score, row_number() OVER "
+        "(PARTITION BY doc_id ORDER BY score DESC, term ASC) rank FROM s) "
+        "SELECT doc_id, rank, term, score FROM r WHERE rank <= 3")
+
+
 # --------------------------------------------------------------------------
 # 2b. deduplication (documents)
 # --------------------------------------------------------------------------
@@ -1720,6 +1826,9 @@ QUERIES = {
     "text_quality": (q_text_quality, sql_text_quality),
     "text_langid": (q_text_langid, sql_text_langid),
     "text_fingerprint": (q_text_fingerprint, sql_text_fingerprint),
+    "text_repetition": (q_text_repetition, sql_text_repetition),
+    "text_chunks": (q_text_chunks, sql_text_chunks),
+    "text_tfidf": (q_text_tfidf, sql_text_tfidf),
     # dedup
     "dedup_exact": (q_dedup_exact, sql_dedup_exact),
     "dedup_jaccard": (q_dedup_jaccard, sql_dedup_jaccard),

@@ -51,3 +51,20 @@ def test_minhash_signatures_no_aggregation_shuffle(spark):
 def test_simhash_no_shuffle(spark):
     p = _plan(spark, "dedup_simhash")
     assert _shuffles(p) == 0 and "Generate" not in p  # no explode at all
+
+
+def test_repetition_no_shuffle(spark):
+    p = _plan(spark, "text_repetition")
+    assert _shuffles(p) == 0
+
+
+def test_chunks_no_shuffle(spark):
+    # explode multiplies rows but must not move them
+    p = _plan(spark, "text_chunks")
+    assert _shuffles(p) == 0 and "Generate" in p
+
+
+def test_tfidf_broadcasts_df_table(spark):
+    # corpus term stats come back as a broadcast, not a doc-keyed shuffle
+    p = _plan(spark, "text_tfidf")
+    assert "BroadcastHashJoin" in p
