@@ -21,11 +21,11 @@ O(linked turns) and a hard-forced broadcast would OOM the driver instead
 of degrading. `resolve_refs` therefore counts the registrations (a
 column-pruned scan of the tiny `link_dests` column) and drops the
 `F.broadcast` hints above `broadcast_threshold`, letting AQE pick a
-broadcast or sort-merge join on (conv_id, turn_idx) at runtime. Both
-side tables are pre-merged into ONE per-(conv, turn) table so the heavy
-nested page column meets at most one join: zero shuffles on the
-broadcast path, exactly one (the unavoidable sort-merge exchange) on
-the fallback path.
+broadcast or sort-merge join on (conv_id, turn_idx) at runtime. On the
+fallback path the two side tables are pre-merged into ONE per-(conv,
+turn) table so the heavy nested page column meets exactly one join; the
+broadcast hot path keeps two independent broadcast builds (measured
+faster than pre-merging — zero data shuffles either way there).
 """
 
 from __future__ import annotations
@@ -129,32 +129,51 @@ def resolve_refs(extracted: DataFrame, persist: bool = True,
                .agg(F.sort_array(F.collect_list(F.struct("idx", "x", "y")))
                     .alias("page_refs")))
 
-    # ONE side table so the heavy page column meets at most one join.
-    side = url_maps.join(targets, on=["conv_id", "turn_idx"], how="full_outer")
-
     # Broadcast size gate (VERDICT r2): a hard-forced broadcast on a
     # link-dense corpus OOMs the driver instead of degrading. The
     # registration count is a column-pruned scan of the tiny link_dests
-    # column — cheap against the already-persisted/staged reg_source.
+    # column — cheap against the already-persisted/staged reg_source
+    # (measured ~0.2 s on the 110k-turn tier, interleaved best-of-5).
     do_broadcast = True
     if broadcast_threshold is not None:
         n_regs = (reg_source.select(F.coalesce(F.size("link_dests"), F.lit(0))
                                     .alias("n"))
                   .agg(F.sum("n")).collect()[0][0] or 0)
         do_broadcast = n_regs <= broadcast_threshold
-    if do_broadcast:
-        side = F.broadcast(side)
 
-    out = (extracted.alias("e")
-           .join(side.alias("u"),
-                 on=[F.col("e.conv_id") == F.col("u.conv_id"),
-                     F.col("e.turn_idx") == F.col("u.turn_idx")], how="left"))
+    if do_broadcast:
+        # hot path: two independent broadcast builds, zero data shuffles
+        # (measured faster than pre-merging them into one side table —
+        # the full_outer merge serializes the two agg pipelines behind a
+        # shuffle join before anything can broadcast)
+        out = (extracted.alias("e")
+               .join(F.broadcast(url_maps.alias("u")),
+                     on=[F.col("e.conv_id") == F.col("u.conv_id"),
+                         F.col("e.turn_idx") == F.col("u.turn_idx")],
+                     how="left")
+               .join(F.broadcast(targets.alias("t")),
+                     on=[F.col("e.conv_id") == F.col("t.conv_id"),
+                         F.col("e.turn_idx") == F.col("t.turn_idx")],
+                     how="left"))
+        page_refs = F.col("t.page_refs")
+    else:
+        # fallback (link-dense corpus): pre-merge the two side tables so
+        # the heavy page column meets exactly ONE sort-merge join instead
+        # of two; AQE may still convert it to broadcast at runtime
+        side = url_maps.join(targets, on=["conv_id", "turn_idx"],
+                             how="full_outer")
+        out = (extracted.alias("e")
+               .join(side.alias("u"),
+                     on=[F.col("e.conv_id") == F.col("u.conv_id"),
+                         F.col("e.turn_idx") == F.col("u.turn_idx")],
+                     how="left"))
+        page_refs = F.col("u.page_refs")
 
     page = F.col("e.page")
     url_map = F.col("u.url_map")
     refs_col = F.when(
-        F.col("u.page_refs").isNotNull(),
-        F.transform(F.col("u.page_refs"), lambda r: F.struct(
+        page_refs.isNotNull(),
+        F.transform(page_refs, lambda r: F.struct(
             r["idx"].alias("idx"),
             page["page"].alias("page"),
             F.array(r["x"], r["y"]).alias("coord"),
