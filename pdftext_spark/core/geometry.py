@@ -180,17 +180,28 @@ class Bbox:
         out = rotate_boxes(np.asarray([self.bbox]), page_width, page_height, rotation)
         return Bbox(out[0].tolist())
 
-    def rescale(self, img_size, page=None, *extra) -> "Bbox":
+    def rescale(self, img_size=None, page=None, *extra, img_w=None,
+                img_h=None, page_w=None, page_h=None) -> "Bbox":
         """Reference signature (schema.py:116-126): ``rescale(img_size,
         page)`` where ``img_size`` is ``[w, h]`` and ``page`` is a dict
         with ``width``/``height`` keys — ported reference code calls it
-        exactly that way. The legacy flat-scalar form
-        ``rescale(img_w, img_h, page_w, page_h)`` is also accepted."""
-        if extra:
-            img_w, img_h = float(img_size), float(page)
-            page_w, page_h = float(extra[0]), float(extra[1])
+        exactly that way. The legacy flat-scalar form is also accepted,
+        positionally ``rescale(img_w, img_h, page_w, page_h)`` or by
+        keyword."""
+        if img_w is not None:
+            pass  # keyword legacy form, all four given below
+        elif len(extra) == 2:
+            img_w, img_h = img_size, page
+            page_w, page_h = extra
+        elif not extra and page is not None:
+            img_w, img_h = img_size[0], img_size[1]
+            page_w, page_h = page["width"], page["height"]
         else:
-            img_w, img_h = float(img_size[0]), float(img_size[1])
-            page_w, page_h = float(page["width"]), float(page["height"])
-        out = rescale_boxes(np.asarray([self.bbox]), img_w, img_h, page_w, page_h)
+            raise TypeError(
+                "rescale expects (img_size, page_dict), "
+                "(img_w, img_h, page_w, page_h), or the same by keyword")
+        if None in (img_w, img_h, page_w, page_h):
+            raise TypeError("rescale: missing dimension argument")
+        out = rescale_boxes(np.asarray([self.bbox]), float(img_w),
+                            float(img_h), float(page_w), float(page_h))
         return Bbox(out[0].tolist())

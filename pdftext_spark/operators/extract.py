@@ -29,6 +29,9 @@ from pyspark.sql import functions as F
 from pdftext_spark.config import ExtractConfig
 from pdftext_spark.operators.schema import EXTRACTED
 
+# sentinel: "use refs.DEFAULT_BROADCAST_THRESHOLD" (None means "no gate")
+_USE_DEFAULT = object()
+
 
 def _arrow_kernel(cfg: ExtractConfig, target_schema):
     """mapInArrow fast path: RecordBatch in → RecordBatch out, nested
@@ -95,7 +98,8 @@ def link_registrations(transcripts: DataFrame, cfg: ExtractConfig) -> DataFrame:
 
 
 def extract(transcripts: DataFrame, cfg: ExtractConfig = ExtractConfig(),
-            resolve_links: bool = True, links_via: str = "persist") -> DataFrame:
+            resolve_links: bool = True, links_via: str = "persist",
+            broadcast_threshold: "int | None | object" = _USE_DEFAULT) -> DataFrame:
     """Run the extraction kernel over a transcript table.
 
     Input columns: (conv_id, turn_idx, role, text, tool, ts) — the
@@ -111,7 +115,14 @@ def extract(transcripts: DataFrame, cfg: ExtractConfig = ExtractConfig(),
       `'"links"'` superset supplies registrations (link_registrations).
       For pipelines where caching the extracted output is off the table
       and a ~15% decode tax is cheaper than the storage.
-    """
+
+    broadcast_threshold passes through to refs.resolve_refs: the default
+    gate counts link registrations EAGERLY at call time (one Spark job;
+    in persist mode it also materializes the kernel cache the first
+    consumer would have paid for anyway). Pass None for a fully lazy
+    plan with unconditionally hinted broadcasts — appropriate when
+    composing plans for explain()/inspection or when the corpus is known
+    not to be link-dense."""
     spark = transcripts.sparkSession
     # Catalyst cannot prune columns INTO the Python kernel, so project the
     # kernel's contract explicitly — extra input columns (e.g. `tool`)
@@ -138,12 +149,18 @@ def extract(transcripts: DataFrame, cfg: ExtractConfig = ExtractConfig(),
     target = to_arrow_schema(EXTRACTED)
     out = salted.mapInArrow(_arrow_kernel(cfg, target), schema=EXTRACTED)
     if resolve_links and not cfg.disable_links:
-        from pdftext_spark.operators.refs import resolve_refs
+        from pdftext_spark.operators.refs import (
+            DEFAULT_BROADCAST_THRESHOLD,
+            resolve_refs,
+        )
+        thr = (DEFAULT_BROADCAST_THRESHOLD
+               if broadcast_threshold is _USE_DEFAULT else broadcast_threshold)
         if links_via == "prepass":
             regs = link_registrations(transcripts, cfg)
-            out = resolve_refs(out, registrations=regs)
+            out = resolve_refs(out, registrations=regs,
+                               broadcast_threshold=thr)
         else:
-            out = resolve_refs(out, persist=True)
+            out = resolve_refs(out, persist=True, broadcast_threshold=thr)
     return out
 
 

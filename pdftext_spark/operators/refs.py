@@ -207,7 +207,25 @@ def resolve_refs(extracted: DataFrame, persist: bool = True,
     keep = [F.col(f"e.{c}").alias(c) for c in extracted.columns if c != "page"]
     result = out.select(*keep, new_page.alias("page")) \
         .select(*extracted.columns)  # restore original column order
-    # handle for cache-eviction seams (queries.unpersist_tier): the persist
-    # above is internal, so callers need this to release storage memory
+    # handle for cache-eviction seams (queries.unpersist_tier /
+    # release_persisted below): the persist above is internal, so callers
+    # need this to release storage memory
     result._pdftext_persisted = persisted
     return result
+
+
+def release_persisted(df: DataFrame, blocking: bool = False) -> int:
+    """Unpersist whatever resolve_refs persisted to build `df` — the
+    release seam for per-batch callers (notably extract(...,
+    links_via='prepass'), which persists a registrations frame per call;
+    a long-running service calls this after consuming each batch or its
+    storage memory grows without bound). Safe to call at any time: the
+    plan stays valid and recomputes if re-executed."""
+    n = 0
+    for f in getattr(df, "_pdftext_persisted", []):
+        try:
+            f.unpersist(blocking)
+            n += 1
+        except Exception:
+            pass
+    return n

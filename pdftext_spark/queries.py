@@ -83,17 +83,12 @@ def unpersist_tier(spark: SparkSession, sf_dir: str | None = None) -> int:
     tier = None if sf_dir is None else tier_for_sf_dir(sf_dir)
     keys = [k for k in _EXTRACT_CACHE
             if k[0] == app and (tier is None or k[1] == tier)]
+    from pdftext_spark.operators.refs import release_persisted
     n = 0
     for key in keys:
         df = _EXTRACT_CACHE.pop(key, None)
-        if df is None:
-            continue
-        for f in getattr(df, "_pdftext_persisted", []):
-            try:
-                f.unpersist()
-                n += 1
-            except Exception:
-                pass
+        if df is not None:
+            n += release_persisted(df)
     return n
 
 
@@ -947,6 +942,17 @@ def sql_dedup_simhash(sf_dir):
         "FROM bits GROUP BY doc_id")
 
 
+def _cos6(a: str, b: str):
+    """6-dp-rounded cosine of two array<float> columns — index-ordered
+    fold so both engines sum in the same order (the single shared
+    definition; every embedding query scores through this)."""
+    dot = F.expr(f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
+                 "cast(0.0 as double), (acc, v) -> acc + v)")
+    na = F.expr(f"sqrt(aggregate({a}, cast(0.0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double)))")
+    nb = F.expr(f"sqrt(aggregate({b}, cast(0.0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double)))")
+    return F.round(dot / (na * nb), 6)
+
+
 def q_dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup pairs (cos ≥ 0.45, double precision,
     index-ordered dot product so both engines sum in the same order)."""
@@ -954,11 +960,7 @@ def q_dedup_embedding(spark, sf_dir):
     a = e.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
     b = e.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
     pairs = a.join(b, F.col("va") < F.col("vb"))
-    dot = F.expr("aggregate(zip_with(ea, eb, (x, y) -> cast(x as double) * cast(y as double)), "
-                 "cast(0.0 as double), (acc, v) -> acc + v)")
-    na = F.expr("sqrt(aggregate(ea, cast(0.0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double)))")
-    nb = F.expr("sqrt(aggregate(eb, cast(0.0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double)))")
-    return (pairs.withColumn("cos", F.round(dot / (na * nb), 6))
+    return (pairs.withColumn("cos", _cos6("ea", "eb"))
             .where(F.col("cos") >= 0.45)
             .select(F.col("va").alias("vec_a"), F.col("vb").alias("vec_b"), "cos"))
 
@@ -1043,12 +1045,8 @@ def q_dedup_embedding_lsh(spark, sf_dir):
                     F.col("y.vec_id").alias("vec_b")).distinct())
     ea = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     eb = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    dot = F.expr("aggregate(zip_with(ea, eb, (x, y) -> cast(x as double) * cast(y as double)), "
-                 "cast(0.0 as double), (acc, v) -> acc + v)")
-    na = F.expr("sqrt(aggregate(ea, cast(0.0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double)))")
-    nb = F.expr("sqrt(aggregate(eb, cast(0.0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double)))")
     return (cand.join(ea, "vec_a").join(eb, "vec_b")
-            .withColumn("cos", F.round(dot / (na * nb), 6))
+            .withColumn("cos", _cos6("ea", "eb"))
             .where(F.col("cos") >= 0.45)
             .select("vec_a", "vec_b", "cos"))
 
@@ -1079,11 +1077,7 @@ def _cosine_pairs(spark, sf_dir, query_pred):
                                    F.col("embedding").alias("qe"))
     c = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
     pairs = F.broadcast(q).crossJoin(c).where(F.col("qid") != F.col("cid"))
-    dot = F.expr("aggregate(zip_with(qe, ce, (x, y) -> cast(x as double) * cast(y as double)), "
-                 "cast(0.0 as double), (acc, v) -> acc + v)")
-    nq = F.expr("sqrt(aggregate(qe, cast(0.0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double)))")
-    nc = F.expr("sqrt(aggregate(ce, cast(0.0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double)))")
-    return pairs.withColumn("cos", F.round(dot / (nq * nc), 6))
+    return pairs.withColumn("cos", _cos6("qe", "ce"))
 
 
 def q_ann_bruteforce(spark, sf_dir):
@@ -1172,33 +1166,45 @@ def q_ann_bruteforce_np(spark, sf_dir):
                     F.col("cos_r").alias("cos")))
 
 
-def q_ann_ivf(spark, sf_dir):
-    """IVF-style bucketed search: centroids = vec_id < 8; every vector is
-    assigned to its nearest centroid (one shuffle on bucket id), then
-    queries (8 <= vec_id < 24) search only their own bucket — the
-    scale path that avoids the all-pairs product."""
+def _ivf_search(spark, sf_dir, nprobe: int):
+    """Shared seed-centroid IVF search: centroids = vec_id < 8; every
+    vector is assigned to its nearest centroid, queries (8 <= vec_id <
+    24) search the buckets of their `nprobe` nearest centroids, top-3 by
+    exact cosine. The centroid ranking is computed once and persisted
+    (at 100 TB it is the materialized assignment table every IVF variant
+    shares); each candidate belongs to exactly one bucket, so distinct
+    probes can never produce duplicate (qid, cid) pairs — no dedup
+    shuffle."""
     pairs = _cosine_pairs(spark, sf_dir, F.col("vec_id") < 8) \
         .select(F.col("cid").alias("vec_id"), F.col("qid").alias("centroid"), "cos")
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("centroid"))
-    assign = (pairs.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
-              .select("vec_id", "centroid"))
-    e = _emb(spark, sf_dir).join(assign, "vec_id")
-    q = e.where((F.col("vec_id") >= 8) & (F.col("vec_id") < 24)) \
-        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"),
-                F.col("centroid").alias("qc"))
-    c = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"),
-                 F.col("centroid").alias("cc"))
+    ranked = (pairs.withColumn("rn", F.row_number().over(w))
+              .where(F.col("rn") <= nprobe)
+              .select("vec_id", "centroid", "rn").persist())
+    _register_persisted(ranked)
+    assign = ranked.where(F.col("rn") == 1).select("vec_id", "centroid")
+    probes = ranked.select("vec_id", F.col("centroid").alias("qc"))
+    e = _emb(spark, sf_dir)
+    q = (e.where((F.col("vec_id") >= 8) & (F.col("vec_id") < 24))
+         .join(probes, "vec_id")
+         .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"),
+                 "qc"))
+    c = (e.join(assign, "vec_id")
+         .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"),
+                 F.col("centroid").alias("cc")))
     cand = F.broadcast(q).join(c, (F.col("qc") == F.col("cc"))
                                & (F.col("qid") != F.col("cid")))
-    dot = F.expr("aggregate(zip_with(qe, ce, (x, y) -> cast(x as double) * cast(y as double)), "
-                 "cast(0.0 as double), (acc, v) -> acc + v)")
-    nq = F.expr("sqrt(aggregate(qe, cast(0.0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double)))")
-    nc = F.expr("sqrt(aggregate(ce, cast(0.0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double)))")
-    scored = cand.withColumn("cos", F.round(dot / (nq * nc), 6))
+    scored = cand.withColumn("cos", _cos6("qe", "ce"))
     w2 = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
     return (scored.withColumn("rank", F.row_number().over(w2).cast("long"))
             .where(F.col("rank") <= 3)
             .select("qid", "rank", F.col("cid").alias("neighbor_id"), "cos"))
+
+
+def q_ann_ivf(spark, sf_dir):
+    """IVF-style bucketed search over raw seed centroids, single probe —
+    the scale path that avoids the all-pairs product (see _ivf_search)."""
+    return _ivf_search(spark, sf_dir, nprobe=1)
 
 
 def sql_ann_ivf(sf_dir):
@@ -1227,39 +1233,9 @@ def q_ann_ivf_probe(spark, sf_dir):
     for the single-probe recall cliff (a query near a Voronoi boundary
     misses neighbors sitting just across it). Cost model at scale: the
     candidate set grows linearly in nprobe (2/K of the corpus for K
-    centroids), still nothing like the all-pairs product; each candidate
-    vector belongs to exactly one bucket, so probing distinct centroids
-    can never produce duplicate (qid, cid) pairs and no dedup shuffle is
-    needed. The centroid ranking is computed once and persisted (at 100 TB
-    it is the materialized assignment table every IVF variant shares)."""
-    pairs = _cosine_pairs(spark, sf_dir, F.col("vec_id") < 8) \
-        .select(F.col("cid").alias("vec_id"), F.col("qid").alias("centroid"), "cos")
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("centroid"))
-    ranked = (pairs.withColumn("rn", F.row_number().over(w))
-              .where(F.col("rn") <= _NPROBE)
-              .select("vec_id", "centroid", "rn").persist())
-    _register_persisted(ranked)
-    assign = ranked.where(F.col("rn") == 1).select("vec_id", "centroid")
-    probes = ranked.select("vec_id", F.col("centroid").alias("qc"))
-    e = _emb(spark, sf_dir)
-    q = (e.where((F.col("vec_id") >= 8) & (F.col("vec_id") < 24))
-         .join(probes, "vec_id")
-         .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"),
-                 "qc"))
-    c = (e.join(assign, "vec_id")
-         .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"),
-                 F.col("centroid").alias("cc")))
-    cand = F.broadcast(q).join(c, (F.col("qc") == F.col("cc"))
-                               & (F.col("qid") != F.col("cid")))
-    dot = F.expr("aggregate(zip_with(qe, ce, (x, y) -> cast(x as double) * cast(y as double)), "
-                 "cast(0.0 as double), (acc, v) -> acc + v)")
-    nq = F.expr("sqrt(aggregate(qe, cast(0.0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double)))")
-    nc = F.expr("sqrt(aggregate(ce, cast(0.0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double)))")
-    scored = cand.withColumn("cos", F.round(dot / (nq * nc), 6))
-    w2 = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
-    return (scored.withColumn("rank", F.row_number().over(w2).cast("long"))
-            .where(F.col("rank") <= 3)
-            .select("qid", "rank", F.col("cid").alias("neighbor_id"), "cos"))
+    centroids), still nothing like the all-pairs product. Mechanics in
+    _ivf_search."""
+    return _ivf_search(spark, sf_dir, nprobe=_NPROBE)
 
 
 def sql_ann_ivf_probe(sf_dir):
@@ -1368,11 +1344,7 @@ def q_ann_ivf_kmeans(spark, sf_dir):
                  F.col("embedding").alias("cev"), F.col("cid").alias("cc")))
     cand = F.broadcast(q).join(c, (F.col("qc") == F.col("cc"))
                                & (F.col("qid") != F.col("cid_v")))
-    dot = F.expr("aggregate(zip_with(qev, cev, (x, y) -> cast(x as double) * cast(y as double)), "
-                 "cast(0.0 as double), (acc, v) -> acc + v)")
-    nq = F.expr("sqrt(aggregate(qev, cast(0.0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double)))")
-    nc = F.expr("sqrt(aggregate(cev, cast(0.0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double)))")
-    scored = cand.withColumn("cos", F.round(dot / (nq * nc), 6))
+    scored = cand.withColumn("cos", _cos6("qev", "cev"))
     w2 = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid_v"))
     return (scored.withColumn("rank", F.row_number().over(w2).cast("long"))
             .where(F.col("rank") <= 3)

@@ -64,13 +64,32 @@ def _epoch_us(ts_col):
         f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {ts_col})")
 
 
+_WATERMARK_DELAY_S = 60  # must stay <= gap_s, see sessionize_stream
+
+
+def _types_list(s: str) -> list:
+    """Decode the state's type set. JSON since round 3; tolerate the
+    legacy '|'-joined form so a query resumed from an old checkpoint
+    doesn't crash (old entries may undercount types containing '|' —
+    exactly the bug the JSON encoding fixed — but they keep running)."""
+    if not s:
+        return []
+    try:
+        v = json.loads(s)
+        if isinstance(v, list):
+            return v
+    except ValueError:
+        pass
+    return s.split("|")
+
+
 def _close(user_id: int, st) -> dict:
     return {
         "user_id": user_id,
         "session_start_us": st[1],
         "n_events": st[2],
         "duration_us": st[0] - st[1],
-        "n_types": len(json.loads(st[3])) if st[3] else 0,
+        "n_types": len(_types_list(st[3])),
     }
 
 
@@ -105,7 +124,7 @@ def _session_fn(gap_us: int, flush_on_timeout: bool = False):
                 closed.append(_close(user_id, st))
                 st = [us, us, 1, json.dumps([etype])]
             else:
-                types = set(json.loads(st[3])) if st[3] else set()
+                types = set(_types_list(st[3]))
                 types.add(etype)
                 # a late-but-within-watermark event can arrive AFTER a
                 # newer one (previous micro-batch advanced us_last): keep
@@ -138,8 +157,19 @@ def sessionize_stream(events: DataFrame, gap_s: int = 1800,
     session is emitted (and its state dropped) once the watermark passes
     its last event + gap — the point where no admissible late event could
     extend it. Without it, sessions with no successor event stay in state
-    forever (deterministic core, but a state leak on endless streams)."""
+    forever (deterministic core, but a state leak on endless streams).
+
+    Requires gap_s >= the 1-minute watermark delay: the in-gap merge
+    treats every admissible late event as part of the open session, which
+    matches the sorted batch semantics only while lateness is bounded by
+    the gap (a late event more than one gap BEFORE the session start
+    would otherwise merge where the batch twin splits)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if gap_s < _WATERMARK_DELAY_S:
+        raise ValueError(
+            f"gap_s={gap_s} must be >= the {_WATERMARK_DELAY_S}s watermark "
+            "delay, or late-event merging diverges from batch semantics")
 
     # epoch micros come from the parquet-naive (NTZ) ts; the watermark
     # column must be TIMESTAMP, so cast a copy (session tz is fixed UTC in
@@ -147,7 +177,7 @@ def sessionize_stream(events: DataFrame, gap_s: int = 1800,
     ev = events.withColumn("us", _epoch_us("ts")) \
         .withColumn("wts", F.col("ts").cast("timestamp")) \
         .select("user_id", "event_id", "event_type", "us", "wts") \
-        .withWatermark("wts", "1 minute")
+        .withWatermark("wts", f"{_WATERMARK_DELAY_S} seconds")
     return ev.groupBy("user_id").applyInPandasWithState(
         _session_fn(gap_s * 1_000_000, flush_on_timeout),
         outputStructType=SESSION_SCHEMA,

@@ -128,9 +128,17 @@ def test_bbox_public_api():
     # reference call shape (schema.py:116): rescale(img_size, page_dict)
     s = Bbox([10, 20, 30, 60]).rescale([50, 100], {"width": 100, "height": 200})
     assert s.bbox == [5, 10, 15, 30]
-    # legacy flat-scalar form still accepted
+    # legacy flat-scalar form still accepted, positionally and by keyword
     s2 = Bbox([10, 20, 30, 60]).rescale(50, 100, 100, 200)
     assert s2.bbox == s.bbox
+    s3 = Bbox([10, 20, 30, 60]).rescale(img_w=50, img_h=100,
+                                        page_w=100, page_h=200)
+    assert s3.bbox == s.bbox
+    try:
+        Bbox([0, 0, 1, 1]).rescale([50, 100], {"width": 100, "height": 200}, 7)
+        assert False, "expected TypeError"
+    except TypeError:
+        pass
 
 
 def test_run_rejects_out_of_range_pages():

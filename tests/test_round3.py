@@ -129,6 +129,32 @@ def test_unpersist_tier_releases_extract_cache(spark):
     assert _n_persistent_rdds(spark) == base
 
 
+def test_release_persisted_frees_prepass_registrations(spark):
+    """extract(links_via='prepass') persists a registrations frame per
+    call; release_persisted(df) is the per-batch seam that frees it."""
+    from pdftext_spark.config import ExtractConfig
+    from pdftext_spark.operators.extract import extract
+    from pdftext_spark.operators.refs import release_persisted
+    from pdftext_spark.sources.fixture_io import transcripts_path
+
+    base = _n_persistent_rdds(spark)
+    df = extract(spark.read.parquet(transcripts_path("sf0.001")),
+                 ExtractConfig(), links_via="prepass")
+    assert df.count() > 0
+    assert _n_persistent_rdds(spark) > base
+    assert release_persisted(df) >= 1
+    assert _n_persistent_rdds(spark) == base
+
+
+def test_sessionize_rejects_sub_watermark_gap(spark):
+    import pytest
+
+    from pdftext_spark.streaming.sessions import sessionize_stream
+    with pytest.raises(ValueError, match="watermark"):
+        sessionize_stream(spark.read.parquet(
+            "/root/testdata/sf0.001/events.parquet"), gap_s=30)
+
+
 def test_unpersist_registered_releases_query_side_tables(spark):
     from pdftext_spark import queries as Q
 
