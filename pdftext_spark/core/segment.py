@@ -137,16 +137,25 @@ def word_dedup_mask(cb: CharBatch) -> np.ndarray:
     env = envelope_reduceat(cb.boxes, s_idx)
     rb = np.round(env)  # round-half-even, matching Python round(x, 0) (chars.py:108)
     texts = [cb.gtext[a:b] for a, b in zip(s_idx, e_idx)]
-    key = pd.DataFrame({
-        "turn": cb.turn_of[s_idx],
-        "text": texts,
-        "rot": cb.rot[s_idx],
-        "font": cb.font[s_idx],
-        "b0": rb[:, 0], "b1": rb[:, 1], "b2": rb[:, 2], "b3": rb[:, 3],
-        "s0": np.signbit(rb[:, 0]), "s1": np.signbit(rb[:, 1]),
-        "s2": np.signbit(rb[:, 2]), "s3": np.signbit(rb[:, 3]),
-    })
-    keep_word = (~key.duplicated(keep="first")).to_numpy()
+    # All-integer dedup key (one hash-factorize for the strings, float BIT
+    # patterns for the rounded bbox). The bit view IS the reference's
+    # f-string semantics for the bbox: -0.0 and 0.0 render differently in
+    # the key string (chars.py:110), and they differ in bits — this
+    # replaces the signbit columns the old mixed-dtype frame carried.
+    # Rotation is normalized (+0.0) so -0.0 == 0.0 there, matching the
+    # previous value-equality behavior; no NaN reaches this key (rounded
+    # envelopes of finite boxes). One single-block int64 frame hashes ~2x
+    # faster than the old 12-column object/bool/float frame (measured
+    # 19 -> 11 ms on the sf0.01 batch; np.unique(axis=0) was tried and
+    # rejected at 23 ms — lexsort loses to hashing here).
+    nw = len(s_idx)
+    key = np.empty((nw, 8), dtype=np.int64)
+    key[:, 0] = cb.turn_of[s_idx]
+    key[:, 1] = pd.factorize(np.asarray(texts, dtype=object))[0]
+    key[:, 2] = (cb.rot[s_idx] + 0.0).view(np.int64)
+    key[:, 3] = cb.font[s_idx]
+    key[:, 4:8] = rb.view(np.int64)
+    keep_word = (~pd.DataFrame(key, copy=False).duplicated()).to_numpy()
     return np.repeat(keep_word, e_idx - s_idx)
 
 
