@@ -409,6 +409,36 @@ def sql_extract_span_counts(sf_dir):
             f"FROM read_parquet('{p}') GROUP BY conv_id, turn_idx")
 
 
+_DOMAIN_RE = "^https?://([^/]+)"
+
+
+def q_refs_domains(spark, sf_dir):
+    """Per-domain link histogram over the EXTRACTED span urls — the
+    web-curation primitive behind domain allow/deny lists and source-mix
+    reporting. External (http/https) urls only; internal #page anchors are
+    the X1 registry's business. Scale shape: domain cardinality is tiny
+    next to link count, so the plan is scan → filter → partial-aggregate →
+    one domain-keyed shuffle of pre-aggregated rows; the heavy page column
+    is pruned at the cached kernel output (the distinct-conv count rides
+    the same aggregation as a two-phase distinct)."""
+    s = _flat_spans(spark, sf_dir)
+    u = s.where(F.col("s.url").startswith("http"))
+    d = u.select(F.regexp_extract(F.col("s.url"), _DOMAIN_RE, 1).alias("domain"),
+                 "conv_id")
+    return d.groupBy("domain").agg(
+        F.count("*").alias("n_links"),
+        F.countDistinct("conv_id").alias("n_convs"),
+    )
+
+
+def sql_refs_domains(sf_dir):
+    p = _fixture_path(sf_dir, "expected_spans.parquet")
+    return (f"SELECT regexp_extract(url, '{_DOMAIN_RE}', 1) AS domain, "
+            f"count(*) n_links, count(DISTINCT conv_id) n_convs "
+            f"FROM read_parquet('{p}') WHERE url LIKE 'http%' "
+            f"GROUP BY 1")
+
+
 # --------------------------------------------------------------------------
 # 2a. text analysis (documents)
 # --------------------------------------------------------------------------
@@ -616,6 +646,42 @@ def sql_text_tfidf(sf_dir):
         "r AS (SELECT doc_id, term, score, row_number() OVER "
         "(PARTITION BY doc_id ORDER BY score DESC, term ASC) rank FROM s) "
         "SELECT doc_id, rank, term, score FROM r WHERE rank <= 3")
+
+
+# Blocklist terms, chosen from the corpus vocabulary so the scrub has
+# real work to do. At 100 TB the list (LDNOOBW-style, a few thousand
+# entries) is read from a side table and folded into the expression tree
+# exactly like this literal — same plan, the list is driver-resident
+# either way (the centroid-literal pattern, not a join: joining a
+# token-level explode against the list would shuffle the corpus).
+_BLOCKLIST = ("customer", "spark", "vector")
+
+
+def q_text_blocklist(spark, sf_dir):
+    """Blocklist redaction (C4/RefinedWeb-style term scrub): every
+    blocklisted token replaced by [REDACTED] in the token stream; emits
+    the hit count and the scrubbed content hash. Pure row-wise array
+    transforms — zero shuffle, the corpus is scanned once and the scrubbed
+    stream would go straight to the sink (plan-asserted)."""
+    bl = ", ".join(f"'{w}'" for w in _BLOCKLIST)
+    d = _docs(spark, sf_dir).withColumn("toks", F.expr(_TOKS_SPARK))
+    return d.select(
+        "doc_id",
+        F.expr(f"size(filter(toks, t -> t IN ({bl})))").cast("long")
+        .alias("n_hits"),
+        F.md5(F.concat_ws(" ", F.expr(
+            f"transform(toks, t -> CASE WHEN t IN ({bl}) "
+            f"THEN '[REDACTED]' ELSE t END)"))).alias("scrubbed_md5"),
+    )
+
+
+def sql_text_blocklist(sf_dir):
+    bl = ", ".join(f"'{w}'" for w in _BLOCKLIST)
+    return (
+        "WITH t AS (SELECT doc_id, " + _TOKS_DUCK + " toks FROM documents) "
+        f"SELECT doc_id, len(list_filter(toks, t -> t IN ({bl})))::BIGINT n_hits, "
+        f"md5(array_to_string(list_transform(toks, t -> CASE WHEN t IN ({bl}) "
+        f"THEN '[REDACTED]' ELSE t END), ' ')) scrubbed_md5 FROM t")
 
 
 # --------------------------------------------------------------------------
@@ -1407,6 +1473,55 @@ def sql_ann_ivf_kmeans(sf_dir):
     return ", ".join(parts[:1]) + ", " + ", ".join(parts[1:])
 
 
+def q_emb_quantize(spark, sf_dir):
+    """Symmetric int8 quantization report per vector (the 4x memory /
+    bandwidth lever for ANN at scale: a 100 TB float32 embedding store is
+    25 TB as int8 + one scale per vector): scale = max|x|/127, q =
+    floor(x/scale + 0.5), and the reconstruction error stats a pipeline
+    gates codebook rollout on. Entirely row-wise — zero shuffle, the scan
+    emits the report directly. floor(v+0.5) is used instead of round():
+    identical IEEE ops on both engines, immune to HALF_UP-vs-banker
+    differences at the .5 boundary; mse is scaled by 1e6 so 6-dp rounding
+    keeps real precision at int8 error magnitudes (~1e-8 raw)."""
+    e = (_emb(spark, sf_dir)
+         .withColumn("xd", F.expr("transform(embedding, x -> cast(x as double))"))
+         .withColumn("amax", F.expr(
+             "aggregate(xd, cast(0.0 as double), (a, v) -> greatest(a, abs(v)))"))
+         .withColumn("scale", F.expr(
+             "CASE WHEN amax = 0 THEN cast(1.0 as double) ELSE amax / 127 END"))
+         .withColumn("err", F.expr(
+             "transform(xd, v -> v - cast(floor(v / scale + 0.5) as double) * scale)")))
+    return e.select(
+        "vec_id",
+        F.expr("size(xd)").cast("long").alias("n_dims"),
+        F.round("scale", 9).alias("scale"),
+        F.round(F.expr(
+            "aggregate(err, cast(0.0 as double), (a, v) -> a + v * v) "
+            "/ size(xd) * 1000000"), 6).alias("mse_x1e6"),
+        F.round(F.expr(
+            "aggregate(err, cast(0.0 as double), (a, v) -> greatest(a, abs(v)))"),
+            9).alias("max_abs_err"),
+    )
+
+
+def sql_emb_quantize(sf_dir):
+    return (
+        "WITH x AS (SELECT vec_id, "
+        "list_transform(embedding, x -> x::DOUBLE) xd FROM embeddings), "
+        "s AS (SELECT vec_id, xd, "
+        "list_max(list_transform(xd, v -> abs(v))) amax FROM x), "
+        "sc AS (SELECT vec_id, xd, CASE WHEN amax = 0 THEN 1.0 "
+        "ELSE amax / 127 END scale FROM s), "
+        "e AS (SELECT vec_id, xd, scale, "
+        "list_transform(xd, v -> v - floor(v / scale + 0.5) * scale) err "
+        "FROM sc) "
+        "SELECT vec_id, len(xd)::BIGINT n_dims, round(scale, 9) scale, "
+        "round(list_sum(list_transform(err, v -> v * v)) / len(xd) * 1000000, 6) "
+        "mse_x1e6, "
+        "round(list_max(list_transform(err, v -> abs(v))), 9) max_abs_err "
+        "FROM e")
+
+
 # --------------------------------------------------------------------------
 # 2d. multimodal (synthetic binary payloads over documents)
 # --------------------------------------------------------------------------
@@ -1666,6 +1781,51 @@ def sql_dedup_apply(sf_dir):
             "WHERE NOT is_keeper)")
 
 
+_PASSAGE_N = 8  # tokens per passage window
+
+
+def q_dedup_passages(spark, sf_dir):
+    """Repeated-passage detection (the passage-level complement to
+    document-level dedup, after Lee et al. 2022's substring dedup):
+    8-token windows occurring in MORE THAN ONE document, with how many
+    docs and total occurrences. Passages are hashed per doc row-wise
+    (md5, carried as the hash — the literal text never leaves the row);
+    occurrence counts ride the explode, doc counts a per-doc distinct
+    inside the row, so the single shuffle carries pre-aggregated
+    (passage, counts) rows and the aggregate is sized by the repeated
+    vocabulary, not the corpus. At 100 TB the >1-doc filter makes the
+    output the (small) boilerplate table a scrub pass would broadcast
+    right back — the exact suffix-array structure in the paper is the
+    single-machine tool; this windowed-hash form is its shuffle-friendly
+    corpus-scale approximation."""
+    w = _PASSAGE_N
+    d = (_docs(spark, sf_dir)
+         .withColumn("toks", F.expr(_TOKS_SPARK))
+         .where(F.expr(f"size(toks) >= {w}"))
+         .withColumn("ph", F.expr(
+             f"transform(sequence(1, size(toks)-{w-1}), i -> "
+             f"md5(concat_ws(' ', slice(toks, i, {w}))))")))
+    e = d.select("doc_id", F.explode("ph").alias("passage_md5"))
+    agg = e.groupBy("passage_md5").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count("*").alias("n_occurrences"),
+    )
+    return agg.where(F.col("n_docs") >= 2)
+
+
+def sql_dedup_passages(sf_dir):
+    w = _PASSAGE_N
+    return (
+        "WITH t AS (SELECT doc_id, " + _TOKS_DUCK + " toks FROM documents), "
+        f"p AS (SELECT doc_id, unnest(list_transform("
+        f"range(1, len(toks)-{w-2}), i -> "
+        f"md5(array_to_string(list_slice(toks, i, i+{w-1}), ' ')))) passage_md5 "
+        f"FROM t WHERE len(toks) >= {w}) "
+        "SELECT passage_md5, count(DISTINCT doc_id) n_docs, "
+        "count(*) n_occurrences FROM p GROUP BY passage_md5 "
+        "HAVING count(DISTINCT doc_id) >= 2")
+
+
 def q_sample_hash(spark, sf_dir):
     """Deterministic 20% corpus sample: md5(doc_id) mod 100 < 20. The
     idiomatic reproducible sample for a 10^12-row corpus — pure scan +
@@ -1792,6 +1952,7 @@ QUERIES = {
     "extract_table_cells": (q_extract_table_cells, sql_extract_table_cells),
     "extract_html_main": (q_extract_html_main, sql_extract_html_main),
     "extract_span_counts": (q_extract_span_counts, sql_extract_span_counts),
+    "refs_domains": (q_refs_domains, sql_refs_domains),
     "turn_filter": (q_turn_filter, sql_turn_filter),
     # text analysis
     "text_tokens": (q_text_tokens, sql_text_tokens),
@@ -1801,6 +1962,7 @@ QUERIES = {
     "text_repetition": (q_text_repetition, sql_text_repetition),
     "text_chunks": (q_text_chunks, sql_text_chunks),
     "text_tfidf": (q_text_tfidf, sql_text_tfidf),
+    "text_blocklist": (q_text_blocklist, sql_text_blocklist),
     # dedup
     "dedup_exact": (q_dedup_exact, sql_dedup_exact),
     "dedup_jaccard": (q_dedup_jaccard, sql_dedup_jaccard),
@@ -1810,6 +1972,7 @@ QUERIES = {
     "dedup_embedding_lsh": (q_dedup_embedding_lsh, sql_dedup_embedding_lsh),
     "dedup_clusters": (q_dedup_clusters, sql_dedup_clusters),
     "dedup_apply": (q_dedup_apply, sql_dedup_apply),
+    "dedup_passages": (q_dedup_passages, sql_dedup_passages),
     # pipeline composition
     "sample_hash": (q_sample_hash, sql_sample_hash),
     "text_topterms": (q_text_topterms, sql_text_topterms),
@@ -1821,6 +1984,7 @@ QUERIES = {
     "ann_ivf": (q_ann_ivf, sql_ann_ivf),
     "ann_ivf_probe": (q_ann_ivf_probe, sql_ann_ivf_probe),
     "ann_ivf_kmeans": (q_ann_ivf_kmeans, sql_ann_ivf_kmeans),
+    "emb_quantize": (q_emb_quantize, sql_emb_quantize),
     # multimodal
     "mm_metadata": (q_mm_metadata, sql_mm_metadata),
     "mm_frame_sample": (q_mm_frame_sample, sql_mm_frame_sample),

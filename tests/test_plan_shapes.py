@@ -68,3 +68,35 @@ def test_tfidf_broadcasts_df_table(spark):
     # corpus term stats come back as a broadcast, not a doc-keyed shuffle
     p = _plan(spark, "text_tfidf")
     assert "BroadcastHashJoin" in p
+
+
+def test_blocklist_no_shuffle(spark):
+    # blocklist folded into the expression tree; scrub is a pure scan
+    p = _plan(spark, "text_blocklist")
+    assert _shuffles(p) == 0 and "Join" not in p
+
+
+def test_emb_quantize_no_shuffle(spark):
+    p = _plan(spark, "emb_quantize")
+    assert _shuffles(p) == 0 and "Join" not in p
+
+
+def test_passages_single_aggregation(spark):
+    # explode stays put; only (passage_md5, counts) rows move — the
+    # distinct-doc count plans as the standard two-phase distinct (2
+    # hash-keyed exchanges of pre-aggregated rows), never the corpus
+    p = _plan(spark, "dedup_passages")
+    assert "Generate" in p and _shuffles(p) <= 2
+    assert "Exchange hashpartitioning(doc_id" not in p
+
+
+def test_refs_domains_partial_agg(spark):
+    # Downstream of the span explode (plan head, above the first Generate)
+    # only domain-keyed aggregation remains: map-side partials, the
+    # standard two-phase distinct (2 exchanges of pre-aggregated rows),
+    # and no page column — the heavy struct never moves.
+    p = _plan(spark, "refs_domains")
+    head = p.split("Generate")[0]
+    assert head.count("Exchange") == 2
+    assert "partial_count" in head
+    assert "page#" not in head
