@@ -164,3 +164,71 @@ def test_unpersist_registered_releases_query_side_tables(spark):
     assert _n_persistent_rdds(spark) > base
     assert Q.unpersist_registered() >= 1
     assert _n_persistent_rdds(spark) == base
+
+
+def test_blocklist_hash_changes_iff_hits(spark):
+    """Docs with zero blocklist hits keep their original token-stream
+    hash; docs with hits must NOT (the scrub really rewrote them)."""
+    from pdftext_spark import queries as Q
+
+    out = {r["doc_id"]: r for r in
+           Q.q_text_blocklist(spark, SF_DOCS).collect()}
+    orig = {r["doc_id"]: r["h"] for r in
+            Q._docs(spark, SF_DOCS)
+            .select("doc_id", F.md5(F.concat_ws(
+                " ", F.expr(Q._TOKS_SPARK))).alias("h")).collect()}
+    assert len(out) == len(orig) > 0
+    n_hit = sum(1 for r in out.values() if r["n_hits"] > 0)
+    assert 0 < n_hit < len(out)  # blocklist terms occur, but not everywhere
+    for doc_id, r in out.items():
+        if r["n_hits"] == 0:
+            assert r["scrubbed_md5"] == orig[doc_id]
+        else:
+            assert r["scrubbed_md5"] != orig[doc_id]
+
+
+def test_emb_quantize_error_bounds(spark):
+    """int8 symmetric quantization invariants: max reconstruction error
+    is at most scale/2 (nearest-code rounding) and mse <= max_err^2."""
+    from pdftext_spark import queries as Q
+
+    rows = Q.q_emb_quantize(spark, SF_DOCS).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["n_dims"] == 64
+        assert r["max_abs_err"] <= r["scale"] / 2 + 1e-12
+        assert r["mse_x1e6"] / 1e6 <= r["max_abs_err"] ** 2 + 1e-12
+
+
+def test_dedup_passages_covers_exact_dup_docs(spark):
+    """Every exactly-duplicated document (>= 8 tokens) contributes all its
+    windows as repeated passages, so the passage table must be non-empty
+    and every reported passage must occur at least n_docs times."""
+    from pdftext_spark import queries as Q
+
+    rows = Q.q_dedup_passages(spark, SF_DOCS).collect()
+    assert len(rows) > 0
+    assert all(r["n_occurrences"] >= r["n_docs"] >= 2 for r in rows)
+    # cross-check: this corpus has near-dup pairs (jaccard >= 0.7 via
+    # LSH), and near-dup docs of >= 8 tokens necessarily share 8-token
+    # windows — the passage table is their union, so it must be at least
+    # as populated as one pair's window overlap
+    near = Q.q_dedup_minhash_lsh(spark, SF_DOCS).count()
+    Q.unpersist_registered()
+    assert near > 0
+
+
+def test_refs_domains_counts_match_flat_spans(spark):
+    """Domain histogram totals must equal a direct count over the span
+    urls (same extraction pass, independent aggregation route)."""
+    from pdftext_spark import queries as Q
+
+    agg = {r["domain"]: r["n_links"]
+           for r in Q.q_refs_domains(spark, SF).collect()}
+    direct = (Q._flat_spans(spark, SF)
+              .where(F.col("s.url").startswith("http"))
+              .select(F.regexp_extract(F.col("s.url"),
+                                       Q._DOMAIN_RE, 1).alias("d"))
+              .groupBy("d").count().collect())
+    assert agg == {r["d"]: r["count"] for r in direct}
+    assert sum(agg.values()) > 0
