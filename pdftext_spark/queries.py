@@ -1842,6 +1842,78 @@ def sql_sample_hash(sf_dir):
     return f"SELECT doc_id, lang, source FROM documents WHERE {h} % 100 < 20"
 
 
+# Per-language sampling rates (percent): the language-balancing move
+# every multilingual pretraining mix makes — downsample the dominant
+# language, keep the tails. Rates live in the expression tree (a literal
+# CASE — the same driver-resident-side-input pattern as the blocklist
+# and k-means centroids).
+_STRATA_RATES = {"en": 25, "de": 60, "fr": 60, "es": 60, "zh": 100}
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Stratified deterministic sampling: per-language rates applied via
+    the same md5-mod filter as sample_hash — reproducible, RNG-free, and
+    a pure scan (zero shuffle, plan-asserted): the rate lookup is a
+    literal CASE on the lang column and the hash predicate pushes into
+    the scan pipeline. Within every stratum the hash is uniform, so
+    realized rates converge to the targets at corpus scale."""
+    cases = " ".join(f"WHEN '{lang}' THEN {r}"
+                     for lang, r in sorted(_STRATA_RATES.items()))
+    rate = F.expr(f"CASE lang {cases} ELSE 0 END")
+    return (_docs(spark, sf_dir)
+            .where((_h(F.col("doc_id").cast("string")) % 100) < rate)
+            .select("doc_id", "lang", "source"))
+
+
+def sql_sample_stratified(sf_dir):
+    cases = " ".join(f"WHEN '{lang}' THEN {r}"
+                     for lang, r in sorted(_STRATA_RATES.items()))
+    h = _H_SQL.format(c="doc_id::VARCHAR")
+    return (f"SELECT doc_id, lang, source FROM documents "
+            f"WHERE {h} % 100 < CASE lang {cases} ELSE 0 END")
+
+
+_PACK_BUDGET = 2048  # tokens per packed training sequence
+
+
+def q_text_pack(spark, sf_dir):
+    """Deterministic sequence packing: docs are laid out per source in
+    doc_id order and cut into ~2048-token bins by running token count —
+    the sample-packing step that turns a curated corpus into fixed-budget
+    training sequences. One shuffle on source + an ordered window cumsum;
+    bin_idx = tokens-before-this-doc / budget, so a doc starts a new bin
+    exactly when the previous docs filled it. SKEW NOTE for 100 TB: a
+    window per source serializes each source on one task — production
+    packs per (source, shard) with shard = hash(doc_id) % K, which
+    preserves determinism and bounds any partition at corpus/K; the
+    per-source form here keeps the oracle exactly comparable."""
+    d = (_docs(spark, sf_dir)
+         .withColumn("n_tokens", F.expr(f"size({_TOKS_SPARK})").cast("long")))
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    # `div`, not `/`: Spark's `/` yields double and casting truncates,
+    # while DuckDB's CAST(double AS BIGINT) rounds — explicit integer
+    # division on both engines sidesteps the divergence entirely
+    return (d.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+            .select(
+                "doc_id", "source", "n_tokens",
+                F.expr(f"(cum_tokens - n_tokens) div {_PACK_BUDGET}")
+                .cast("long").alias("bin_idx"),
+                "cum_tokens"))
+
+
+def sql_text_pack(sf_dir):
+    b = _PACK_BUDGET
+    return (
+        "WITH t AS (SELECT doc_id, source, "
+        "len(" + _TOKS_DUCK + ")::BIGINT n_tokens FROM documents), "
+        "c AS (SELECT doc_id, source, n_tokens, "
+        "sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id "
+        "ROWS UNBOUNDED PRECEDING)::BIGINT cum_tokens FROM t) "
+        f"SELECT doc_id, source, n_tokens, "
+        f"((cum_tokens - n_tokens) // {b})::BIGINT bin_idx, cum_tokens FROM c")
+
+
 def q_text_topterms(spark, sf_dir):
     """Top-20 terms by document frequency — the heavy-hitter profile a
     corpus audit starts with. Per-doc array_distinct happens inside the
@@ -1975,6 +2047,8 @@ QUERIES = {
     "dedup_passages": (q_dedup_passages, sql_dedup_passages),
     # pipeline composition
     "sample_hash": (q_sample_hash, sql_sample_hash),
+    "sample_stratified": (q_sample_stratified, sql_sample_stratified),
+    "text_pack": (q_text_pack, sql_text_pack),
     "text_topterms": (q_text_topterms, sql_text_topterms),
     "contamination": (q_contamination, sql_contamination),
     "curate_corpus": (q_curate_corpus, sql_curate_corpus),

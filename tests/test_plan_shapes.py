@@ -90,6 +90,20 @@ def test_passages_single_aggregation(spark):
     assert "Exchange hashpartitioning(doc_id" not in p
 
 
+def test_sample_stratified_pure_scan(spark):
+    # the per-lang rate CASE lives in the expression tree; no join, no
+    # shuffle — same scan-only shape as sample_hash
+    p = _plan(spark, "sample_stratified")
+    assert _shuffles(p) == 0 and "Join" not in p
+
+
+def test_text_pack_single_source_shuffle(spark):
+    # one hash-partitioning on source for the window cumsum; nothing else
+    p = _plan(spark, "text_pack")
+    assert _shuffles(p) == 1
+    assert "Exchange hashpartitioning(source" in p
+
+
 def test_refs_domains_partial_agg(spark):
     # Downstream of the span explode (plan head, above the first Generate)
     # only domain-keyed aggregation remains: map-side partials, the
