@@ -1722,6 +1722,38 @@ def sql_events_value_stats(sf_dir):
         "FROM events GROUP BY event_type")
 
 
+def q_events_window(spark, sf_dir):
+    """Tumbling 1-hour window rollup — the batch twin of
+    streaming.sessions.windowed_event_counts (same buckets a watermarked
+    stream produces once all late data lands). Window identity is carried
+    as epoch-micro bucket starts (integer floor-div, exact on both
+    engines, no timestamp-type round trip); money as exact integer cents.
+    Plan: map-side partial aggregation, one (window, type)-keyed shuffle
+    of pre-aggregated rows — cardinality = hours x event types, not
+    events."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    hour_us = 3600 * 1_000_000
+    ev = ev.withColumn("us", F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"))
+    return (ev.withColumn("window_start_us",
+                          F.expr(f"(us div {hour_us}) * {hour_us}"))
+            .groupBy("window_start_us", "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum(F.round(F.col("value") * 100).cast("long"))
+                 .alias("value_cents")))
+
+
+def sql_events_window(sf_dir):
+    hour_us = 3600 * 1_000_000
+    return (
+        f"SELECT (epoch_us(ts) // {hour_us}) * {hour_us} AS window_start_us, "
+        "event_type, count(*) n_events, "
+        # ::BIGINT twice: DuckDB sum(BIGINT) widens to HUGEINT, which the
+        # type-strict gate (correctly) refuses to call an int
+        "sum(round(value * 100)::BIGINT)::BIGINT value_cents "
+        "FROM events GROUP BY 1, 2")
+
+
 def q_events_sessionize(spark, sf_dir):
     """Gap-based sessionization over the events stream table (30-min
     inactivity closes a session) — lag + running-sum window composition,
@@ -2068,5 +2100,6 @@ QUERIES = {
     "rel_region_volume": (q_rel_region_volume, sql_rel_region_volume),
     "rel_rollup": (q_rel_rollup, sql_rel_rollup),
     "events_value_stats": (q_events_value_stats, sql_events_value_stats),
+    "events_window": (q_events_window, sql_events_window),
     "events_sessionize": (q_events_sessionize, sql_events_sessionize),
 }

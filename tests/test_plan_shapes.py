@@ -104,6 +104,15 @@ def test_text_pack_single_source_shuffle(spark):
     assert "Exchange hashpartitioning(source" in p
 
 
+def test_events_window_partial_agg(spark):
+    # one (window, type)-keyed shuffle of map-side partially aggregated
+    # rows; no sort, no join
+    p = _plan(spark, "events_window")
+    assert _shuffles(p) == 1
+    assert "partial_count" in p or "partial" in p
+    assert "Join" not in p and "Sort" not in p
+
+
 def test_refs_domains_partial_agg(spark):
     # Downstream of the span explode (plan head, above the first Generate)
     # only domain-keyed aggregation remains: map-side partials, the
