@@ -66,3 +66,49 @@ def test_dedup_stream_first_seen_semantics(spark, dup_stream_dir, tmp_path):
     assert sum(copies.values()) == n + 11
     # none of the synthetic doc_ids won a keeper slot
     assert all(keeper < 1_000_000 for keeper, _ in got.values())
+
+
+def test_dedup_stream_state_survives_restart(spark, tmp_path):
+    """The seen-set lives in the checkpointed state store: a NEW query
+    (fresh process in production) resuming from the same checkpoint must
+    still drop duplicates of texts admitted before the restart, and admit
+    only genuinely new content."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from pdftext_spark.streaming.dedup import dedup_stream
+
+    d = str(tmp_path / "docs_in")
+    out = str(tmp_path / "admitted")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+    (spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "alpha beta")], schema)
+     .coalesce(1).write.parquet(d))
+
+    def run():
+        # parquet sink: the memory sink refuses checkpoint recovery by
+        # design (not fault-tolerant); a file sink is what an ingest
+        # pipeline writes anyway
+        stream = (spark.readStream.schema(spark.read.parquet(d).schema)
+                  .option("maxFilesPerTrigger", 1).parquet(d))
+        q = (dedup_stream(stream).writeStream
+             .format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return {(r["doc_id"], r["n_chars"])
+                for r in spark.read.parquet(out).collect()}
+
+    first = run()
+    assert first == {(1, 10), (2, 11)}  # doc 3 dropped intra-run
+
+    # "restart": new files arrive, a NEW query object resumes from the
+    # same checkpoint — the parquet sink accumulates across restarts
+    (spark.createDataFrame(
+        [(10, "alpha beta"), (11, "epsilon"), (12, "gamma delta"),
+         (13, "epsilon")], schema)
+     .coalesce(1).write.mode("append").parquet(d))
+    second = run()
+    # only the genuinely new text is admitted after the restart;
+    # pre-restart content is remembered and dropped without rescanning
+    assert second == first | {(11, 7)}
