@@ -138,21 +138,24 @@ def word_dedup_mask(cb: CharBatch) -> np.ndarray:
     rb = np.round(env)  # round-half-even, matching Python round(x, 0) (chars.py:108)
     texts = [cb.gtext[a:b] for a, b in zip(s_idx, e_idx)]
     # All-integer dedup key (one hash-factorize for the strings, float BIT
-    # patterns for the rounded bbox). The bit view IS the reference's
-    # f-string semantics for the bbox: -0.0 and 0.0 render differently in
-    # the key string (chars.py:110), and they differ in bits — this
-    # replaces the signbit columns the old mixed-dtype frame carried.
-    # Rotation is normalized (+0.0) so -0.0 == 0.0 there, matching the
-    # previous value-equality behavior; no NaN reaches this key (rounded
-    # envelopes of finite boxes). One single-block int64 frame hashes ~2x
-    # faster than the old 12-column object/bool/float frame (measured
-    # 19 -> 11 ms on the sf0.01 batch; np.unique(axis=0) was tried and
-    # rejected at 23 ms — lexsort loses to hashing here).
+    # patterns for rotation and the rounded bbox). The bit view IS the
+    # reference's f-string semantics: -0.0 and 0.0 render differently in
+    # the key string (chars.py:110) — for the bbox AND the rotation — and
+    # they differ in bits; this replaces the signbit columns the old
+    # mixed-dtype frame carried for the bbox and FIXES the rotation field,
+    # which both the old frame and the first int-key rewrite collapsed by
+    # value (-0.0 == 0.0), diverging from the reference on signed-zero
+    # charrot payloads (tests/test_core equivalent: oracle keeps both
+    # words, value-keyed kernel dropped one). No NaN reaches this key.
+    # One single-block int64 frame hashes ~2x faster than the old
+    # 12-column object/bool/float frame (measured 19 -> 11 ms on the
+    # sf0.01 batch; np.unique(axis=0) was tried and rejected at 23 ms —
+    # lexsort loses to hashing here).
     nw = len(s_idx)
     key = np.empty((nw, 8), dtype=np.int64)
     key[:, 0] = cb.turn_of[s_idx]
     key[:, 1] = pd.factorize(np.asarray(texts, dtype=object))[0]
-    key[:, 2] = (cb.rot[s_idx] + 0.0).view(np.int64)
+    key[:, 2] = np.ascontiguousarray(cb.rot[s_idx]).view(np.int64)
     key[:, 3] = cb.font[s_idx]
     key[:, 4:8] = rb.view(np.int64)
     keep_word = (~pd.DataFrame(key, copy=False).duplicated()).to_numpy()

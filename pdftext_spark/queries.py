@@ -422,7 +422,10 @@ def q_refs_domains(spark, sf_dir):
     is pruned at the cached kernel output (the distinct-conv count rides
     the same aggregation as a two-phase distinct)."""
     s = _flat_spans(spark, sf_dir)
-    u = s.where(F.col("s.url").startswith("http"))
+    # rlike the full scheme prefix, not startswith("http"): a prefix test
+    # admits bogus schemes (httpx://, httpfoo) whose failed regex extract
+    # would pile into a silent domain='' bucket
+    u = s.where(F.col("s.url").rlike(_DOMAIN_RE))
     d = u.select(F.regexp_extract(F.col("s.url"), _DOMAIN_RE, 1).alias("domain"),
                  "conv_id")
     return d.groupBy("domain").agg(
@@ -435,7 +438,7 @@ def sql_refs_domains(sf_dir):
     p = _fixture_path(sf_dir, "expected_spans.parquet")
     return (f"SELECT regexp_extract(url, '{_DOMAIN_RE}', 1) AS domain, "
             f"count(*) n_links, count(DISTINCT conv_id) n_convs "
-            f"FROM read_parquet('{p}') WHERE url LIKE 'http%' "
+            f"FROM read_parquet('{p}') WHERE regexp_matches(url, '{_DOMAIN_RE}') "
             f"GROUP BY 1")
 
 

@@ -58,11 +58,15 @@ def _dedup_fn():
         frames = [f for f in pdfs if len(f)]
         if not frames:
             return
-        rows = pd.concat(frames, ignore_index=True).sort_values("doc_id")
         if state.exists:
+            # already-admitted content: only the copy count moves — no
+            # concat/sort of the duplicate rows (the heavily-duplicated
+            # hash is exactly the hot key here)
             keeper, n_seen = state.get
-            state.update((int(keeper), int(n_seen) + len(rows)))
+            state.update((int(keeper),
+                          int(n_seen) + sum(len(f) for f in frames)))
             return
+        rows = pd.concat(frames, ignore_index=True).sort_values("doc_id")
         first = rows.iloc[0]
         state.update((int(first["doc_id"]), len(rows)))
         yield pd.DataFrame([{

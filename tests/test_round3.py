@@ -158,12 +158,52 @@ def test_sessionize_rejects_sub_watermark_gap(spark):
 def test_unpersist_registered_releases_query_side_tables(spark):
     from pdftext_spark import queries as Q
 
-    Q.unpersist_registered()
+    # blocking: a lazy unpersist (here or in an earlier test in this
+    # module) can otherwise still be in-flight when the count is read
+    Q.unpersist_registered(blocking=True)
     base = _n_persistent_rdds(spark)
     Q.q_dedup_minhash_lsh(spark, SF_DOCS).count()
     assert _n_persistent_rdds(spark) > base
-    assert Q.unpersist_registered() >= 1
+    assert Q.unpersist_registered(blocking=True) >= 1
     assert _n_persistent_rdds(spark) == base
+
+
+def test_word_dedup_signed_zero_rotation_parity():
+    """The reference's A6 dedup key is an f-string (chars.py:110), which
+    renders -0.0 and 0.0 rotation differently — two otherwise-identical
+    words with opposite-signed zero rotations must BOTH survive. The old
+    value-keyed implementations collapsed them (found in round-3 review);
+    the bit-pattern key keeps both, matching the naive oracle."""
+    from pdftext_spark.config import ExtractConfig
+    from pdftext_spark.core.api import process_batch
+    from pdftext_spark.core.payload import payload_json
+    from tests.oracle_naive import oracle_plain
+
+    # "ab ab " = two words with IDENTICAL text "ab " (the trailing space
+    # belongs to the word, chars.py:84-86) at identical per-char boxes —
+    # the PDF shadow-text case A6 exists for
+    word_boxes = [10.0, 10.0, 20.0, 20.0, 20.0, 10.0, 30.0, 20.0,
+                  30.0, 10.0, 31.0, 20.0]
+    payload = {
+        "kind": "chars", "page_bbox": [0.0, 0.0, 612.0, 792.0],
+        "rotation": 0, "text": "ab ab ",
+        "bbox": word_boxes + word_boxes,
+        "charrot": [0.0, 0.0, 0.0, -0.0, -0.0, -0.0],
+        "fonts": [{"name": "A", "flags": 0, "size": 10.0, "weight": 400}],
+        "font_id": 0,
+    }
+    tx = payload_json(payload)
+    outs = process_batch([tx], ["user"], [0], ExtractConfig())
+    exp = oracle_plain([tx])
+    assert outs[0].text == exp[0]
+    assert "ab ab" in exp[0]  # the oracle really keeps both words
+    # and a true duplicate (same-signed rotation) still dedups on both
+    dup = dict(payload, charrot=[0.0] * 6)
+    tx2 = payload_json(dup)
+    outs2 = process_batch([tx2], ["user"], [0], ExtractConfig())
+    exp2 = oracle_plain([tx2])
+    assert outs2[0].text == exp2[0]
+    assert "ab ab" not in exp2[0]
 
 
 def test_blocklist_hash_changes_iff_hits(spark):
