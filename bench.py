@@ -90,7 +90,9 @@ def main():
         spark.catalog.clearCache()
         return extract(spark.read.parquet(path), ExtractConfig()).count()
 
-    t, med = _timed_reps(_run_struct, 2)
+    # 3 reps like the rest: best-of-2 left the heaviest pipeline the most
+    # noise-exposed number in the JSON (host swings are 2-5x)
+    t, med = _timed_reps(_run_struct, 3)
     spark.catalog.clearCache()
     results["extract_struct_links"] = round(t, 3)
     medians["extract_struct_links"] = round(med, 3)
