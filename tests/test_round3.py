@@ -258,6 +258,50 @@ def test_dedup_passages_covers_exact_dup_docs(spark):
     assert near > 0
 
 
+def test_text_pack_bin_budget_invariant(spark):
+    """Greedy packing invariant: a doc starts a new bin exactly when the
+    bin's prior content has reached the budget — so every bin's content
+    BEFORE its last doc is under budget, and bin indices are contiguous
+    per source."""
+    from pdftext_spark import queries as Q
+
+    rows = Q.q_text_pack(spark, SF_DOCS).collect()
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    assert sum(len(v) for v in by_src.values()) == 500
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        seen_bins = []
+        for r in rs:
+            start_tokens = r["cum_tokens"] - r["n_tokens"]
+            assert r["bin_idx"] == start_tokens // 2048
+            if not seen_bins or r["bin_idx"] != seen_bins[-1]:
+                seen_bins.append(r["bin_idx"])
+        # bins fill in order 0,1,2,... with no gaps
+        assert seen_bins == sorted(set(seen_bins))
+        assert seen_bins[0] == 0
+
+
+def test_sample_stratified_respects_rates(spark):
+    """Per-language realized rates track the configured targets (exact
+    determinism is the gate's job; this asserts the stratification is
+    real: en is downsampled hardest, zh kept whole)."""
+    from pdftext_spark import queries as Q
+
+    docs = Q._docs(spark, SF_DOCS)
+    totals = {r["lang"]: r["count"]
+              for r in docs.groupBy("lang").count().collect()}
+    picked = {r["lang"]: r["count"]
+              for r in Q.q_sample_stratified(spark, SF_DOCS)
+              .groupBy("lang").count().collect()}
+    assert picked["zh"] == totals["zh"]  # rate 100: every doc kept
+    for lang, rate in Q._STRATA_RATES.items():
+        frac = picked.get(lang, 0) / totals[lang]
+        assert abs(frac - rate / 100) < 0.2  # uniform-hash tolerance
+    assert picked["en"] / totals["en"] < picked["de"] / totals["de"]
+
+
 def test_refs_domains_counts_match_flat_spans(spark):
     """Domain histogram totals must equal a direct count over the span
     urls (same extraction pass, independent aggregation route)."""
