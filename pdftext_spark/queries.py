@@ -201,8 +201,12 @@ def sql_extract_plain_hyphens(sf_dir):
     return f"SELECT conv_id, turn_idx, text FROM read_parquet('{p}')"
 
 
-def _flat_spans(spark, sf_dir):
-    df = _extracted_df(spark, sf_dir).where(F.col("page").isNotNull())
+def _flat_spans(spark, sf_dir, extracted=None):
+    """blocks → lines → spans flatten of an extracted frame (default:
+    the cached tier extraction; pass `extracted` to flatten a different
+    pipeline output, e.g. the keep_chars pass)."""
+    df = (extracted if extracted is not None
+          else _extracted_df(spark, sf_dir)).where(F.col("page").isNotNull())
     b = df.select("conv_id", "turn_idx",
                   F.posexplode("page.blocks").alias("block_idx", "blk"))
     ln = b.select("conv_id", "turn_idx", "block_idx",
@@ -254,13 +258,7 @@ def q_extract_chars(spark, sf_dir):
         _EXTRACT_CACHE[key] = extract(
             spark.read.parquet(transcripts_path(tier)),
             ExtractConfig(keep_chars=True), resolve_links=False)
-    df = _EXTRACT_CACHE[key].where(F.col("page").isNotNull())
-    b = df.select("conv_id", "turn_idx",
-                  F.posexplode("page.blocks").alias("block_idx", "blk"))
-    ln = b.select("conv_id", "turn_idx", "block_idx",
-                  F.posexplode("blk.lines").alias("line_idx", "ln"))
-    s = ln.select("conv_id", "turn_idx", "block_idx", "line_idx",
-                  F.posexplode("ln.spans").alias("span_idx", "s"))
+    s = _flat_spans(spark, sf_dir, extracted=_EXTRACT_CACHE[key])
     c = s.select("conv_id", "turn_idx", "block_idx", "line_idx", "span_idx",
                  F.explode("s.chars").alias("c"))
     return c.select(
@@ -475,7 +473,7 @@ def sql_text_tokens(sf_dir):
 
 def q_text_quality(spark, sf_dir):
     d = _docs(spark, sf_dir).withColumn("toks", F.expr(_TOKS_SPARK))
-    sw = ", ".join(f"'{w}'" for w in _STOPWORDS["en"])
+    sw = _sw_list("en")
     return d.select(
         "doc_id",
         F.round(F.length(F.regexp_replace("text", "[^a-zA-Z]", "")) / F.length("text"), 6)
@@ -705,17 +703,19 @@ def sql_dedup_exact(sf_dir):
 
 
 def _shingle_df(spark, sf_dir):
-    # persisted: the jaccard/minhash pipelines consume it several times
-    # (signatures, candidate verify, per-doc counts); at 100 TB this is a
-    # materialized intermediate table instead
+    # persisted (and REGISTERED, so unpersist_registered() frees it like
+    # every other side table): the jaccard pipeline consumes it three
+    # times (self-join both sides + per-doc counts); at 100 TB this is a
+    # materialized intermediate table instead.
     # set semantics via per-doc array_distinct BEFORE the explode: the
     # dedup happens inside the row (JVM, no shuffle) instead of a global
     # distinct() over the exploded table.
-    return (_docs(spark, sf_dir)
-            .withColumn("toks", F.expr(_TOKS_SPARK))
-            .withColumn("sh", F.expr(_SHINGLES_SPARK))
-            .select("doc_id", F.explode(F.array_distinct("sh")).alias("shingle"))
-            .persist())
+    df = (_docs(spark, sf_dir)
+          .withColumn("toks", F.expr(_TOKS_SPARK))
+          .withColumn("sh", F.expr(_SHINGLES_SPARK))
+          .select("doc_id", F.explode(F.array_distinct("sh")).alias("shingle"))
+          .persist())
+    return _register_persisted(df)
 
 
 _SHINGLE_CTE = (
@@ -1049,7 +1049,7 @@ def sql_dedup_embedding(sf_dir):
 
 
 # --- signed-random-projection LSH (the scale path for dedup_embedding):
-# 4 bands x 8 hyperplanes; hyperplane signs are md5-derived job constants
+# 8 bands x 4 hyperplanes; hyperplane signs are md5-derived job constants
 # embedded as literals in BOTH engines, and the projection is computed on
 # integer-quantized components (round(x*1000) as bigint) so the bucket
 # assignment is bit-identical across engines regardless of float summation
@@ -1097,9 +1097,13 @@ def q_dedup_embedding_lsh(spark, sf_dir):
     run at 10^9 vectors would use ~20-24 bits/band; 4 bits is sized to the
     fixture's 500 vectors (~31/bucket)."""
     e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    # persisted: the band self-join would otherwise evaluate all 32
+    # quantized hyperplane dot products on BOTH sides (the minhash twin
+    # persists its signature table for the same reason)
     sig = e.select("vec_id", *[
         F.expr(_srp_band_expr_spark(bnd)).alias(f"bh{bnd}")
-        for bnd in range(_SRP_BANDS)])
+        for bnd in range(_SRP_BANDS)]).persist()
+    _register_persisted(sig)
     bands = sig.select("vec_id", F.explode(F.array(*[
         F.struct(F.lit(bnd).alias("band_idx"),
                  F.col(f"bh{bnd}").cast("long").alias("band_hash"))
@@ -1196,6 +1200,12 @@ def q_ann_bruteforce_np(spark, sf_dir):
 
     e = _emb(spark, sf_dir)
     qrows = e.where(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+    if not qrows:
+        # no query vectors on this tier: empty result, same as the
+        # expression-tree twin and the shared oracle (np.asarray([]) is
+        # 1-D and would AxisError on the axis=1 reductions below)
+        return spark.createDataFrame(
+            [], "qid long, rank long, neighbor_id long, cos double")
     qids = [int(r["vec_id"]) for r in qrows]
     Q = np.asarray([r["embedding"] for r in qrows], dtype=np.float64)
     nq = np.sqrt(np.cumsum(Q * Q, axis=1)[:, -1])
