@@ -93,7 +93,12 @@ def link_registrations(transcripts: DataFrame, cfg: ExtractConfig) -> DataFrame:
                 schema=target)
 
     cand = (transcripts.select("conv_id", "turn_idx", "role", "text")
-            .where(F.col("text").contains('"links"')))
+            .where(F.col("text").contains('"links"')
+                   & (F.col("role") != "tool")))
+    # role filter: tool turns route to HTML extraction and can never
+    # register links — without it, tool HTML containing the substring
+    # "links" (class names, embedded JSON) would pay a full main-content
+    # scoring pass for output this pre-pass discards
     return cand.mapInArrow(run, schema=schema)
 
 
@@ -138,10 +143,20 @@ def extract(transcripts: DataFrame, cfg: ExtractConfig = ExtractConfig(),
         salted = transcripts
     elif cfg.salt == "always":
         salted = transcripts.repartition(n_parts, "conv_id", "turn_idx")
+    elif "Exchange" in transcripts._jdf.queryExecution().sparkPlan().toString():
+        # The input already contains a shuffle (join/aggregate upstream):
+        # its output partitioning is shuffle-partition-wide, so the salt
+        # buys nothing — and probing toRdd() below would EXECUTE those
+        # upstream stages under AQE (AdaptiveSparkPlanExec materializes
+        # query stages at plan access), doing the heavy work twice.
+        # sparkPlan is the pre-adaptive compile — inspecting it runs no
+        # job.
+        salted = transcripts
     else:
-        # JVM-side internal-RDD partition count: builds the physical plan
-        # once (cached on queryExecution) without the Python-conversion
-        # mapPartitions that df.rdd would bolt on. No job runs.
+        # Pure scan pipeline: JVM-side internal-RDD partition count builds
+        # the physical plan once (cached on queryExecution) without the
+        # Python-conversion mapPartitions that df.rdd would bolt on. No
+        # job runs for a scan (no adaptive stages to materialize).
         n_input = transcripts._jdf.queryExecution().toRdd().getNumPartitions()
         salted = (transcripts if n_input >= n_parts
                   else transcripts.repartition(n_parts, "conv_id", "turn_idx"))

@@ -77,8 +77,13 @@ def decode_media_df(media_df: DataFrame) -> DataFrame:
                     "feature": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
                 try:
+                    if payload is None:
+                        raise ValueError("null media payload")
                     w, h, fr, feat = decode_media(bytes(payload))
-                except NotImplementedError:
+                except (NotImplementedError, TypeError, ValueError):
+                    # per-row isolation: undecodable/null payloads yield a
+                    # null-feature row (TypeError covers non-bytes cells a
+                    # join or schema drift can produce)
                     w = h = fr = None
                     feat = None
                 rows["doc_id"].append(doc_id)

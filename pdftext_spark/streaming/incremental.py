@@ -55,7 +55,23 @@ def run_incremental(spark: SparkSession, input_path: str, output_dir: str,
     `max_buckets_per_run` caps work per invocation (and simulates a killed
     job in tests: run with a cap, then call again to finish).
     """
+    # dynamic partition overwrite is what makes the bucket writes
+    # idempotent — but it is session-global state, so restore the
+    # caller's setting on exit (a later plain overwrite in the same
+    # session must keep full-table-replace semantics)
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                               "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        return _run_incremental(spark, input_path, output_dir, cfg,
+                                max_buckets_per_run)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+
+
+def _run_incremental(spark: SparkSession, input_path: str, output_dir: str,
+                     cfg: ExtractConfig,
+                     max_buckets_per_run: int | None) -> dict:
     buckets = cfg.resume_buckets
     manifest = read_manifest(output_dir)
     done = set(manifest["completed_buckets"])
@@ -94,6 +110,13 @@ def run_incremental(spark: SparkSession, input_path: str, output_dir: str,
     manifest["completed_buckets"] = sorted(done | set(todo))
     manifest["runs"] += 1
     _write_manifest(output_dir, manifest)
+    if len(manifest["completed_buckets"]) == buckets:
+        # all buckets resolved into data/: the phase-1 staging copy is
+        # dead weight (a full second copy of the corpus at scale).
+        # Mid-job it must survive — a killed run resumes by re-reading
+        # its own staged buckets — so delete only at completion.
+        import shutil
+        shutil.rmtree(staging, ignore_errors=True)
     return manifest
 
 

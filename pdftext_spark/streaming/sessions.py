@@ -172,10 +172,13 @@ def sessionize_stream(events: DataFrame, gap_s: int = 1800,
             "delay, or late-event merging diverges from batch semantics")
 
     # epoch micros come from the parquet-naive (NTZ) ts; the watermark
-    # column must be TIMESTAMP, so cast a copy (session tz is fixed UTC in
-    # sources/session.py, making the mapping stable)
+    # column must be TIMESTAMP, built with timestamp_micros(us) so the
+    # watermark clock IS the event clock. (A cast(ts as timestamp) would
+    # shift by the session timezone while `us` stays tz-free — off-UTC
+    # the flush-on-timeout clamp would then fire at wm+1 every trigger
+    # and close open sessions prematurely.)
     ev = events.withColumn("us", _epoch_us("ts")) \
-        .withColumn("wts", F.col("ts").cast("timestamp")) \
+        .withColumn("wts", F.expr("timestamp_micros(us)")) \
         .select("user_id", "event_id", "event_type", "us", "wts") \
         .withWatermark("wts", f"{_WATERMARK_DELAY_S} seconds")
     return ev.groupBy("user_id").applyInPandasWithState(

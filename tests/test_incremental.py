@@ -33,11 +33,20 @@ def test_resume_equals_clean_run(spark, transcripts, fixture_dir, tmp_path):
     partial = _collect_sorted(read_output(spark, out_dir))
     assert 0 < len(partial) < len(expected)
 
+    # mid-job: the staging copy must survive (resume re-reads it) and the
+    # session conf must already be back to the caller's overwrite mode
+    assert os.path.isdir(os.path.join(out_dir, "staging"))
+    assert spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static") != "dynamic"
+
     m2 = run_incremental(spark, inp, out_dir, cfg)
     assert len(m2["completed_buckets"]) == 8
     final_df = read_output(spark, out_dir)
     final = _collect_sorted(final_df)
     assert final == expected
+    # completion: the phase-1 staging copy (a full second corpus at the
+    # 100 TB design point) is deleted
+    assert not os.path.exists(os.path.join(out_dir, "staging"))
 
     # ref resolution happened in the read-back phase: final output has
     # resolved urls and no placeholders

@@ -45,7 +45,7 @@ def test_decode_media_df(spark, tmp_path):
 
 
 def test_streaming_incremental_ingest(spark, fixture_dir, tmp_path):
-    from pdftext_spark.streaming.stream_job import run_stream
+    from pdftext_spark.streaming.stream_job import read_stream_output, run_stream
     src = str(tmp_path / "in")
     out = str(tmp_path / "out")
     ckpt = str(tmp_path / "ckpt")
@@ -57,13 +57,19 @@ def test_streaming_incremental_ingest(spark, fixture_dir, tmp_path):
     # file-source streams need flat files in the watched dir
     _flatten(os.path.join(src, "batch_a"), src, "a")
     run_stream(spark, src, out, ckpt)
-    n1 = spark.read.parquet(out).count()
+    n1 = read_stream_output(spark, out).count()
     assert n1 == half_a.count()
     half_b.write.mode("overwrite").parquet(os.path.join(src, "batch_b"))
     _flatten(os.path.join(src, "batch_b"), src, "b")
     run_stream(spark, src, out, ckpt)
-    n2 = spark.read.parquet(out).count()
+    df2 = read_stream_output(spark, out)
+    assert "epoch" not in df2.columns  # idempotency key, not data
+    n2 = df2.count()
     assert n2 == full.count()  # only the new files were processed (checkpoint)
+    # the sink is epoch-keyed: a redelivered epoch would OVERWRITE its own
+    # directory rather than append beside it (exactly-once mechanics)
+    epochs = [d for d in os.listdir(out) if d.startswith("epoch=")]
+    assert len(epochs) >= 2
 
 
 def _flatten(subdir: str, dest: str, prefix: str) -> None:
