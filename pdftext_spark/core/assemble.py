@@ -13,6 +13,7 @@ import numpy as np
 
 from pdftext_spark.core.segment import Segmentation
 from pdftext_spark.core.textproc import (
+    LIGATURE_MAP,
     _cc_delete_re,
     _specials_table,
     handle_hyphens,
@@ -111,7 +112,6 @@ def plain_text_batch(seg: Segmentation, sort: bool = False,
     if sort:
         return [merge_text_turn(seg, t, sort, hyphens).strip()
                 for t in range(seg.n_turns)]
-    from pdftext_spark.core.textproc import LIGATURE_MAP
 
     a_arr = seg.spans.start[seg.lines.start]
     z_arr = seg.spans.end[seg.lines.end - 1]

@@ -123,10 +123,20 @@ def word_dedup_mask(cb: CharBatch) -> np.ndarray:
     """W1 + A6: build words, first-seen-dedup them, return the char keep
     mask (chars.py:58-115).
 
-    The dedup key is per-turn equality of (rounded bbox, text, rotation,
-    font fields). The reference keys on an f-string
-    (chars.py:110) — tuple equality is equivalent except that the string
-    form distinguishes -0.0 from 0.0, which the signbit columns restore.
+    The reference keys on an f-string joined with '-' separators
+    (chars.py:110), which is AMBIGUOUS: distinct field tuples can render
+    the same string (e.g. text 'b' + rotation -0.0 collides with text
+    'b-' + rotation 0.0) and the reference then dedups words a
+    field-wise key would keep. The fast path below uses a field-wise
+    int64 key, which is exactly the f-string partition whenever at most
+    ONE field class in the turn can render a '-' (a squeeze argument:
+    '-'-free fields left of the capable one are pinned by scanning to
+    each separator, those right of it by scanning from the end, and the
+    capable field is the remainder — the rounded-bbox list is always
+    safe because both parses end at the string's first ']'). Turns where
+    two or more classes are '-'-capable fall back to the literal
+    reference f-string per word, reproducing the collision quirk
+    bit-for-bit.
     """
     n = len(cb.cps)
     if n == 0:
@@ -138,27 +148,67 @@ def word_dedup_mask(cb: CharBatch) -> np.ndarray:
     rb = np.round(env)  # round-half-even, matching Python round(x, 0) (chars.py:108)
     texts = [cb.gtext[a:b] for a, b in zip(s_idx, e_idx)]
     # All-integer dedup key (one hash-factorize for the strings, float BIT
-    # patterns for rotation and the rounded bbox). The bit view IS the
-    # reference's f-string semantics: -0.0 and 0.0 render differently in
-    # the key string (chars.py:110) — for the bbox AND the rotation — and
-    # they differ in bits; this replaces the signbit columns the old
-    # mixed-dtype frame carried for the bbox and FIXES the rotation field,
-    # which both the old frame and the first int-key rewrite collapsed by
-    # value (-0.0 == 0.0), diverging from the reference on signed-zero
-    # charrot payloads (tests/test_core equivalent: oracle keeps both
-    # words, value-keyed kernel dropped one). No NaN reaches this key.
-    # One single-block int64 frame hashes ~2x faster than the old
-    # 12-column object/bool/float frame (measured 19 -> 11 ms on the
-    # sf0.01 batch; np.unique(axis=0) was tried and rejected at 23 ms —
-    # lexsort loses to hashing here).
+    # patterns for rotation and the rounded bbox — so -0.0 and 0.0
+    # rotations stay distinct, as their f-string renderings are). One
+    # single-block int64 frame hashes ~2x faster than the old 12-column
+    # object/bool/float frame (measured 19 -> 11 ms on the sf0.01 batch;
+    # np.unique(axis=0) was tried and rejected at 23 ms).
     nw = len(s_idx)
+    wturn = cb.turn_of[s_idx]
+    rotw = np.ascontiguousarray(cb.rot[s_idx])
     key = np.empty((nw, 8), dtype=np.int64)
-    key[:, 0] = cb.turn_of[s_idx]
+    key[:, 0] = wturn
     key[:, 1] = pd.factorize(np.asarray(texts, dtype=object))[0]
-    key[:, 2] = np.ascontiguousarray(cb.rot[s_idx]).view(np.int64)
+    key[:, 2] = rotw.view(np.int64)
     key[:, 3] = cb.font[s_idx]
     key[:, 4:8] = rb.view(np.int64)
     keep_word = (~pd.DataFrame(key, copy=False).duplicated()).to_numpy()
+
+    # --- f-string collision gate (see docstring). Field classes that can
+    # put a '-' into the rendered key: text chars, rotation repr (sign,
+    # or |x| < 1e-4 which reprs as '1e-05'), and each font field. Count
+    # classes per turn; >= 2 -> exact reference keys for that turn.
+    # Batch-wide short-circuit first: if fewer than two classes are
+    # capable ANYWHERE in the batch (the overwhelmingly common case — a
+    # '-' in font names alone, as in 'Serif-Bold', is provably safe), no
+    # per-turn refinement runs at all.
+    dash_char = cb.cps == 45
+    rot_dash = np.signbit(rotw) | ((rotw != 0) & (np.abs(rotw) < 1e-4))
+    font_dash = np.asarray(
+        [["-" in str(f[0]), "-" in repr(f[1]),
+          "-" in repr(f[2]), "-" in repr(f[3])] for f in cb.fonts],
+        dtype=bool).reshape(len(cb.fonts), 4)
+    n_capable = (int(dash_char.any()) + int(rot_dash.any())
+                 + int(font_dash.any(axis=0).sum()))
+    if n_capable < 2:
+        return np.repeat(keep_word, e_idx - s_idx)
+    n_turns = len(cb.turns)
+    cls = np.zeros((n_turns, 6), dtype=bool)
+    if dash_char.any():
+        cls[np.unique(cb.turn_of[dash_char]), 0] = True
+    if rot_dash.any():
+        cls[np.unique(wturn[rot_dash]), 1] = True
+    if font_dash.any():
+        fw = cb.font[s_idx]
+        for j in range(4):
+            m = font_dash[fw, j]
+            if m.any():
+                cls[np.unique(wturn[m]), 2 + j] = True
+    amb_turns = cls.sum(axis=1) >= 2
+    if amb_turns.any():
+        fonts = cb.fonts
+        fcodes = cb.font[s_idx]
+        seen: set = set()
+        for i in np.flatnonzero(amb_turns[wturn]).tolist():
+            f = fonts[int(fcodes[i])]
+            rbl = [float(v) for v in rb[i]]
+            k = (int(wturn[i]),
+                 f"{rbl}-{texts[i]}-{float(rotw[i])}-{f[0]}-{f[1]}-{f[2]}-{f[3]}")
+            if k in seen:
+                keep_word[i] = False
+            else:
+                seen.add(k)
+                keep_word[i] = True
     return np.repeat(keep_word, e_idx - s_idx)
 
 

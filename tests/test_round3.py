@@ -206,6 +206,44 @@ def test_word_dedup_signed_zero_rotation_parity():
     assert "ab ab" not in exp2[0]
 
 
+def test_word_dedup_fstring_collision_quirk():
+    """The reference's '-'-joined key string is ambiguous: text 'b' +
+    rotation -0.0 renders identically to text 'b-' + rotation 0.0, so
+    the reference DROPS the second word even though the field tuples
+    differ (chars.py:110). Turns with two '-'-capable field classes take
+    the exact f-string path and reproduce the collision; found by the
+    round-3 core review. Words are split by FONT changes here so the
+    colliding texts can coexist in one turn without terminator chars."""
+    from pdftext_spark.config import ExtractConfig
+    from pdftext_spark.core.api import process_batch
+    from pdftext_spark.core.payload import payload_json
+    from tests.oracle_naive import oracle_plain
+
+    payload = {
+        "kind": "chars", "page_bbox": [0.0, 0.0, 612.0, 792.0],
+        "rotation": 0, "text": "bqb-z",
+        "bbox": [10.0, 10.0, 20.0, 20.0] * 5,
+        "charrot": [-0.0, -0.0, 0.0, 0.0, 0.0],
+        "fonts": [{"name": "F0", "flags": 4, "size": 10.0, "weight": 400},
+                  {"name": "F1", "flags": 4, "size": 10.0, "weight": 400}],
+        "font_id": [0, 1, 0, 0, 1],
+    }
+    tx = payload_json(payload)
+    outs = process_batch([tx], ["user"], [0], ExtractConfig())
+    exp = oracle_plain([tx])
+    assert outs[0].text == exp[0]
+    assert "b-" not in exp[0]  # the oracle really collide-drops it
+    # single-capable-class control: same shape but rotations all +0.0
+    # (only the text class can dash) — no collision, both words kept,
+    # and the fast int-key path must agree with the oracle
+    ctl = dict(payload, charrot=[0.0] * 5)
+    tx2 = payload_json(ctl)
+    outs2 = process_batch([tx2], ["user"], [0], ExtractConfig())
+    exp2 = oracle_plain([tx2])
+    assert outs2[0].text == exp2[0]
+    assert "b-" in exp2[0]
+
+
 def test_blocklist_hash_changes_iff_hits(spark):
     """Docs with zero blocklist hits keep their original token-stream
     hash; docs with hits must NOT (the scrub really rewrote them)."""
