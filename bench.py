@@ -138,8 +138,15 @@ def main():
             if have_taskset:
                 cmd = ["taskset", "-c", f"0-{n - 1}"] + cmd
             r = subprocess.run(cmd, capture_output=True, text=True, cwd=here)
-            line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
-            rec = json.loads(line)
+            lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
+            if r.returncode != 0 or not lines:
+                # surface the probe's actual failure (Spark traceback)
+                # instead of dying on a bare IndexError after the
+                # expensive timed phases
+                raise RuntimeError(
+                    f"scale_probe cores={n} failed (rc={r.returncode}); "
+                    f"stderr tail: {r.stderr[-2000:]}")
+            rec = json.loads(lines[-1])
             return rec.get("tps_steal_corrected", rec["tps"])
 
         # N vs 4N pairs: (4,16) and (2,8) on a 32-core box. Using the full
@@ -158,8 +165,11 @@ def main():
         for lo, hi in rounds:
             if hi > CPUS:
                 continue
+            # SAME rep count both sides: asymmetric best-of-N (3 vs 5)
+            # gave the numerator more chances to catch a quiet window and
+            # biased every ratio upward
             t_lo = _probe(lo, 3)
-            t_hi = _probe(hi, 5)
+            t_hi = _probe(hi, 3)
             tps_log.setdefault(f"local{lo}_tps", []).append(t_lo)
             tps_log.setdefault(f"local{hi}_tps", []).append(t_hi)
             effs.setdefault(f"eff_{lo}_to_{hi}", []).append(

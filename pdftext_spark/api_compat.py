@@ -13,7 +13,6 @@ executors at scale and is pointless in-process).
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Optional
 
 from pdftext_spark.config import ExtractConfig
@@ -21,7 +20,7 @@ from pdftext_spark.core.api import process_batch
 from pdftext_spark.core.links import resolve_conversation_refs, rewrite_page_urls
 
 
-def _run(payloads, page_range, cfg):
+def _run(payloads, page_range, cfg, roles=None):
     if page_range is None:
         page_range = range(len(payloads))
     page_range = list(page_range)
@@ -33,7 +32,11 @@ def _run(payloads, page_range, cfg):
     assert all(0 <= p <= len(payloads) for p in page_range), \
         "Invalid page number(s) provided"
     texts = [payloads[i] for i in page_range]
-    outs = process_batch(texts, ["user"] * len(texts), page_range, cfg)
+    # roles route tool turns to the HTML main-content path like the Spark
+    # operator does; PDF-shaped callers (the reference surface) omit them
+    rr = (["user"] * len(texts) if roles is None
+          else [roles[i] for i in page_range])
+    outs = process_batch(texts, rr, page_range, cfg)
     if not cfg.disable_links and cfg.emit_struct:
         regs = [(page_range[i], *r) for i, o in enumerate(outs)
                 for r in o.registrations]
@@ -47,30 +50,34 @@ def _run(payloads, page_range, cfg):
 def paginated_plain_text_output(payloads: list, sort: bool = False,
                                 hyphens: bool = False, page_range=None,
                                 flatten_pdf: bool = False,
-                                workers: Optional[int] = None) -> list[str]:
+                                workers: Optional[int] = None,
+                                roles: Optional[list] = None) -> list[str]:
     """extraction.py:75-80 — per-page plain text, stripped."""
     cfg = ExtractConfig(sort=sort, hyphens=hyphens, emit_struct=False,
                         emit_tables=False, disable_links=True)
-    return [o.text for o in _run(payloads, page_range, cfg)]
+    return [o.text for o in _run(payloads, page_range, cfg, roles=roles)]
 
 
 def plain_text_output(payloads: list, sort: bool = False, hyphens: bool = False,
                       page_range=None, flatten_pdf: bool = False,
-                      workers: Optional[int] = None) -> str:
+                      workers: Optional[int] = None,
+                      roles: Optional[list] = None) -> str:
     """extraction.py:70-72 — pages joined with a newline."""
     return "\n".join(paginated_plain_text_output(
-        payloads, sort=sort, hyphens=hyphens, page_range=page_range))
+        payloads, sort=sort, hyphens=hyphens, page_range=page_range,
+        roles=roles))
 
 
 def dictionary_output(payloads: list, sort: bool = False, page_range=None,
                       keep_chars: bool = False, flatten_pdf: bool = False,
                       quote_loosebox: bool = True, disable_links: bool = False,
-                      workers: Optional[int] = None) -> list[dict]:
+                      workers: Optional[int] = None,
+                      roles: Optional[list] = None) -> list[dict]:
     """extraction.py:93-131 — nested page dicts with links/refs."""
     cfg = ExtractConfig(sort=sort, keep_chars=keep_chars,
                         quote_loosebox=quote_loosebox,
                         disable_links=disable_links, emit_tables=False)
-    return [o.page for o in _run(payloads, page_range, cfg)]
+    return [o.page for o in _run(payloads, page_range, cfg, roles=roles)]
 
 
 def table_output(payloads: list, table_inputs: Optional[list] = None,

@@ -119,11 +119,43 @@ def ensure_expected_outputs(tier: str) -> str:
                                        "x1": cell["bbox"][0], "y1": cell["bbox"][1],
                                        "x2": cell["bbox"][2], "y2": cell["bbox"][3]})
 
+    # Full column schemas so an EMPTY table still carries the columns its
+    # oracle SQL selects (a conv_id-only placeholder made DuckDB raise a
+    # Binder Error instead of comparing an empty result set). Types mirror
+    # what from_pylist infers on non-empty data (int64/float64/bool/str).
+    s, i, f, b = pa.string(), pa.int64(), pa.float64(), pa.bool_()
+    base = [("conv_id", s), ("turn_idx", i)]
+    box = [("x1", f), ("y1", f), ("x2", f), ("y2", f)]
+    _EMPTY_SCHEMAS = {
+        "expected_plain.parquet": base + [("text", s)],
+        "expected_plain_sorted.parquet": base + [("text", s)],
+        "expected_plain_hyphens.parquet": base + [("text", s)],
+        "expected_spans.parquet": base + [
+            ("block_idx", i), ("line_idx", i), ("span_idx", i), ("text", s),
+            ("font_name", s), ("font_flags", i), ("font_size", f),
+            ("font_weight", i), ("char_start_idx", i), ("char_end_idx", i),
+            ("rotation", f), ("url", s), ("superscript", b),
+            ("subscript", b)] + box,
+        "expected_chars.parquet": base + [
+            ("block_idx", i), ("line_idx", i), ("span_idx", i),
+            ("char_idx", i), ("char", s), ("rotation", f)] + box,
+        "expected_blocks.parquet": base + [("block_idx", i),
+                                           ("n_lines", i)] + box,
+        "expected_refs.parquet": base + [("idx", i), ("ref", s), ("url", s),
+                                         ("x", f), ("y", f)],
+        "expected_pagemeta.parquet": base + [
+            ("width", i), ("height", i), ("rotation", i),
+            ("b0", f), ("b1", f), ("b2", f), ("b3", f)],
+        "expected_tables.parquet": base + [
+            ("table_idx", i), ("cell_idx", i), ("text", s)] + box,
+    }
+
     def write(name, data, schema=None):
         if data:
             table = pa.Table.from_pylist(data)
         else:
-            table = pa.table({"conv_id": pa.array([], pa.string())})
+            table = pa.Table.from_pylist(
+                [], schema=pa.schema(_EMPTY_SCHEMAS[name]))
         pq.write_table(table, os.path.join(out, name))
 
     write("expected_plain.parquet", plain_rows)

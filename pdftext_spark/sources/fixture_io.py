@@ -30,12 +30,22 @@ TIERS = {
 
 def tier_for_sf_dir(sf_dir: str) -> str:
     base = os.path.basename(os.path.normpath(sf_dir or ""))
-    return base if base in TIERS else "sf0.01"
+    if base not in TIERS:
+        # refuse, don't guess: a silent sf0.01 fallback once let a typo'd
+        # SPARK_GRAFT_SF_DIR label a 60-conversation run as a large-scale
+        # benchmark headline
+        raise ValueError(
+            f"unknown fixture tier {base!r} (from sf_dir={sf_dir!r}); "
+            f"known tiers: {sorted(TIERS)}")
+    return base
 
 
 def _write(path: str, rows: list[dict], schema: pa.Schema | None = None) -> None:
     if rows:
         table = pa.Table.from_pylist(rows, schema=schema)
+    elif schema is not None:
+        # keep the real columns even when empty — readers select them
+        table = pa.Table.from_pylist([], schema=schema)
     else:
         table = pa.Table.from_pylist([{"conv_id": "x", "turn_idx": 0}]).slice(0, 0)
     # small row groups so Spark's file splits can actually parallelize the

@@ -67,6 +67,8 @@ CREATE TABLE IF NOT EXISTS {catalog}.{db}.extracted (
                 refs:array<struct<idx:int, page:int, coord:array<double>,
                                   ref:string, url:string>>>,
     tables array<array<struct<text:string, bbox:array<double>>>>,
+    link_dests array<struct<ord:int, gid:int, dest_page:int,
+                            x:double, y:double>>,
     error string,
     n_chars int, n_spans int, n_blocks int
 )

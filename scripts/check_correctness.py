@@ -8,12 +8,15 @@ entry on Spark and its oracle_sql() on DuckDB at sf0.01, compare row count
 from __future__ import annotations
 
 import math
+import os
 import sys
 
-import duckdb
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pdftext_spark.queries import QUERIES
-from pdftext_spark.sources.session import build_session
+import duckdb  # noqa: E402
+
+from pdftext_spark.queries import QUERIES  # noqa: E402
+from pdftext_spark.sources.session import build_session  # noqa: E402
 
 TABLES = ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split()
@@ -84,6 +87,12 @@ def canon_arrow_type(t) -> str:
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    unknown = only - set(QUERIES)
+    if unknown:
+        # a typo'd filter must not run zero queries and exit green
+        print(f"unknown query name(s): {sorted(unknown)}; "
+              f"known: {sorted(QUERIES)}", file=sys.stderr)
+        sys.exit(2)
     spark = build_session(app="correctness-check")
     con = duckdb.connect()
     for t in TABLES:

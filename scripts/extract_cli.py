@@ -23,19 +23,27 @@ from pdftext_spark.api_compat import (  # noqa: E402
 )
 
 
-def _load_turn_texts(path: str) -> list[str]:
+def _load_turns(path: str) -> tuple[list[str], list[str]]:
+    """(texts, roles) in turn order. Roles matter: tool turns must route
+    to the HTML main-content path exactly like the Spark operator routes
+    them — dropping the column would emit raw boilerplate HTML for those
+    turns. Inputs without a role column default every turn to 'user'."""
     if path.endswith(".parquet"):
         import pyarrow.parquet as pq
         t = pq.read_table(path)
-        rows = sorted(zip(t["turn_idx"].to_pylist(), t["text"].to_pylist()))
-        return [x for _, x in rows]
+        roles = (t["role"].to_pylist() if "role" in t.column_names
+                 else ["user"] * t.num_rows)
+        rows = sorted(zip(t["turn_idx"].to_pylist(), t["text"].to_pylist(),
+                          roles))
+        return [x for _, x, _r in rows], [r for _, _x, r in rows]
     if path.endswith(".jsonl"):
         with open(path) as f:
             rows = [json.loads(line) for line in f if line.strip()]
         rows.sort(key=lambda r: r.get("turn_idx", 0))
-        return [r["text"] for r in rows]
+        return ([r["text"] for r in rows],
+                [r.get("role", "user") for r in rows])
     with open(path) as f:
-        return [f.read()]
+        return [f.read()], ["user"]
 
 
 def main():
@@ -49,7 +57,7 @@ def main():
     ap.add_argument("--disable_links", action="store_true")
     args = ap.parse_args()
 
-    payloads = _load_turn_texts(args.input)
+    payloads, roles = _load_turns(args.input)
     page_range = None
     if args.pages:
         page_range = parse_range_str(args.pages)
@@ -60,12 +68,13 @@ def main():
     if args.json:
         pages = dictionary_output(payloads, sort=args.sort,
                                   page_range=page_range,
-                                  disable_links=args.disable_links)
+                                  disable_links=args.disable_links,
+                                  roles=roles)
         text = json.dumps(pages, ensure_ascii=False)
     else:
         text = plain_text_output(payloads, sort=args.sort,
                                  hyphens=args.keep_hyphens,
-                                 page_range=page_range)
+                                 page_range=page_range, roles=roles)
 
     if args.out_path is None:
         print(text)
