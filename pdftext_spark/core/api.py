@@ -96,8 +96,11 @@ def route_batch(texts: list, roles: list, turn_idxs: list,
         line_distance_threshold=cfg.line_distance_threshold,
         tolerance_factor=cfg.block_tolerance_factor,
         with_scripts=cfg.emit_struct,
+        default_median_gap=cfg.block_default_median_gap,
     )
-    plains = plain_text_batch(seg, cfg.sort, cfg.hyphens) if cfg.emit_plain \
+    plains = plain_text_batch(seg, cfg.sort, cfg.hyphens,
+                              sort_tolerance=cfg.sort_tolerance) \
+        if cfg.emit_plain \
         else [""] * len(decoded)
     span_start_mask = _span_start_mask(seg) if cfg.emit_tables else None
     n_local = len(decoded)
@@ -125,7 +128,8 @@ def route_batch(texts: list, roles: list, turn_idxs: list,
         if cfg.emit_tables and dt.tables and dt.img_size:
             tables_by_local[local] = table_cells_turn(
                 seg, local, dt.tables, dt.img_size, span_start_mask,
-                table_thresh=cfg.table_thresh, space_thresh=cfg.space_thresh)
+                table_thresh=cfg.table_thresh, space_thresh=cfg.space_thresh,
+                min_chars=cfg.table_min_chars)
 
     return RoutedBatch(n, outputs, doc_pos, decoded, page_ids, seg, plains,
                        splits_by_local, tables_by_local, regs_by_local,
@@ -141,7 +145,8 @@ def process_batch(texts: list, roles: list, turn_idxs: list,
         if cfg.emit_struct:
             page = struct_page(seg, local, rb.page_ids[local],
                                keep_chars=cfg.keep_chars, sort=cfg.sort,
-                               span_splits=rb.splits_by_local.get(local))
+                               span_splits=rb.splits_by_local.get(local),
+                               sort_tolerance=cfg.sort_tolerance)
         blo, bhi = int(seg.turn_block_lo[local]), int(seg.turn_block_hi[local])
         rb.outputs[i] = TurnOutput(
             text=rb.plains[local],

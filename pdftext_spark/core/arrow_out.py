@@ -161,7 +161,8 @@ def build_page_array(rb: RoutedBatch, cfg: ExtractConfig) -> pa.StructArray:
         for t in range(T):
             blo, bhi = int(seg.turn_block_lo[t]), int(seg.turn_block_hi[t])
             if bhi > blo:
-                order = sort_order([blocks.bbox[b] for b in range(blo, bhi)])
+                order = sort_order([blocks.bbox[b] for b in range(blo, bhi)],
+                                   cfg.sort_tolerance)
                 block_perm_parts.append(np.asarray(order, dtype=np.int64) + blo)
         block_perm = (np.concatenate(block_perm_parts) if block_perm_parts
                       else np.zeros(0, dtype=np.int64))
@@ -218,8 +219,20 @@ def build_page_array(rb: RoutedBatch, cfg: ExtractConfig) -> pa.StructArray:
         flat = (np.arange(total, dtype=np.int64)
                 - np.repeat(cum - lens, lens)
                 + np.repeat(start_out, lens))
-        char_vals = pc.take(pa.array(list(cb.gtext), type=pa.string()),
-                            pa.array(flat))
+        # per-char StringArray built from the utf-8 buffer + a vectorized
+        # byte-offset map — pa.array(list(gtext)) would allocate one
+        # Python str object per char of the whole batch first
+        cps = cb.cps
+        blen = np.ones(len(cps), dtype=np.int32)
+        blen[cps >= 0x80] = 2
+        blen[cps >= 0x800] = 3
+        blen[cps >= 0x10000] = 4
+        boffs = np.zeros(len(cps) + 1, dtype=np.int32)
+        np.cumsum(blen, out=boffs[1:])
+        char_pool = pa.StringArray.from_buffers(
+            len(cps), pa.py_buffer(boffs.tobytes()),
+            pa.py_buffer(cb.gtext.encode("utf-8")))
+        char_vals = pc.take(char_pool, pa.array(flat))
         char_arr = pa.StructArray.from_arrays([
             _bbox_list(cb.boxes[flat]),
             char_vals,

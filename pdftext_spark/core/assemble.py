@@ -56,7 +56,8 @@ def postprocess_range(seg: Segmentation, a: int, b: int) -> str:
 
 
 def merge_text_turn(seg: Segmentation, turn: int, sort: bool = False,
-                    hyphens: bool = False) -> str:
+                    hyphens: bool = False,
+                    sort_tolerance: float = 1.25) -> str:
     """F7 — plain-text render of one turn (postprocessing.py:95-113).
 
     Per line: concat spans, postprocess, rstrip + newline; per block:
@@ -66,7 +67,7 @@ def merge_text_turn(seg: Segmentation, turn: int, sort: bool = False,
     block_ids = list(range(blo, bhi))
     if sort and block_ids:
         bboxes = [seg.blocks.bbox[b] for b in block_ids]
-        block_ids = [block_ids[i] for i in sort_order(bboxes)]
+        block_ids = [block_ids[i] for i in sort_order(bboxes, sort_tolerance)]
     line_lo = seg.blocks.line_lo
     line_hi = seg.blocks.line_hi
     sp_start = seg.spans.start
@@ -91,7 +92,8 @@ def merge_text_turn(seg: Segmentation, turn: int, sort: bool = False,
 
 
 def plain_text_batch(seg: Segmentation, sort: bool = False,
-                     hyphens: bool = False) -> list[str]:
+                     hyphens: bool = False,
+                     sort_tolerance: float = 1.25) -> list[str]:
     """Per-turn plain text, stripped — paginated_plain_text_output semantics
     (extraction.py:75-80: per page merge_text(...).strip()).
 
@@ -110,7 +112,7 @@ def plain_text_batch(seg: Segmentation, sort: bool = False,
     ligature/CRLF/control mixes. sort=True keeps the per-turn path:
     block reorder is per turn anyway."""
     if sort:
-        return [merge_text_turn(seg, t, sort, hyphens).strip()
+        return [merge_text_turn(seg, t, sort, hyphens, sort_tolerance).strip()
                 for t in range(seg.n_turns)]
 
     a_arr = seg.spans.start[seg.lines.start]
@@ -264,7 +266,8 @@ def _span_dict(seg: Segmentation, span_idx: int, keep_chars: bool,
 
 def struct_page(seg: Segmentation, turn: int, page_id: int,
                 keep_chars: bool = False, sort: bool = False,
-                span_splits: Optional[dict] = None) -> dict:
+                span_splits: Optional[dict] = None,
+                sort_tolerance: float = 1.25) -> dict:
     """One turn as a dictionary_output page (extraction.py:93-131).
 
     `span_splits` maps span index -> list of override dicts (from the link
@@ -293,7 +296,8 @@ def struct_page(seg: Segmentation, turn: int, page_id: int,
             "bbox": [float(v) for v in seg.blocks.bbox[b]],
         })
     if sort and blocks_out:
-        order = sort_order([blk["bbox"] for blk in blocks_out])
+        order = sort_order([blk["bbox"] for blk in blocks_out],
+                           sort_tolerance)
         blocks_out = [blocks_out[i] for i in order]
     width, height = dt.page_width, dt.page_height
     bbox = list(dt.page_bbox)

@@ -87,7 +87,10 @@ def _build_tree(html: str) -> _Node:
             continue
         if li == 4:
             start_tag = m.group(2)
-            self_close = m.group(4)
+            # the greedy attribute group absorbs a trailing '/', so the
+            # explicit (/?) group never fires — a '/' at the end of the
+            # attrs (outside quotes by construction) IS the self-close
+            self_close = m.group(4) or m.group(3).endswith("/")
             tag = start_tag.lower()
             if tag in _RAWTEXT:
                 # swallow raw content up to the matching close tag
@@ -115,14 +118,20 @@ def _build_tree(html: str) -> _Node:
                     t2 = m2.group(2)
                     if t2 is not None:
                         t2 = t2.lower()
-                        if t2 in _RAWTEXT and not m2.group(4):
+                        sc2 = m2.group(4) or m2.group(3).endswith("/")
+                        if t2 in _RAWTEXT and not sc2:
                             if lower is None:
                                 lower = html.lower()
                             close = lower.find("</" + t2, pos)
                             pos = n if close == -1 else (lower.find(">", close) + 1 or n)
-                        elif t2 not in VOID_TAGS and not m2.group(4):
+                        elif t2 not in VOID_TAGS and not sc2:
                             depth += 1
-                    elif m2.group(1) is not None:
+                    elif m2.group(1) is not None \
+                            and m2.group(1).lower() not in VOID_TAGS:
+                        # spurious end tags of void elements (</meta>,
+                        # </br>) never had a matching open counted above —
+                        # decrementing on them would end the strip early
+                        # and leak stripped content (e.g. <title> text)
                         depth -= 1
                 continue
             if tag in VOID_TAGS or self_close:
@@ -239,7 +248,13 @@ def extract_main_text(html: str) -> str:
             best_score = score
             best = cand
     if best is None:
-        return ""
+        # candidates existed but all were text-empty (spacer divs, ad
+        # slots): fall back to the whole document like the no-candidates
+        # path, instead of dropping content that lives outside candidate
+        # containers
+        if root.text == 0:
+            return ""
+        best = root
     blocks: list[list[str]] = [[]]
     _emit_blocks(best, blocks)
     out = []

@@ -25,6 +25,7 @@ from typing import Optional
 import numpy as np
 
 from pdftext_spark.core.geometry import (
+    ensure_nonzero_area,
     intersection_matrix,
     normalize_boxes,
     rotate_boxes,
@@ -133,21 +134,17 @@ def merge_turn_links(seg: Segmentation, turn: int, page_id: int,
         padded = char_boxes.copy()
         degen = areas <= 0
         if degen.any():
-            padded[degen, 2] = np.maximum(padded[degen, 0], padded[degen, 2] + 1)
-            padded[degen, 3] = np.maximum(padded[degen, 1], padded[degen, 3] + 1)
+            padded[degen] = ensure_nonzero_area(char_boxes[degen])
         m = intersection_matrix(padded, lb)  # (chars, links)
-        # per char: url of the max-area link among area>0 hits; stable sort
-        # desc keeps earlier links on ties (links.py:198-201)
-        urls: list = []
-        for ci in range(b - a):
-            best_url = ""
-            best_area = 0.0
-            for lj in range(len(span_links)):
-                area = m[ci, lj]
-                if area > 0 and area > best_area:
-                    best_area = area
-                    best_url = span_links[lj]["url"]
-            urls.append(best_url)
+        # per char: url of the max-area link among area>0 hits; np.argmax
+        # returns the FIRST max, matching the reference's stable
+        # descending sort that keeps earlier links on ties
+        # (links.py:198-201)
+        am = np.argmax(m, axis=1)
+        best = m[np.arange(m.shape[0]), am]
+        link_urls = [sl["url"] for sl in span_links]
+        urls = [link_urls[j] if best[i] > 0 else ""
+                for i, j in enumerate(am.tolist())]
         # W7: new sub-span whenever url changes (links.py:203-219)
         overrides = []
         seg_start = 0
@@ -163,19 +160,23 @@ def merge_turn_links(seg: Segmentation, turn: int, page_id: int,
 def resolve_conversation_refs(turn_registrations: list[tuple]) -> tuple[dict, dict]:
     """X1 — the per-conversation reference registry (schema.py:205-225).
 
-    Input: [(turn_idx, ord, gid, dest_page, x, y), ...] in any order. Dedup
-    is on VALUE equality of (dest_page, coord) with first-arrival-wins
-    ordering by (turn_idx, ord); idx is the arrival rank among distinct
-    coords of that dest page. Returns (placeholder→final-url map,
-    dest_page→[ref dict]).
+    Input: [(turn_idx, ord, gid, dest_page, x, y), ...] in PROCESSING
+    order — the reference's Registry.add assigns idx in the order pages
+    are processed, so a caller extracting an unsorted page_range (the
+    CLI's --pages honors the given order) gets the same idx sequence the
+    reference would. Dedup is on VALUE equality of (dest_page, coord)
+    with first-arrival-wins in that order; idx is the arrival rank among
+    distinct coords of that dest page. Returns (placeholder→final-url
+    map, dest_page→[ref dict]).
 
-    This mirrors the Spark-side aggregation in operators/refs.py so the
-    core pipeline is testable without a SparkSession.
+    The Spark-side aggregation in operators/refs.py orders by
+    (turn_idx, ord) — identical whenever processing order is turn order,
+    which it always is for a table (there is no other order).
     """
     url_map: dict[str, str] = {}
     refs_by_page: dict[int, list[dict]] = {}
     seen: dict[int, list[tuple]] = {}
-    for turn_idx, ord_, gid, dest_page, x, y in sorted(turn_registrations):
+    for turn_idx, ord_, gid, dest_page, x, y in turn_registrations:
         coords = seen.setdefault(dest_page, [])
         idx = None
         for j, c in enumerate(coords):

@@ -97,14 +97,27 @@ def decode_turn(obj: dict, quote_loosebox: bool = True) -> DecodedTurn:
     n = len(text)
     boxes = np.asarray(obj.get("bbox", []), dtype=np.float64).reshape(n, 4)
 
+    # Length/bounds validation HERE, inside the caller's per-turn error
+    # channel: a malformed-but-parseable payload (short charrot, font_id
+    # past the font table) would otherwise surface later in segment_batch
+    # as a numpy broadcast/IndexError OUTSIDE the per-turn try, killing
+    # every turn of the Arrow batch instead of just this one.
     cr = obj.get("charrot", 0.0)
     charrot = (np.full(n, float(cr)) if not isinstance(cr, list)
                else np.asarray(cr, dtype=np.float64))
+    if len(charrot) != n:
+        raise ValueError(f"charrot length {len(charrot)} != text length {n}")
 
     fid = obj.get("font_id", 0)
     font_id = (np.full(n, int(fid), dtype=np.int32) if not isinstance(fid, list)
                else np.asarray(fid, dtype=np.int32))
+    if len(font_id) != n:
+        raise ValueError(f"font_id length {len(font_id)} != text length {n}")
     fonts = obj.get("fonts") or [{"name": "", "flags": 0, "size": 0.0, "weight": 0}]
+    if n and len(font_id) and (
+            int(font_id.min()) < 0 or int(font_id.max()) >= len(fonts)):
+        raise ValueError(
+            f"font_id out of range [0, {len(fonts)}) for the fonts table")
 
     # Tight-box substitution: loose box only when the char is unrotated and
     # (not a quote, or quote_loosebox) — chars.py:21-23.

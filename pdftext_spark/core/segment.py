@@ -691,7 +691,8 @@ def segment_batch(decoded: list[DecodedTurn],
                   superscript_height_threshold: float = 0.7,
                   line_distance_threshold: float = 0.1,
                   tolerance_factor: float = 1.5,
-                  with_scripts: bool = True) -> Segmentation:
+                  with_scripts: bool = True,
+                  default_median_gap: float = 0.1) -> Segmentation:
     """Full W1→W6 pipeline over a batch of decoded turns.
 
     with_scripts=False skips W6 flag assignment — the flags are pure span
@@ -707,7 +708,8 @@ def segment_batch(decoded: list[DecodedTurn],
         assign_scripts(cb, spans, lines, superscript_height_threshold,
                        line_distance_threshold)
     n_turns = len(decoded)
-    blocks = build_blocks(lines, n_turns, tolerance_factor)
+    blocks = build_blocks(lines, n_turns, tolerance_factor,
+                          default_median_gap)
     tb_lo = np.searchsorted(blocks.turn, np.arange(n_turns), side="left")
     tb_hi = np.searchsorted(blocks.turn, np.arange(n_turns), side="right")
     from pdftext_spark.core.textproc import batch_text_flags

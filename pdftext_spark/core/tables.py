@@ -74,7 +74,8 @@ def _same_cell(bbox, curr_box, img_size, space_thresh, rotation) -> bool:
 
 def table_cells_turn(seg: Segmentation, turn: int, tables: list, img_size: list,
                      effective_span_start: np.ndarray,
-                     table_thresh: float = 0.8, space_thresh: float = 0.01) -> list:
+                     table_thresh: float = 0.8, space_thresh: float = 0.01,
+                     min_chars: int = 100) -> list:
     """table_cell_text for one turn (tables.py:59-110) → list of tables,
     each a list of {"text", "bbox"} cells in reading order."""
     cb = seg.chars
@@ -89,15 +90,14 @@ def table_cells_turn(seg: Segmentation, turn: int, tables: list, img_size: list,
 
     space_thresh = max(space_thresh,
                        dynamic_gap_thresh(seg, turn, img_size, effective_span_start,
-                                          default_thresh=space_thresh))
+                                          default_thresh=space_thresh,
+                                          min_chars=min_chars))
 
     # lines of this turn with their char ranges (lines.turn is sorted)
     line_ids = range(int(seg.turn_line_lo[turn]), int(seg.turn_line_hi[turn]))
     out_tables = []
     for table in tables:
         tb = [float(v) for v in table]
-        t_area_w = tb[2] - tb[0]
-        t_area_h = tb[3] - tb[1]
         cells: list[dict] = []
         for li in line_ids:
             lb = rescale_boxes(seg.lines.bbox[li:li + 1], iw, ih, page_w, page_h)[0]
@@ -144,5 +144,4 @@ def table_cells_turn(seg: Segmentation, turn: int, tables: list, img_size: list,
                             cell["bbox"][2] - tb[0], cell["bbox"][3] - tb[1]]
         order = sort_order([c["bbox"] for c in cells])
         out_tables.append([cells[i] for i in order])
-        _ = (t_area_w, t_area_h)
     return out_tables

@@ -165,7 +165,9 @@ def test_unpersist_registered_releases_query_side_tables(spark):
     Q.q_dedup_minhash_lsh(spark, SF_DOCS).count()
     assert _n_persistent_rdds(spark) > base
     assert Q.unpersist_registered(blocking=True) >= 1
-    assert _n_persistent_rdds(spark) == base
+    # <= not ==: an EARLIER module's non-blocking unpersist can complete
+    # between the base read and here, dropping the count below base
+    assert _n_persistent_rdds(spark) <= base
 
 
 def test_word_dedup_signed_zero_rotation_parity():
@@ -204,6 +206,59 @@ def test_word_dedup_signed_zero_rotation_parity():
     exp2 = oracle_plain([tx2])
     assert outs2[0].text == exp2[0]
     assert "ab ab" not in exp2[0]
+
+
+def test_html_parser_review_regressions():
+    """Three scorer bugs found by the round-3 core review, each verified
+    against the documented module contract."""
+    from pdftext_spark.core.html_main import extract_main_text as x
+
+    # 1. self-closed children inside a stripped subtree must not
+    #    unbalance the depth counter and swallow the document
+    r = x('<body><div>intro</div><svg viewBox="0 0 9 9">'
+          '<path d="M0 0L9 9"/></svg><div>the real article body</div></body>')
+    assert "the real article body" in r
+    # 2. spurious end tags of void elements (</meta>) must not terminate
+    #    a head strip early and leak <title> text
+    assert x('<head><meta></meta><title>SITE</title></head>'
+             '<p>Hello</p>') == "Hello"
+    # 3. an empty candidate (spacer div) must not suppress the
+    #    whole-document fallback for content outside candidates
+    r3 = x('Results:<ul><li>alpha</li></ul><div></div>')
+    assert "alpha" in r3 and "Results:" in r3
+    # controls: quoted slash is not a self-close; strip still strips
+    assert "quoted" in x('<div title="a/">quoted</div>')
+    assert x('<body><nav>junk</nav><article><p>main</p></article>'
+             '</body>') == "main"
+
+
+def test_malformed_payload_isolated_per_turn():
+    """A parseable payload with wrong-length charrot or out-of-range
+    font_id must error ONLY its own turn — not kill the Arrow batch
+    (round-3 core review: the old crash surfaced in segment_batch,
+    outside the per-turn error channel)."""
+    import json
+
+    from pdftext_spark.config import ExtractConfig
+    from pdftext_spark.core.api import process_batch
+    from pdftext_spark.core.payload import payload_json, prose_to_payload
+
+    good = payload_json(prose_to_payload("hello world"))
+    bad_font = json.dumps({
+        "kind": "chars", "page_bbox": [0, 0, 612, 792], "rotation": 0,
+        "text": "ab", "bbox": [1, 1, 2, 2, 2, 1, 3, 2], "charrot": 0.0,
+        "fonts": [{"name": "A", "flags": 0, "size": 1.0, "weight": 1}],
+        "font_id": [0, 5]})
+    bad_rot = json.dumps({
+        "kind": "chars", "page_bbox": [0, 0, 612, 792], "rotation": 0,
+        "text": "ab", "bbox": [1, 1, 2, 2, 2, 1, 3, 2], "charrot": [0.0],
+        "fonts": [{"name": "A", "flags": 0, "size": 1.0, "weight": 1}],
+        "font_id": 0})
+    outs = process_batch([good, bad_font, bad_rot], ["user"] * 3,
+                         [0, 1, 2], ExtractConfig())
+    assert outs[0].text == "hello world"
+    assert outs[1].error and "font_id" in outs[1].error
+    assert outs[2].error and "charrot" in outs[2].error
 
 
 def test_word_dedup_fstring_collision_quirk():
