@@ -649,6 +649,46 @@ def sql_text_tfidf(sf_dir):
         "SELECT doc_id, rank, term, score FROM r WHERE rank <= 3")
 
 
+_SURPRISAL_SCALE = 1_000_000
+
+
+def q_text_surprisal(spark, sf_dir):
+    """Unigram surprisal proxy (the log-free perplexity stand-in for
+    quality gating): per doc, the mean over its tokens of
+    N_corpus_tokens / corpus_count(token), scaled by 1e6 and computed in
+    EXACT int64 arithmetic — rare-token-heavy docs score high, a
+    boilerplate doc of only common terms scores near 1e6. Integer `div`
+    everywhere keeps the per-group sums ORDER-INDEPENDENT (a double sum
+    over a shuffled group would hash-diverge between engines). Shape:
+    corpus term counts aggregate once (vocabulary-sized), broadcast back
+    onto the exploded tokens, one doc-keyed aggregation of longs."""
+    tok = (_docs(spark, sf_dir)
+           .withColumn("toks", F.expr(_TOKS_SPARK))
+           .select("doc_id", F.explode("toks").alias("term"))
+           .persist())
+    _register_persisted(tok)
+    n_total = tok.count()
+    ctf = tok.groupBy("term").agg(F.count("*").alias("ctf"))
+    return (tok.join(F.broadcast(ctf), "term")
+            .withColumn("v", F.expr(
+                f"({n_total}L * {_SURPRISAL_SCALE}L) div ctf"))
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_tokens"),
+                 F.expr("sum(v) div count(*)").alias("surprisal_x1e6")))
+
+
+def sql_text_surprisal(sf_dir):
+    s = _SURPRISAL_SCALE
+    return (
+        "WITH tk AS (SELECT doc_id, unnest(" + _TOKS_DUCK + ") term "
+        "FROM documents), "
+        "ctf AS (SELECT term, count(*) ctf FROM tk GROUP BY 1), "
+        "n AS (SELECT count(*) n FROM tk) "
+        f"SELECT doc_id, count(*) n_tokens, "
+        f"(sum((n.n * {s}) // ctf.ctf))::BIGINT // count(*) surprisal_x1e6 "
+        "FROM tk JOIN ctf USING (term), n GROUP BY doc_id")
+
+
 # Blocklist terms, chosen from the corpus vocabulary so the scrub has
 # real work to do. At 100 TB the list (LDNOOBW-style, a few thousand
 # entries) is read from a side table and folded into the expression tree
@@ -2080,6 +2120,7 @@ QUERIES = {
     "text_chunks": (q_text_chunks, sql_text_chunks),
     "text_tfidf": (q_text_tfidf, sql_text_tfidf),
     "text_blocklist": (q_text_blocklist, sql_text_blocklist),
+    "text_surprisal": (q_text_surprisal, sql_text_surprisal),
     # dedup
     "dedup_exact": (q_dedup_exact, sql_dedup_exact),
     "dedup_jaccard": (q_dedup_jaccard, sql_dedup_jaccard),

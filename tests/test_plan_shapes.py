@@ -70,6 +70,13 @@ def test_tfidf_broadcasts_df_table(spark):
     assert "BroadcastHashJoin" in p
 
 
+def test_surprisal_broadcasts_term_counts(spark):
+    # corpus term counts come back as a broadcast onto the exploded
+    # tokens, not a term-keyed shuffle of the corpus
+    p = _plan(spark, "text_surprisal")
+    assert "BroadcastHashJoin" in p
+
+
 def test_blocklist_no_shuffle(spark):
     # blocklist folded into the expression tree; scrub is a pure scan
     p = _plan(spark, "text_blocklist")
