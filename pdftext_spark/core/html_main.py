@@ -65,6 +65,31 @@ _RAWTEXT = frozenset(("script", "style", "textarea", "title", "noscript",
                       "template"))
 
 
+_WS = (" ", "\t", "\n", "\r", "\f")
+
+
+def _self_close(attrs: str) -> bool:
+    """True when the attrs text ends in a self-closing solidus.
+
+    HTML5 only treats the '/' before '>' as self-close when it is a
+    standalone solidus: in ``<a href=http://x.com/>`` the '/' is the last
+    character of the *unquoted attribute value* and the tag stays open.
+    A '/' preceded by whitespace, a closing quote, or the tag name itself
+    (``<br/>``), or one terminating a bare attribute name (``<br foo/>``,
+    solidus ends the name per the attribute-name state) self-closes.
+    """
+    if not attrs.endswith("/"):
+        return False
+    prev = attrs[-2:-1]
+    if prev == "" or prev in _WS or prev in ('"', "'"):
+        return True
+    # '/' ends an unquoted token: value data iff that token is attr=value
+    tail = attrs[:-1]
+    for ws in _WS:
+        tail = tail.rsplit(ws, 1)[-1]
+    return "=" not in tail
+
+
 def _build_tree(html: str) -> _Node:
     root = _Node("#root", None)
     cur = root
@@ -88,9 +113,9 @@ def _build_tree(html: str) -> _Node:
         if li == 4:
             start_tag = m.group(2)
             # the greedy attribute group absorbs a trailing '/', so the
-            # explicit (/?) group never fires — a '/' at the end of the
-            # attrs (outside quotes by construction) IS the self-close
-            self_close = m.group(4) or m.group(3).endswith("/")
+            # explicit (/?) group never fires; _self_close decides whether
+            # that trailing '/' is a solidus or unquoted-value data
+            self_close = bool(m.group(4)) or _self_close(m.group(3))
             tag = start_tag.lower()
             if tag in _RAWTEXT:
                 # swallow raw content up to the matching close tag
@@ -118,7 +143,7 @@ def _build_tree(html: str) -> _Node:
                     t2 = m2.group(2)
                     if t2 is not None:
                         t2 = t2.lower()
-                        sc2 = m2.group(4) or m2.group(3).endswith("/")
+                        sc2 = bool(m2.group(4)) or _self_close(m2.group(3))
                         if t2 in _RAWTEXT and not sc2:
                             if lower is None:
                                 lower = html.lower()

@@ -137,6 +137,16 @@ def word_dedup_mask(cb: CharBatch) -> np.ndarray:
     two or more classes are '-'-capable fall back to the literal
     reference f-string per word, reproducing the collision quirk
     bit-for-bit.
+
+    The font component of the fast key is the global font CODE, which is
+    value-factorized on the raw (name, flags, size, weight) tuple at
+    batch build (_build above) — duplicate font-table entries therefore
+    already share one code and dedup exactly as the reference's
+    rendered-value key does. Remaining caveat: two entries whose fields
+    differ only in TYPE but render identically (name None vs the string
+    'None', flags 5 vs '5') dedup in the reference's f-string but stay
+    distinct here; the payload contract types each field (str, int,
+    float, int), so this cannot occur on schema-conforming input.
     """
     n = len(cb.cps)
     if n == 0:

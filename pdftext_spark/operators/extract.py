@@ -23,6 +23,8 @@ Scale notes (the parts that must survive 1000 executors / 100 TB):
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -31,6 +33,16 @@ from pdftext_spark.operators.schema import EXTRACTED
 
 # sentinel: "use refs.DEFAULT_BROADCAST_THRESHOLD" (None means "no gate")
 _USE_DEFAULT = object()
+
+# Shuffle exchanges only — BroadcastExchange does NOT repartition the
+# probe side, so a broadcast-join input still deserves the salt.
+_SHUFFLE_EXCHANGE = re.compile(
+    r"Exchange (hashpartitioning|rangepartitioning|RoundRobinPartitioning"
+    r"|SinglePartition)")
+
+
+def _has_shuffle_exchange(plan_text: str) -> bool:
+    return _SHUFFLE_EXCHANGE.search(plan_text) is not None
 
 
 def _arrow_kernel(cfg: ExtractConfig, target_schema):
@@ -94,7 +106,7 @@ def link_registrations(transcripts: DataFrame, cfg: ExtractConfig) -> DataFrame:
 
     cand = (transcripts.select("conv_id", "turn_idx", "role", "text")
             .where(F.col("text").contains('"links"')
-                   & (F.col("role") != "tool")))
+                   & ~F.col("role").eqNullSafe("tool")))
     # role filter: tool turns route to HTML extraction and can never
     # register links — without it, tool HTML containing the substring
     # "links" (class names, embedded JSON) would pay a full main-content
@@ -143,14 +155,21 @@ def extract(transcripts: DataFrame, cfg: ExtractConfig = ExtractConfig(),
         salted = transcripts
     elif cfg.salt == "always":
         salted = transcripts.repartition(n_parts, "conv_id", "turn_idx")
-    elif "Exchange" in transcripts._jdf.queryExecution().sparkPlan().toString():
+    elif _has_shuffle_exchange(
+            transcripts._jdf.queryExecution().executedPlan().toString()):
         # The input already contains a shuffle (join/aggregate upstream):
         # its output partitioning is shuffle-partition-wide, so the salt
         # buys nothing — and probing toRdd() below would EXECUTE those
-        # upstream stages under AQE (AdaptiveSparkPlanExec materializes
-        # query stages at plan access), doing the heavy work twice.
-        # sparkPlan is the pre-adaptive compile — inspecting it runs no
-        # job.
+        # upstream stages under AQE (AdaptiveSparkPlanExec.doExecute
+        # materializes query stages), doing the heavy work twice.
+        # executedPlan is the post-EnsureRequirements compile: printing it
+        # runs no job (isFinalPlan=false), and unlike sparkPlan it
+        # actually CONTAINS the requirement-inserted exchanges —
+        # sparkPlan shows none, so probing it missed every join/agg
+        # upstream. BroadcastExchange is deliberately not matched: a
+        # broadcast join leaves the probe side's partitioning untouched,
+        # so such inputs still deserve the salt (and their toRdd() probe
+        # below only materializes the small build side).
         salted = transcripts
     else:
         # Pure scan pipeline: JVM-side internal-RDD partition count builds

@@ -1,0 +1,140 @@
+"""Round-4 regression tests: the four ADVICE fixes (null-role prepass,
+shuffle-exchange salt probe, HTML unquoted-value self-close, font-key
+docstring) plus new round-4 operators as they land."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdftext_spark.config import ExtractConfig
+from pdftext_spark.core.html_main import _build_tree, _self_close, extract_main_text
+from pdftext_spark.operators.extract import _has_shuffle_exchange, link_registrations
+
+
+# ---------------------------------------------------------------- html
+
+def test_self_close_unquoted_value_url():
+    """HTML5: the '/' ending an unquoted attribute value is value data,
+    not a self-closing solidus — <a href=http://x.com/> stays OPEN."""
+    assert not _self_close(" href=http://x.com/")
+    assert not _self_close(" href=a/b/")
+    # standalone solidus forms still self-close
+    assert _self_close("/")                      # <br/>
+    assert _self_close(" /")                     # <br />
+    assert _self_close(' href="x"/')             # quoted value then '/'
+    assert _self_close(" href='x'/")
+    assert _self_close(" foo/")                  # bare attr name + solidus
+    assert not _self_close(" href=x")            # no trailing '/' at all
+
+
+def test_unquoted_url_anchor_keeps_text():
+    """The anchor's text must land under the <a> node so link-density
+    scoring sees it (ADVICE r3: html_main.py self-close misparse)."""
+    root = _build_tree("<body><p><a href=http://x.com/>click here</a></p></body>")
+    body = root.children[0]
+    p = body.children[0]
+    a = p.children[0]
+    assert a.tag == "a"
+    assert a.children == ["click here"]
+
+
+def test_unquoted_url_link_density_scoring():
+    """End-to-end: a nav block of unquoted-URL anchors must score as
+    link-heavy (boilerplate) now that its text is attributed to <a>."""
+    content = "<p>" + "Real article body text with substance. " * 12 + "</p>"
+    nav = "".join(
+        f"<a href=http://site.com/{i}/>navigation link {i} text</a>"
+        for i in range(10))
+    html = f"<body><div>{nav}</div><div>{content}</div></body>"
+    out = extract_main_text(html)
+    assert "Real article body text" in out
+    assert "navigation link 3 text" not in out
+
+
+# ------------------------------------------------------------- prepass
+
+def test_null_role_turn_reaches_prepass(spark):
+    """A NULL-role turn routes to the PDF path and can register links;
+    the prepass candidate filter must not drop it (three-valued logic on
+    role != 'tool')."""
+    payload = {
+        "kind": "chars",
+        "page_bbox": [0.0, 0.0, 612.0, 792.0],
+        "rotation": 0,
+        "text": "target words here",
+        "bbox": [float(v) for i in range(17) for v in
+                 (72 + 6 * i, 72, 78 + 6 * i, 83)],
+        "charrot": 0.0,
+        "fonts": [{"name": "Mono", "flags": 0, "size": 11.0, "weight": 400}],
+        "font_id": 0,
+        "links": [{"bbox": [72.0, 72.0, 120.0, 83.0], "dest_page": 0,
+                   "dest_pos": [100.0, 200.0], "url": None}],
+    }
+    rows = [("c1", 0, None, json.dumps(payload), None, None)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    regs = link_registrations(df, ExtractConfig()).collect()
+    assert len(regs) == 1 and regs[0]["turn_idx"] == 0
+    assert len(regs[0]["link_dests"]) == 1
+
+
+# ---------------------------------------------------------- salt probe
+
+def test_shuffle_exchange_matcher():
+    """BroadcastExchange must NOT count as an upstream shuffle (it does
+    not repartition the probe side), real shuffle exchanges must."""
+    assert not _has_shuffle_exchange(
+        "BroadcastExchange HashedRelationBroadcastMode(List(x))")
+    assert _has_shuffle_exchange(
+        "Exchange hashpartitioning(conv_id#1, 32), ENSURE_REQUIREMENTS")
+    assert _has_shuffle_exchange("Exchange rangepartitioning(a#2 ASC, 32)")
+    assert _has_shuffle_exchange("Exchange SinglePartition")
+    assert _has_shuffle_exchange("Exchange RoundRobinPartitioning(32)")
+    assert not _has_shuffle_exchange("Scan parquet [conv_id#1]")
+
+
+def test_broadcast_join_input_still_salted(spark):
+    """An input whose only exchange is a BroadcastExchange is a pure-scan
+    pipeline for salting purposes: the probe side keeps its (possibly
+    coarse) partitioning, so the salt must still engage."""
+    from pdftext_spark.operators.extract import extract
+    big = spark.createDataFrame(
+        [("c%d" % i, 0, "user", "plain words", None, None) for i in range(64)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp").coalesce(1)
+    dim = spark.createDataFrame([("user",)], "role string")
+    joined = big.join(F.broadcast(dim), "role").select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
+    assert not _has_shuffle_exchange(plan)
+    out = extract(joined, ExtractConfig(partitions=8), resolve_links=False)
+    phys = out._jdf.queryExecution().sparkPlan().toString()
+    # the salt repartition must appear even though a BroadcastExchange does
+    assert "Exchange hashpartitioning(conv_id" in phys
+
+
+def test_shuffle_upstream_skips_salt(spark):
+    """An input that already shuffled (join/agg upstream) is already
+    shuffle-partition-wide: the salt must NOT add a second full-payload
+    exchange. sparkPlan never contains EnsureRequirements exchanges, so
+    this branch only works off executedPlan (r4 fix)."""
+    from pdftext_spark.operators.extract import extract
+    base = spark.createDataFrame(
+        [("c%d" % i, i % 3, "user", "plain words", None, None)
+         for i in range(32)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp")
+    # self-join on conv_id forces a real shuffle exchange upstream
+    other = base.select("conv_id").distinct()
+    joined = base.join(other, "conv_id").select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts")
+    out = extract(joined, ExtractConfig(partitions=64), resolve_links=False)
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    # the salt's (conv_id, turn_idx) repartition signature must be absent —
+    # the only exchanges are the join's own conv_id ones
+    import re
+    assert "RoundRobinPartitioning" not in phys
+    assert not re.search(r"Exchange hashpartitioning\([^)]*turn_idx", phys)
