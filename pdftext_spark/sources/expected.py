@@ -18,8 +18,7 @@ import os
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from pdftext_spark.sources.fixture_io import TIERS, ensure_fixture_dir
-from pdftext_spark.sources.fixtures import build_fixture_tables
+from pdftext_spark.sources.fixture_io import ensure_fixture_dir
 
 
 def expected_dir(tier: str) -> str:
@@ -40,7 +39,16 @@ def ensure_expected_outputs(tier: str) -> str:
     # HTML tool-turn truth comes from the GENERATOR's own fact table
     # (fixtures.py html_exp), never from the extract_main_text code under
     # test — keeps the driver gate a two-implementation check for HTML too.
-    rows, html_exp, *_ = build_fixture_tables(**TIERS[tier])
+    # Both corpus and fact table are read BACK from the parquet
+    # ensure_fixture_dir just materialized (byte-stable, one generator run
+    # per tier) instead of regenerating the whole corpus in memory — at
+    # the sf0.1 tier that regeneration was the expensive half of a cold
+    # expected-output build.
+    rows = pq.read_table(
+        os.path.join(out, "transcripts.parquet"),
+        columns=["conv_id", "turn_idx", "role", "text"]).to_pylist()
+    html_exp = pq.read_table(
+        os.path.join(out, "expected_html.parquet")).to_pylist()
     html_truth = {(h["conv_id"], h["turn_idx"]): h["main_text"] for h in html_exp}
     convs = collections.defaultdict(list)
     for r in rows:

@@ -68,7 +68,8 @@ def ensure_fixture_dir(tier: str) -> str:
     cfg = TIERS[tier]
     out = os.path.join(FIXTURE_ROOT, tier)
     marker = os.path.join(out, "_COMPLETE")
-    stamp = f"v2:{sorted(cfg.items())}"
+    # v3: messy external-link URL surface forms (refs_canonical)
+    stamp = f"v3:{sorted(cfg.items())}"
     if os.path.exists(marker) and open(marker).read() == stamp:
         return out
     import shutil

@@ -92,6 +92,23 @@ class _PageBuilder:
         return obj
 
 
+def _messy_url(rng: random.Random) -> str:
+    """External link URLs in the messy shapes a real crawl sees — several
+    surface forms per canonical target so URL canonicalization
+    (refs_canonical) has genuine dedup work: case-varied scheme/host,
+    default ports, tracking params, fragments, trailing slashes."""
+    n = rng.randint(0, 199)
+    return rng.choice([
+        f"https://example.com/{n}",
+        f"HTTPS://Example.COM/{n}/",
+        f"https://example.com:443/{n}?utm_source=feed",
+        f"http://example.com:80/{n}?a=1&utm_campaign=x&b=2",
+        f"https://example.com/{n}#section-2",
+        f"https://example.com/{n}?q=term&gclid=abc123",
+        f"https://example.com/{n}?utm_a=1&utm_b=2",
+    ])
+
+
 def _emit_word(pb: _PageBuilder, word: str, x: float, y: float, fid: int,
                rng: random.Random, rot: float = 0.0) -> float:
     size = FONTS[fid]["size"]
@@ -187,7 +204,7 @@ def _doc_payload(rng: random.Random, conv_len: int, facts: dict) -> dict:
         kind = rng.random()
         if kind < 0.4:
             link = {"bbox": lb, "dest_page": None, "dest_pos": None,
-                    "url": f"https://example.com/{rng.randint(0, 999)}"}
+                    "url": _messy_url(rng)}
         elif kind < 0.75:
             link = {"bbox": lb, "dest_page": rng.randrange(0, conv_len),
                     "dest_pos": [float(rng.randint(0, 500)), float(rng.randint(0, 700))],

@@ -104,11 +104,12 @@ def test_sample_stratified_pure_scan(spark):
     assert _shuffles(p) == 0 and "Join" not in p
 
 
-def test_text_pack_single_source_shuffle(spark):
-    # one hash-partitioning on source for the window cumsum; nothing else
+def test_text_pack_single_sharded_shuffle(spark):
+    # one hash-partitioning on (source, shard) for the window cumsum —
+    # the shard salt means no source ever serializes onto one task
     p = _plan(spark, "text_pack")
     assert _shuffles(p) == 1
-    assert "Exchange hashpartitioning(source" in p
+    assert "Exchange hashpartitioning(source" in p and "shard" in p
 
 
 def test_events_window_partial_agg(spark):
