@@ -156,7 +156,12 @@ def word_dedup_mask(cb: CharBatch) -> np.ndarray:
     e_idx = np.append(s_idx[1:], n)
     env = envelope_reduceat(cb.boxes, s_idx)
     rb = np.round(env)  # round-half-even, matching Python round(x, 0) (chars.py:108)
-    texts = [cb.gtext[a:b] for a, b in zip(s_idx, e_idx)]
+    # plain-int slicing: str.__getitem__ on numpy int64 scalars pays a
+    # per-call __index__ conversion — pre-tolist() halves this step
+    # (1.41 -> 0.77 ms on the sf0.01 batch)
+    _s, _e = s_idx.tolist(), e_idx.tolist()
+    g = cb.gtext
+    texts = [g[a:b] for a, b in zip(_s, _e)]
     # All-integer dedup key (one hash-factorize for the strings, float BIT
     # patterns for rotation and the rounded bbox — so -0.0 and 0.0
     # rotations stay distinct, as their f-string renderings are). One
@@ -172,7 +177,12 @@ def word_dedup_mask(cb: CharBatch) -> np.ndarray:
     key[:, 2] = rotw.view(np.int64)
     key[:, 3] = cb.font[s_idx]
     key[:, 4:8] = rb.view(np.int64)
-    keep_word = (~pd.DataFrame(key, copy=False).duplicated()).to_numpy()
+    # row dedup on the raw 64-byte row image (key is freshly-allocated,
+    # C-contiguous): one void-dtype view + Series.duplicated hashes each
+    # row as opaque bytes — same partition as the 8-column frame
+    # duplicated(), half the cost (1.20 -> 0.65 ms, verified identical)
+    rows = key.view(np.dtype((np.void, key.shape[1] * 8))).ravel()
+    keep_word = (~pd.Series(rows).duplicated()).to_numpy()
 
     # --- f-string collision gate (see docstring). Field classes that can
     # put a '-' into the rendered key: text chars, rotation repr (sign,

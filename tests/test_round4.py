@@ -52,6 +52,65 @@ def test_unquoted_url_link_density_scoring():
     assert "navigation link 3 text" not in out
 
 
+# ------------------------------------- cross-run incremental dedup
+
+def test_cross_run_ingest_then_near_dup_apply(spark, tmp_path):
+    """The production ingest shape, end to end: run 1 streams a corpus
+    half through the stateful first-seen dedup; run 2 (a NEW query
+    resuming the same checkpoint — a restart) ingests the rest plus
+    copies of run-1 texts, which must be dropped against the PRIOR run's
+    state without rescanning; then the batch near-dup pass (dedup_apply's
+    broadcast anti-join) prunes cluster non-keepers from the admitted
+    corpus."""
+    import os
+
+    from pdftext_spark.queries import q_dedup_clusters, unpersist_registered
+    from pdftext_spark.streaming.dedup import dedup_stream
+
+    sf = "/root/testdata/sf0.001"
+    src = (spark.read.parquet(os.path.join(sf, "documents.parquet"))
+           .select("doc_id", "text"))
+    n = src.count()
+    mid = n // 2
+    d = str(tmp_path / "in")
+    out = str(tmp_path / "admitted")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = (spark.readStream.schema(spark.read.parquet(d).schema)
+                  .option("maxFilesPerTrigger", 1).parquet(d))
+        q = (dedup_stream(stream).writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return spark.read.parquet(out)
+
+    src.where(F.col("doc_id") < mid).coalesce(1).write.parquet(d)
+    run()
+    # run 2: remaining docs + exact copies of ten run-1 texts under new ids
+    dup = (src.where(F.col("doc_id") < mid).orderBy("doc_id").limit(10)
+           .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text"))
+    (src.where(F.col("doc_id") >= mid).union(dup)
+     .coalesce(1).write.mode("append").parquet(d))
+    admitted = run()
+
+    # cross-run exact dedup: every original admitted exactly once, no
+    # synthetic copy survived the restart boundary
+    admitted_ids = sorted(r["doc_id"] for r in admitted.collect())
+    src_ids = sorted(r["doc_id"] for r in src.select("doc_id").collect())
+    assert admitted_ids == src_ids
+
+    # batch near-dup stage over the ADMITTED corpus (dedup_apply shape:
+    # O(near-dup) drop list broadcast, one anti-join scan)
+    drop = (q_dedup_clusters(spark, sf)
+            .where(~F.col("is_keeper")).select("doc_id"))
+    n_drop = drop.count()
+    assert n_drop > 0  # the corpus ships genuine near-dups
+    final = admitted.join(F.broadcast(drop), "doc_id", "left_anti")
+    assert final.count() == len(admitted_ids) - n_drop
+    unpersist_registered()
+
+
 # ------------------------------------------------- fixture warm path
 
 def test_expected_outputs_read_materialized_corpus(monkeypatch):
