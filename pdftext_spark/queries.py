@@ -767,6 +767,47 @@ def sql_text_surprisal(sf_dir):
         "FROM tk JOIN ctf USING (term), n GROUP BY doc_id")
 
 
+# PII patterns, the lookaround-free subset RE2 (DuckDB) and
+# java.util.regex (Spark) read identically. Deliberately conservative:
+# a production run swaps in jurisdiction-specific pattern packs the
+# same way (they are broadcast literals in the expression tree).
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_PHONE = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def q_text_pii(spark, sf_dir):
+    """PII redaction over the EXTRACTED per-turn plain text (emails +
+    international phone numbers): per turn, the match counts and the md5
+    of the scrubbed text — the compliance scrub every distribution-bound
+    corpus runs after extraction. Pure JVM regexp expressions over the
+    shared cached kernel output: zero extra kernel work, zero shuffle,
+    scrubbed text would flow straight to the sink."""
+    d = _extracted_df(spark, sf_dir).select("conv_id", "turn_idx", "text")
+    scrub = F.regexp_replace(
+        F.regexp_replace("text", _PII_EMAIL, "[EMAIL]"),
+        _PII_PHONE, "[PHONE]")
+    # F.lit patterns, not F.expr-embedded SQL literals: the SQL parser
+    # consumes one level of backslash escaping, silently turning \+
+    # into a bare + (PatternSyntaxException at run time)
+    return d.select(
+        "conv_id", "turn_idx",
+        F.size(F.regexp_extract_all("text", F.lit(_PII_EMAIL), F.lit(0)))
+        .cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(_PII_PHONE), F.lit(0)))
+        .cast("long").alias("n_phones"),
+        F.md5(scrub).alias("scrubbed_md5"))
+
+
+def sql_text_pii(sf_dir):
+    p = _fixture_path(sf_dir, "expected_plain.parquet")
+    scrub = (f"regexp_replace(regexp_replace(text, '{_PII_EMAIL}', "
+             f"'[EMAIL]', 'g'), '{_PII_PHONE}', '[PHONE]', 'g')")
+    return (f"SELECT conv_id, turn_idx, "
+            f"len(regexp_extract_all(text, '{_PII_EMAIL}'))::BIGINT n_emails, "
+            f"len(regexp_extract_all(text, '{_PII_PHONE}'))::BIGINT n_phones, "
+            f"md5({scrub}) scrubbed_md5 FROM read_parquet('{p}')")
+
+
 def q_text_perplexity(spark, sf_dir):
     """Bigram-LM perplexity proxy for quality gating (the n-gram upgrade
     of text_surprisal): per doc, the mean over its bigrams of
@@ -2276,8 +2317,8 @@ QUERIES = {
     "text_chunks": (q_text_chunks, sql_text_chunks),
     "text_tfidf": (q_text_tfidf, sql_text_tfidf),
     "text_blocklist": (q_text_blocklist, sql_text_blocklist),
-    "text_surprisal": (q_text_surprisal, sql_text_surprisal),
     "text_perplexity": (q_text_perplexity, sql_text_perplexity),
+    "text_pii": (q_text_pii, sql_text_pii),
     # dedup
     "dedup_exact": (q_dedup_exact, sql_dedup_exact),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, sql_dedup_minhash_lsh),
@@ -2319,6 +2360,7 @@ QUERIES = {
     # ALL entries; tests/test_driver_contract.py pins this layout so a
     # future insertion can't silently push a unique query past the cap).
     "ann_bruteforce_np": (q_ann_bruteforce_np, sql_ann_bruteforce),  # same oracle as ann_bruteforce
+    "text_surprisal": (q_text_surprisal, sql_text_surprisal),   # unigram special case of text_perplexity
     "ann_ivf": (q_ann_ivf, sql_ann_ivf),              # nprobe=1 special case of ann_ivf_probe
     "dedup_jaccard": (q_dedup_jaccard, sql_dedup_jaccard),      # exact baseline of dedup_minhash_lsh
     "dedup_embedding": (q_dedup_embedding, sql_dedup_embedding),  # all-pairs baseline of dedup_embedding_lsh

@@ -69,7 +69,8 @@ def ensure_fixture_dir(tier: str) -> str:
     out = os.path.join(FIXTURE_ROOT, tier)
     marker = os.path.join(out, "_COMPLETE")
     # v3: messy external-link URL surface forms (refs_canonical)
-    stamp = f"v3:{sorted(cfg.items())}"
+    # v4: PII-shaped tokens in pdf prose (text_pii)
+    stamp = f"v4:{sorted(cfg.items())}"
     if os.path.exists(marker) and open(marker).read() == stamp:
         return out
     import shutil

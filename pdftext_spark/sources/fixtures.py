@@ -138,6 +138,17 @@ def _doc_payload(rng: random.Random, conv_len: int, facts: dict) -> dict:
             for wi in range(n_words):
                 fid = 1 if rng.random() < 0.12 else 0
                 word = rng.choice(WORDS)
+                if rng.random() < 0.025:
+                    # PII-shaped tokens so the redaction op (text_pii)
+                    # has real work: email or intl phone, both matching
+                    # the documented patterns in queries.py
+                    if rng.random() < 0.6:
+                        word = f"user{rng.randint(1, 99)}@example.com"
+                    else:
+                        word = (f"+{rng.randint(1, 49)}-"
+                                f"{rng.randint(100, 999)}-"
+                                f"{rng.randint(100, 999)}-"
+                                f"{rng.randint(1000, 9999)}")
                 if rng.random() < 0.06:
                     word = word + "\xa0trailer"  # NBSP → space (utils.py:10)
                 if rng.random() < 0.05:
