@@ -131,3 +131,34 @@ def test_refs_domains_partial_agg(spark):
     assert head.count("Exchange") == 2
     assert "partial_count" in head
     assert "page#" not in head
+
+
+def test_refs_canonical_partial_agg(spark):
+    # Same shape as refs_domains: the whole normalization chain is
+    # projection-side regexp_replace, then two exchanges of
+    # pre-aggregated rows (two-phase distinct); the heavy page struct
+    # never moves above the explode.
+    p = _plan(spark, "refs_canonical")
+    head = p.split("Generate")[0]
+    assert head.count("Exchange") == 2
+    assert "partial_count" in head
+    assert "page#" not in head
+    assert "regexp_replace" in head
+
+
+def test_text_pii_no_extra_shuffle(spark):
+    # PII scrub is a pure projection over the cached kernel output: no
+    # exchange, no join above the extraction pipeline itself.
+    p = _plan(spark, "text_pii")
+    head = p.split("InMemoryTableScan")[0] if "InMemoryTableScan" in p else p
+    assert head.count("Exchange") - head.count("BroadcastExchange") == 0
+    assert "SortMergeJoin" not in head
+
+
+def test_text_perplexity_broadcast_counts(spark):
+    # bigram stream joins its two count tables by broadcast; the only
+    # data shuffles are the two vocabulary-bounded count aggregations +
+    # the final doc-keyed aggregation of longs.
+    p = _plan(spark, "text_perplexity")
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in p
