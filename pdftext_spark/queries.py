@@ -648,6 +648,64 @@ def sql_text_repetition(sf_dir):
         "FROM s")
 
 
+def q_text_features(spark, sf_dir):
+    """Classifier-prep feature export: EVERY row-wise quality signal in
+    ONE corpus scan — the fused form a 100 TB pipeline ships instead of
+    N separate jobs (token counts, alpha/stopword/digit ratios, mean
+    token length, Gopher repetition ratio, stopword-vote language).
+    Each constituent is individually gated (text_tokens / text_quality /
+    text_repetition / text_langid); this is their single-pass fusion:
+    zero shuffle, zero joins, one projection wide enough to feed a
+    downstream quality classifier directly (plan-asserted)."""
+    d = (_docs(spark, sf_dir)
+         .withColumn("toks", F.expr(_TOKS_SPARK))
+         .withColumn("sh", F.expr(_SHINGLES_SPARK)))
+    sw = _sw_list("en")
+    votes = {lang: F.expr(f"size(filter(toks, t -> t IN ({_sw_list(lang)})))")
+             for lang in _STOPWORDS}
+    return d.select(
+        "doc_id",
+        F.expr("size(toks)").cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.round(F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
+                / F.length("text"), 6).alias("alpha_ratio"),
+        F.round(F.length(F.regexp_replace("text", "[^0-9]", ""))
+                / F.length("text"), 6).alias("digit_ratio"),
+        F.round(F.expr(f"size(filter(toks, t -> t IN ({sw})))")
+                / F.expr("size(toks)"), 6).alias("stopword_ratio"),
+        F.round(F.expr("aggregate(toks, 0L, (a, t) -> a + length(t))")
+                / F.expr("size(toks)"), 6).alias("avg_token_len"),
+        F.round(F.lit(1.0) - F.expr("size(array_distinct(sh))")
+                / F.expr("size(sh)"), 6).alias("rep_ratio"),
+        F.when((votes["en"] >= votes["de"]) & (votes["en"] >= votes["fr"]), "en")
+        .when(votes["de"] >= votes["fr"], "de").otherwise("fr")
+        .alias("lang_pred"),
+    )
+
+
+def sql_text_features(sf_dir):
+    sw = _sw_list("en")
+    v = {lang: f"len(list_filter(toks, t -> t IN ({_sw_list(lang)})))"
+         for lang in _STOPWORDS}
+    return (
+        "WITH t AS (SELECT doc_id, text, " + _TOKS_DUCK + " toks FROM documents), "
+        "s AS (SELECT doc_id, text, toks, " + _SHINGLES_DUCK + " sh FROM t) "
+        "SELECT doc_id, len(toks)::BIGINT n_tokens, "
+        "length(text)::BIGINT n_chars, "
+        "round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 "
+        "/ length(text), 6) alpha_ratio, "
+        "round(length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 "
+        "/ length(text), 6) digit_ratio, "
+        f"round(len(list_filter(toks, t -> t IN ({sw}))) * 1.0 "
+        "/ len(toks), 6) stopword_ratio, "
+        "round(list_sum(list_transform(toks, t -> length(t))) * 1.0 "
+        "/ len(toks), 6) avg_token_len, "
+        "round(1.0 - len(list_distinct(sh)) * 1.0 / len(sh), 6) rep_ratio, "
+        f"CASE WHEN {v['en']} >= {v['de']} AND {v['en']} >= {v['fr']} THEN 'en' "
+        f"WHEN {v['de']} >= {v['fr']} THEN 'de' ELSE 'fr' END lang_pred "
+        "FROM s")
+
+
 _CHUNK_TOKENS = 50
 
 
@@ -2361,6 +2419,7 @@ QUERIES = {
     # future insertion can't silently push a unique query past the cap).
     "ann_bruteforce_np": (q_ann_bruteforce_np, sql_ann_bruteforce),  # same oracle as ann_bruteforce
     "text_surprisal": (q_text_surprisal, sql_text_surprisal),   # unigram special case of text_perplexity
+    "text_features": (q_text_features, sql_text_features),      # single-scan fusion of gated row-wise ops
     "ann_ivf": (q_ann_ivf, sql_ann_ivf),              # nprobe=1 special case of ann_ivf_probe
     "dedup_jaccard": (q_dedup_jaccard, sql_dedup_jaccard),      # exact baseline of dedup_minhash_lsh
     "dedup_embedding": (q_dedup_embedding, sql_dedup_embedding),  # all-pairs baseline of dedup_embedding_lsh

@@ -28,8 +28,8 @@ def test_queries_and_oracles_in_sync():
 # Twins deliberately positioned past the driver's 50-entry gate cap:
 # each is the exact/baseline variant of a GATED query (see the QUERIES
 # registry comment). Everything else must sit inside the checked prefix.
-_PAST_CAP_TWINS = ["ann_bruteforce_np", "text_surprisal", "ann_ivf",
-                   "dedup_jaccard", "dedup_embedding"]
+_PAST_CAP_TWINS = ["ann_bruteforce_np", "text_surprisal", "text_features",
+                   "ann_ivf", "dedup_jaccard", "dedup_embedding"]
 _DRIVER_GATE_CAP = 50
 
 

@@ -162,3 +162,10 @@ def test_text_perplexity_broadcast_counts(spark):
     p = _plan(spark, "text_perplexity")
     assert p.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in p
+
+
+def test_text_features_single_scan(spark):
+    # the fused feature export is ONE corpus scan: no shuffle, no join,
+    # no explode — everything lives in the projection
+    p = _plan(spark, "text_features")
+    assert _shuffles(p) == 0 and "Join" not in p and "Generate" not in p
