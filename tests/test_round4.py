@@ -154,6 +154,11 @@ def test_canonical_url_collapse(spark):
         "https://example.com/9?q=term",
         # consecutive tracking runs in the middle + tail
         "https://example.com/10?utm_a=1&utm_b=2&keep=3&utm_c=4",
+        # default-port strip with NO path (non-participating group 2),
+        # case-mixed authority, and non-default ports left alone
+        "https://example.com:443",
+        "HTTP://EXAMPLE.COM:80",
+        "https://example.com:8443/x",
     ]
     df = spark.createDataFrame([(u,) for u in forms], "url string")
     got = [r[0] for r in
@@ -162,6 +167,9 @@ def test_canonical_url_collapse(spark):
     assert got[7:9] == ["http://example.com/8?a=1&b=2"] * 2
     assert got[9:11] == ["https://example.com/9?q=term"] * 2
     assert got[11] == "https://example.com/10?keep=3"
+    assert got[12] == "https://example.com"
+    assert got[13] == "http://example.com"
+    assert got[14] == "https://example.com:8443/x"
     # cross-engine: DuckDB twin must produce byte-identical results on
     # the same adversarial forms (middle runs aren't in the fixtures)
     import duckdb
