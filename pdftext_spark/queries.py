@@ -1084,6 +1084,34 @@ _HSHINGLE_CTE = (
 )
 
 
+def minhash_signature(d: DataFrame) -> DataFrame:
+    """(doc_id, text) → (doc_id, shset, mh0..mh{N-1}). Entirely row-wise
+    (per-doc shingle-hash array → N array_min folds): the scan emits
+    signatures with ZERO shuffle and no explode. Shared by the batch LSH
+    query and the streaming near-dup ingest."""
+    mins = [
+        "array_min(transform(shs, h -> ({a}L * h + {b}L) % {m}L)) AS mh{p}"
+        .format(a=_mh_coef(p)[0], b=_mh_coef(p)[1], m=_M31, p=p)
+        for p in range(_N_PERM)]
+    return (d
+            .withColumn("toks", F.expr(_TOKS_SPARK))
+            .withColumn("hs", F.expr(f"transform(toks, t -> {_TOKH_SPARK})"))
+            .withColumn("shs", F.expr(
+                f"array_distinct({_HSHINGLES_SPARK})"))
+            .selectExpr("doc_id", "shs AS shset", *mins))
+
+
+def minhash_bands(sig: DataFrame) -> DataFrame:
+    """Signature frame → exploded (doc_id, band_idx, band_hash) rows."""
+    return sig.select("doc_id", F.explode(F.array(*[
+        F.struct(F.lit(bnd).alias("band_idx"),
+                 F.md5(F.concat_ws("|", *[
+                     F.col(f"mh{bnd * _BAND + k}").cast("string")
+                     for k in range(_BAND)])).alias("band_hash"))
+        for bnd in range(_N_PERM // _BAND)])).alias("bs")) \
+        .select("doc_id", "bs.band_idx", "bs.band_hash")
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash signatures + LSH banding: candidate pairs sharing a band,
     verified by exact Jaccard ≥ 0.7 over the hashed shingle sets. Scale
@@ -1094,29 +1122,14 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     verify, both sized by near-dup density, not corpus size. Shingles are
     hashed from PER-TOKEN md5 via _HSHINGLES (1/3 the md5 bytes of
     hashing shingle strings; measured A/B in BENCH.md round 3)."""
-    mins = [
-        "array_min(transform(shs, h -> ({a}L * h + {b}L) % {m}L)) AS mh{p}"
-        .format(a=_mh_coef(p)[0], b=_mh_coef(p)[1], m=_M31, p=p)
-        for p in range(_N_PERM)]
-    sig = (_docs(spark, sf_dir)
-           .withColumn("toks", F.expr(_TOKS_SPARK))
-           .withColumn("hs", F.expr(f"transform(toks, t -> {_TOKH_SPARK})"))
-           .withColumn("shs", F.expr(
-               f"array_distinct({_HSHINGLES_SPARK})"))
-           .selectExpr("doc_id", "shs AS shset", *mins)
+    sig = (minhash_signature(_docs(spark, sf_dir))
            # tiny: doc_id + shingle set + 16 longs, reused by the two sides
            # of the band join and the verify step; at 100 TB a materialized
            # signature table. Registered for unpersist_registered() —
            # long-lived sessions release it between invocations.
            .persist())
     _register_persisted(sig)
-    bands = sig.select("doc_id", F.explode(F.array(*[
-        F.struct(F.lit(bnd).alias("band_idx"),
-                 F.md5(F.concat_ws("|", *[
-                     F.col(f"mh{bnd * _BAND + k}").cast("string")
-                     for k in range(_BAND)])).alias("band_hash"))
-        for bnd in range(_N_PERM // _BAND)])).alias("bs")) \
-        .select("doc_id", "bs.band_idx", "bs.band_hash")
+    bands = minhash_bands(sig)
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))

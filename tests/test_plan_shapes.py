@@ -147,10 +147,18 @@ def test_refs_canonical_partial_agg(spark):
 
 
 def test_text_pii_no_extra_shuffle(spark):
-    # PII scrub is a pure projection over the cached kernel output: no
-    # exchange, no join above the extraction pipeline itself.
+    # PII scrub is a pure projection over the kernel output: no data
+    # exchange of its own above the extraction boundary (the boundary is
+    # the cache scan when the kernel output is cached, else the Arrow
+    # kernel node itself — the salt exchange below it belongs to
+    # extraction, not the scrub).
     p = _plan(spark, "text_pii")
-    head = p.split("InMemoryTableScan")[0] if "InMemoryTableScan" in p else p
+    for boundary in ("InMemoryTableScan", "MapInArrow"):
+        if boundary in p:
+            head = p.split(boundary)[0]
+            break
+    else:
+        head = p
     assert head.count("Exchange") - head.count("BroadcastExchange") == 0
     assert "SortMergeJoin" not in head
 
