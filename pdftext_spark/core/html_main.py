@@ -66,6 +66,9 @@ _RAWTEXT = frozenset(("script", "style", "textarea", "title", "noscript",
 
 
 _WS = (" ", "\t", "\n", "\r", "\f")
+# attr name, '=', then a COMPLETE quoted value — the only way a closing
+# quote directly before '/' really ends a value (html5 attribute states)
+_QUOTED_VALUE_RE = re.compile(r"[^\s=\"']+=(\"[^\"]*\"|'[^']*')\Z")
 
 
 def _self_close(attrs: str) -> bool:
@@ -74,20 +77,36 @@ def _self_close(attrs: str) -> bool:
     HTML5 only treats the '/' before '>' as self-close when it is a
     standalone solidus: in ``<a href=http://x.com/>`` the '/' is the last
     character of the *unquoted attribute value* and the tag stays open.
-    A '/' preceded by whitespace, a closing quote, or the tag name itself
-    (``<br/>``), or one terminating a bare attribute name (``<br foo/>``,
-    solidus ends the name per the attribute-name state) self-closes.
+    A '/' preceded by whitespace, a complete quoted value, or the tag
+    name itself (``<br/>``), or one terminating a bare attribute name
+    (``<br foo/>``, solidus ends the name per the attribute-name state)
+    self-closes. Two subtleties from review: whitespace after '=' is
+    skipped in the before-attribute-value state, so in
+    ``<a href= http://x.com/>`` the value token does not itself contain
+    '=' — the PRECEDING token ending in '=' marks it as value data; and
+    a quote INSIDE an unquoted value (``<a href=ab"/>``) is value data,
+    so a quote directly before '/' self-closes only when the tail token
+    is a complete name="value" pair.
     """
     if not attrs.endswith("/"):
         return False
     prev = attrs[-2:-1]
-    if prev == "" or prev in _WS or prev in ('"', "'"):
+    if prev == "" or prev in _WS:
         return True
-    # '/' ends an unquoted token: value data iff that token is attr=value
-    tail = attrs[:-1]
-    for ws in _WS:
-        tail = tail.rsplit(ws, 1)[-1]
-    return "=" not in tail
+    body = attrs[:-1]
+    tokens = body.split()
+    tail = tokens[-1] if tokens else ""
+    if prev in ('"', "'"):
+        # search the body, not the tail token: quoted values may contain
+        # whitespace ('href="x y"')
+        return bool(_QUOTED_VALUE_RE.search(body))
+    if "=" in tail:
+        return False  # '/' ends an unquoted attr=value token: value data
+    # whitespace-separated unquoted value: <a href= VALUE/> — the token
+    # before the value ends with '='
+    if len(tokens) >= 2 and tokens[-2].endswith("="):
+        return False
+    return True
 
 
 def _build_tree(html: str) -> _Node:

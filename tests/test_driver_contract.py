@@ -25,25 +25,26 @@ def test_queries_and_oracles_in_sync():
         assert isinstance(s, str) and s.strip(), name
 
 
-# Twins deliberately positioned past the driver's 50-entry gate cap:
-# each is the exact/baseline variant of a GATED query (see the QUERIES
-# registry comment). Everything else must sit inside the checked prefix.
-_PAST_CAP_TWINS = ["ann_bruteforce_np", "text_surprisal", "text_features",
-                   "ann_ivf", "dedup_jaccard", "dedup_embedding"]
-_DRIVER_GATE_CAP = 50
-
-
 def test_driver_gate_covers_every_unique_query():
-    """The driver checks only the first _DRIVER_GATE_CAP registry entries
-    (observed in round 3: 52 registered -> 50 gate rows). Pin the layout:
-    the only entries past the cap are the documented baseline twins, so
-    no unique operator can silently lose its gate row."""
+    """The driver checks only a bounded prefix of the registry (observed
+    in round 3: 52 registered -> 50 gate rows). The GATED/TWIN split in
+    queries.py encodes the cap structurally; pin the EXPORTED layout so
+    the dict-merge order can't drift and no unique operator silently
+    loses its gate row."""
+    from pdftext_spark.queries import (
+        DRIVER_GATE_CAP,
+        GATED_QUERIES,
+        TWIN_QUERIES,
+    )
     names = list(entrymod.queries())
-    assert names[_DRIVER_GATE_CAP:] == _PAST_CAP_TWINS
-    gated = set(names[:_DRIVER_GATE_CAP])
+    assert names[:len(GATED_QUERIES)] == list(GATED_QUERIES)
+    assert names[len(GATED_QUERIES):] == list(TWIN_QUERIES)
+    assert len(GATED_QUERIES) <= DRIVER_GATE_CAP
+    gated = set(GATED_QUERIES)
     for must in ("events_window", "events_sessionize", "refs_canonical",
-                 "text_perplexity", "text_pack", "dedup_minhash_lsh",
-                 "dedup_embedding_lsh", "ann_bruteforce", "ann_ivf_probe"):
+                 "text_perplexity", "text_pii", "text_pack",
+                 "dedup_minhash_lsh", "dedup_embedding_lsh",
+                 "ann_bruteforce", "ann_ivf_probe"):
         assert must in gated, must
 
 

@@ -26,6 +26,14 @@ def test_self_close_unquoted_value_url():
     assert _self_close(" href='x'/")
     assert _self_close(" foo/")                  # bare attr name + solidus
     assert not _self_close(" href=x")            # no trailing '/' at all
+    # review round 4: whitespace-after-'=' unquoted values, quotes inside
+    # unquoted values, quoted values containing spaces
+    assert not _self_close(" href= http://x.com/")
+    assert not _self_close("  href=  http://x.com/")
+    assert not _self_close(' href=ab"/')
+    assert _self_close(' href="x y"/')
+    assert _self_close(" title= x y/")           # y is a new bare attr name
+    assert not _self_close(' a="1" b=v/')
 
 
 def test_unquoted_url_anchor_keeps_text():
@@ -159,6 +167,11 @@ def test_canonical_url_collapse(spark):
         "https://example.com:443",
         "HTTP://EXAMPLE.COM:80",
         "https://example.com:8443/x",
+        # review round 4: trailing '/' in a query VALUE is data; a bare
+        # '?' after a trailing slash must converge with the slash form
+        "https://example.com/x?next=/home/",
+        "https://example.com/a/?",
+        "https://example.com/a/",
     ]
     df = spark.createDataFrame([(u,) for u in forms], "url string")
     got = [r[0] for r in
@@ -170,6 +183,9 @@ def test_canonical_url_collapse(spark):
     assert got[12] == "https://example.com"
     assert got[13] == "http://example.com"
     assert got[14] == "https://example.com:8443/x"
+    assert got[15] == "https://example.com/x?next=/home/"
+    assert got[16] == "https://example.com/a"
+    assert got[17] == "https://example.com/a"
     # cross-engine: DuckDB twin must produce byte-identical results on
     # the same adversarial forms (middle runs aren't in the fixtures)
     import duckdb

@@ -19,17 +19,33 @@ def _near(text: str) -> str:
 
 
 def _oracle_admitted(spark, rows):
-    """Bucket-first-seen over the full input by doc_id order (== ingest
-    order here): admitted iff no band bucket matches a smaller doc_id."""
+    """Candidate+verify over the full input by doc_id order (== ingest
+    order here): dropped iff some smaller doc_id shares a band bucket
+    AND exact Jaccard over hashed shingle sets >= the threshold — the
+    batch twin's rule made directional."""
     from pdftext_spark.queries import minhash_bands, minhash_signature
+    from pdftext_spark.streaming.neardup import NEARDUP_JACCARD
+    sig = minhash_signature(spark.createDataFrame(rows, SCHEMA)) \
+        .select("doc_id", "shset").persist()
     bands = minhash_bands(minhash_signature(
         spark.createDataFrame(rows, SCHEMA)))
     a, b = bands.alias("a"), bands.alias("b")
-    dup = (a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
-                  & (F.col("a.band_hash") == F.col("b.band_hash"))
-                  & (F.col("a.doc_id") > F.col("b.doc_id")))
-           .select(F.col("a.doc_id").alias("doc_id")).distinct())
+    cand = (a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+                   & (F.col("a.band_hash") == F.col("b.band_hash"))
+                   & (F.col("a.doc_id") > F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_id"),
+                    F.col("b.doc_id").alias("old_id")).distinct())
+    dup = (cand
+           .join(sig.withColumnRenamed("shset", "sha"), "doc_id")
+           .join(sig.select(F.col("doc_id").alias("old_id"),
+                            F.col("shset").alias("shb")), "old_id")
+           .withColumn("common", F.size(F.array_intersect("sha", "shb")))
+           .withColumn("j", F.col("common")
+                       / (F.size("sha") + F.size("shb") - F.col("common")))
+           .where(F.col("j") >= NEARDUP_JACCARD)
+           .select("doc_id").distinct())
     dup_ids = {r["doc_id"] for r in dup.collect()}
+    sig.unpersist()
     return {i for i, _ in rows} - dup_ids
 
 
