@@ -123,6 +123,41 @@ def neardup_batch(batch_df: DataFrame, epoch_id: int,
         sig.unpersist()
 
 
+def compact_state(spark, state_dir: str, up_to_epoch: int) -> int:
+    """Fold all state epochs <= up_to_epoch into a single base epoch.
+
+    Epoch-per-micro-batch state accretes small files/dirs without bound
+    (the parquet analog of an uncompacted Iceberg table); run this from
+    a maintenance schedule BETWEEN stream runs — while the stream is
+    stopped — so no in-flight epoch reads a half-swapped directory. The
+    fold rewrites the rows into ``epoch=<up_to_epoch>`` and removes the
+    folded directories, so `_read_state(..., before_epoch=N)` for every
+    N > up_to_epoch sees exactly the same rows before and after.
+    Returns the number of epoch directories folded away.
+    """
+    import shutil
+
+    folded = 0
+    for sub, schema in (("bands", _BANDS_SCHEMA), ("sigs", _SIGS_SCHEMA)):
+        root = os.path.join(state_dir, sub)
+        if not os.path.isdir(root):
+            continue
+        epochs = sorted(int(e.split("=", 1)[1]) for e in os.listdir(root)
+                        if e.startswith("epoch="))
+        old = [e for e in epochs if e <= up_to_epoch]
+        if len(old) < 2:
+            continue
+        rows = _read_state(spark, root, schema, up_to_epoch + 1)
+        tmp = os.path.join(root, "_compact_tmp")
+        rows.write.mode("overwrite").parquet(tmp)
+        for e in old:
+            shutil.rmtree(os.path.join(root, f"epoch={e}"),
+                          ignore_errors=True)
+        os.replace(tmp, _epoch_dir(root, up_to_epoch))
+        folded += len(old) - 1
+    return folded
+
+
 def neardup_stream(docs: DataFrame, state_dir: str, admitted_dir: str,
                    checkpoint: str, trigger_available_now: bool = True):
     """Wire a (doc_id, text) readStream into the near-dup ingest.

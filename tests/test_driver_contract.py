@@ -27,18 +27,18 @@ def test_queries_and_oracles_in_sync():
 
 def test_driver_gate_covers_every_unique_query():
     """The driver checks only a bounded prefix of the registry (observed
-    in round 3: 52 registered -> 50 gate rows). The GATED/TWIN split in
+    in round 3: 52 registered -> 50 gate rows). The GATED/UNGATED split in
     queries.py encodes the cap structurally; pin the EXPORTED layout so
     the dict-merge order can't drift and no unique operator silently
     loses its gate row."""
     from pdftext_spark.queries import (
         DRIVER_GATE_CAP,
         GATED_QUERIES,
-        TWIN_QUERIES,
+        UNGATED_QUERIES,
     )
     names = list(entrymod.queries())
     assert names[:len(GATED_QUERIES)] == list(GATED_QUERIES)
-    assert names[len(GATED_QUERIES):] == list(TWIN_QUERIES)
+    assert names[len(GATED_QUERIES):] == list(UNGATED_QUERIES)
     assert len(GATED_QUERIES) <= DRIVER_GATE_CAP
     gated = set(GATED_QUERIES)
     for must in ("events_window", "events_sessionize", "refs_canonical",

@@ -104,3 +104,21 @@ def test_streaming_neardup_matches_batch_oracle_and_survives_restart(
     assert base + 3 not in got2
     assert base + 4 in got2
     assert got <= got2
+
+    # compaction between runs must be invisible to dedup decisions: fold
+    # all prior epochs into one, ingest a batch 4 with a near-dup of a
+    # PRE-compaction doc and a novel doc
+    from pdftext_spark.streaming.neardup import compact_state
+    folded = compact_state(spark, state, up_to_epoch=2)
+    assert folded >= 1
+    third = max((r for r in b1 if r[0] not in (longest[0], other[0])),
+                key=lambda r: len(r[1]))
+    b4 = [(base + 5, _near(third[1])),
+          (base + 6, "another entirely fresh passage of unprecedented "
+                     "vocabulary items strung together")]
+    spark.createDataFrame(b4, SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(d)
+    got3 = run()
+    assert got3 == _oracle_admitted(spark, b1 + b2 + b3 + b4)
+    assert base + 5 not in got3
+    assert base + 6 in got3
