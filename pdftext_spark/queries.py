@@ -2312,6 +2312,55 @@ def sql_text_pack(sf_dir):
         f"((cum_tokens - n_tokens) // {b})::BIGINT bin_idx, cum_tokens FROM c")
 
 
+def q_source_stats(spark, sf_dir):
+    """Per-source corpus mix report with EXACT percentiles: doc count,
+    token totals, and the exact p50/p90 token counts — the source-mix
+    table every corpus card publishes. Percentiles are computed by rank
+    position (value at 1-based rank floor((n-1)*q)+1 under a total
+    (n_tokens, doc_id) order), NOT by interpolation — approx_percentile
+    and interpolating quantile functions differ across engines, rank
+    selection is bit-exact on both. One shuffle partitioned by source
+    (window + aggregation share it); source cardinality is tiny, so at
+    100 TB the same plan runs after a two-phase salt if one source
+    dominates — or simply over a 1% hash sample, since rank-selected
+    percentiles degrade gracefully under uniform sampling."""
+    d = (_docs(spark, sf_dir)
+         .select("doc_id", "source",
+                 F.expr(f"size({_TOKS_SPARK})").cast("long")
+                 .alias("n_tokens")))
+    w = Window.partitionBy("source").orderBy("n_tokens", "doc_id")
+    r = d.withColumn("rk", F.row_number().over(w))
+    g = r.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"))
+    p50 = (r.join(g.select("source", "n_docs"), "source")
+           .where(F.expr("rk = CAST(floor((n_docs - 1) * 0.5) AS INT) + 1"))
+           .select("source", F.col("n_tokens").alias("p50_tokens")))
+    p90 = (r.join(g.select("source", "n_docs"), "source")
+           .where(F.expr("rk = CAST(floor((n_docs - 1) * 0.9) AS INT) + 1"))
+           .select("source", F.col("n_tokens").alias("p90_tokens")))
+    return (g.join(p50, "source").join(p90, "source")
+            .select("source", "n_docs", "total_tokens",
+                    "p50_tokens", "p90_tokens"))
+
+
+def sql_source_stats(sf_dir):
+    return (
+        "WITH d AS (SELECT doc_id, source, len(" + _TOKS_DUCK + ")::BIGINT "
+        "n_tokens FROM documents), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY source "
+        "ORDER BY n_tokens, doc_id) rk FROM d), "
+        "g AS (SELECT source, count(*) n_docs, sum(n_tokens)::BIGINT "
+        "total_tokens FROM d GROUP BY 1) "
+        "SELECT g.source, g.n_docs, g.total_tokens, "
+        "p50.n_tokens p50_tokens, p90.n_tokens p90_tokens "
+        "FROM g "
+        "JOIN r p50 ON p50.source = g.source "
+        "AND p50.rk = floor((g.n_docs - 1) * 0.5)::INT + 1 "
+        "JOIN r p90 ON p90.source = g.source "
+        "AND p90.rk = floor((g.n_docs - 1) * 0.9)::INT + 1")
+
+
 def q_text_topterms(spark, sf_dir):
     """Top-20 terms by document frequency — the heavy-hitter profile a
     corpus audit starts with. Per-doc array_distinct happens inside the
@@ -2470,7 +2519,7 @@ GATED_QUERIES = {
     "dedup_passages": (q_dedup_passages, sql_dedup_passages),
     # pipeline composition
     "sample_hash": (q_sample_hash, sql_sample_hash),
-    "sample_stratified": (q_sample_stratified, sql_sample_stratified),
+    "source_stats": (q_source_stats, sql_source_stats),
     "text_pack": (q_text_pack, sql_text_pack),
     "text_topterms": (q_text_topterms, sql_text_topterms),
     "contamination": (q_contamination, sql_contamination),
@@ -2495,6 +2544,7 @@ GATED_QUERIES = {
 
 UNGATED_QUERIES = {
     "refs_policy": (q_refs_policy, sql_refs_policy),            # composition: refs_canonical x blocklist broadcast
+    "sample_stratified": (q_sample_stratified, sql_sample_stratified),  # per-lang rate variant of sample_hash (same md5-mod filter)
     "ann_bruteforce_np": (q_ann_bruteforce_np, sql_ann_bruteforce),  # same oracle as ann_bruteforce
     "text_surprisal": (q_text_surprisal, sql_text_surprisal),   # unigram special case of text_perplexity
     "text_features": (q_text_features, sql_text_features),      # single-scan fusion of gated row-wise ops
