@@ -2421,6 +2421,71 @@ def sql_contamination(sf_dir):
         "WHERE doc_id >= 10 GROUP BY doc_id")
 
 
+def q_contamination_lsh(spark, sf_dir):
+    """Contamination at SCALE: the exact-gram check above broadcasts the
+    benchmark's gram set, which stops fitting when the eval suite is
+    itself large (full benchmark collections run to billions of grams).
+    This is the LSH path: corpus and benchmark docs get MinHash-LSH
+    bands (the dedup machinery, reused verbatim); corpus docs sharing a
+    band with a benchmark doc are CANDIDATES, then exact Jaccard over
+    the hashed shingle sets confirms >= 0.5 — document-level
+    contamination, band-join-sized instead of gram-broadcast-sized.
+    Composition of q_dedup_minhash_lsh's gated construction with
+    q_contamination's semantics (benchmark = doc_id < 10)."""
+    sig = minhash_signature(_docs(spark, sf_dir)).persist()
+    _register_persisted(sig)
+    bands = minhash_bands(sig)
+    bench_bands = (bands.where(F.col("doc_id") < 10)
+                   .withColumnRenamed("doc_id", "bench_id"))
+    cand = (bands.where(F.col("doc_id") >= 10)
+            .join(F.broadcast(bench_bands), ["band_idx", "band_hash"])
+            .select("doc_id", "bench_id").distinct())
+    sets = sig.select("doc_id", "shset")
+    return (cand
+            .join(sets.withColumnRenamed("shset", "sha"), "doc_id")
+            .join(F.broadcast(sets.select(F.col("doc_id").alias("bench_id"),
+                                          F.col("shset").alias("shb"))),
+                  "bench_id")
+            .withColumn("common", F.size(F.array_intersect("sha", "shb")))
+            .withColumn("jaccard", F.round(
+                F.col("common")
+                / (F.size("sha") + F.size("shb") - F.col("common")), 6))
+            .where(F.col("jaccard") >= 0.5)
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_bench_matches"),
+                 F.max("jaccard").alias("max_jaccard")))
+
+
+def sql_contamination_lsh(sf_dir):
+    # same CTE skeleton as sql_dedup_minhash_lsh, directional corpus->bench
+    mins = ", ".join(
+        f"min(({_mh_coef(p)[0]} * shingle + {_mh_coef(p)[1]}) % {_M31}) mh{p}"
+        for p in range(_N_PERM))
+    band_sel = " UNION ALL ".join(
+        f"SELECT doc_id, {bnd} band_idx, md5("
+        + " || '|' || ".join(f"mh{bnd * _BAND + k}::VARCHAR" for k in range(_BAND))
+        + ") band_hash FROM sig" for bnd in range(_N_PERM // _BAND))
+    j = "round(common * 1.0 / (na.n + nb.n - common), 6)"
+    return (
+        _HSHINGLE_CTE + ", "
+        f"sig AS (SELECT doc_id, {mins} FROM ds GROUP BY doc_id), "
+        f"bands AS ({band_sel}), "
+        "cand AS (SELECT DISTINCT c.doc_id, b.doc_id bench_id FROM bands c "
+        "JOIN bands b ON c.band_idx = b.band_idx "
+        "AND c.band_hash = b.band_hash "
+        "WHERE c.doc_id >= 10 AND b.doc_id < 10), "
+        "c AS (SELECT x.doc_id, y.doc_id bench_id, count(*) common FROM ds x "
+        "JOIN ds y ON x.shingle = y.shingle "
+        "WHERE x.doc_id >= 10 AND y.doc_id < 10 GROUP BY 1, 2), "
+        "n AS (SELECT doc_id, count(*) n FROM ds GROUP BY 1) "
+        f"SELECT cand.doc_id, count(*) n_bench_matches, max({j}) max_jaccard "
+        "FROM cand JOIN c ON c.doc_id = cand.doc_id "
+        "AND c.bench_id = cand.bench_id "
+        "JOIN n na ON na.doc_id = cand.doc_id "
+        "JOIN n nb ON nb.doc_id = cand.bench_id "
+        f"WHERE {j} >= 0.5 GROUP BY cand.doc_id")
+
+
 def q_curate_corpus(spark, sf_dir, perplexity_cap: "int | None" = None):
     """The END-TO-END curation pipeline in one plan — what a training-data
     job actually ships: language gate (stopword-vote lang-id == 'en'),
@@ -2545,6 +2610,7 @@ GATED_QUERIES = {
 UNGATED_QUERIES = {
     "refs_policy": (q_refs_policy, sql_refs_policy),            # composition: refs_canonical x blocklist broadcast
     "sample_stratified": (q_sample_stratified, sql_sample_stratified),  # per-lang rate variant of sample_hash (same md5-mod filter)
+    "contamination_lsh": (q_contamination_lsh, sql_contamination_lsh),  # composition: minhash-LSH x contamination semantics
     "ann_bruteforce_np": (q_ann_bruteforce_np, sql_ann_bruteforce),  # same oracle as ann_bruteforce
     "text_surprisal": (q_text_surprisal, sql_text_surprisal),   # unigram special case of text_perplexity
     "text_features": (q_text_features, sql_text_features),      # single-scan fusion of gated row-wise ops
