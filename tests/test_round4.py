@@ -198,6 +198,43 @@ def test_canonical_url_collapse(spark):
     assert duck == got
 
 
+def test_canonical_url_cross_engine_fuzz(spark):
+    """300 seeded adversarial URLs through BOTH engines — every surface
+    the normalization chain touches (schemes, case, ports, userinfo-ish
+    tokens, tracking runs, fragments, slashes, empty queries) must
+    canonicalize byte-identically."""
+    import random
+
+    import duckdb
+
+    from pdftext_spark.queries import canonical_url_col, canonical_url_sql
+    rng = random.Random(404)
+    schemes = ["http", "https", "HTTP", "Https"]
+    hosts = ["example.com", "Example.COM", "sub.EX-ample.org", "x.io"]
+    ports = ["", ":80", ":443", ":8080", ":0443"]
+    paths = ["", "/", "/a", "/a/", "/a/b//", "/%7Euser", "/a.b"]
+    params = ["a=1", "utm_source=x", "utm_a=", "gclid=zz", "fbclid=1",
+              "q=a/b/", "next=/home/", "b=2", "utm_b=3"]
+    frags = ["", "#f", "#a/b?c=1", "#"]
+    urls = []
+    for _ in range(300):
+        qs = "&".join(rng.sample(params, rng.randint(0, 4)))
+        u = (rng.choice(schemes) + "://" + rng.choice(hosts)
+             + rng.choice(ports) + rng.choice(paths)
+             + (("?" + qs) if qs or rng.random() < 0.2 else "")
+             + rng.choice(frags))
+        urls.append(u)
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [r[0] for r in df.select(canonical_url_col("url")).collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE u(url VARCHAR)")
+    con.executemany("INSERT INTO u VALUES (?)", [(u,) for u in urls])
+    duck = [r[0] for r in
+            con.execute(f"SELECT {canonical_url_sql('url')} FROM u").fetchall()]
+    mismatches = [(u, g, d) for u, g, d in zip(urls, got, duck) if g != d]
+    assert not mismatches, mismatches[:5]
+
+
 # -------------------------------------------------- perplexity gating
 
 def test_curate_corpus_perplexity_gate(spark):
