@@ -11,6 +11,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def build_session(app: str = "pdftext_spark", master: str | None = None,
@@ -44,9 +45,46 @@ def build_session(app: str = "pdftext_spark", master: str | None = None,
     )
 
 
-def load_transcripts(spark: SparkSession, path: str) -> DataFrame:
-    """Iceberg-seam: read the transcript table (parquet in the sandbox)."""
-    return spark.read.parquet(path)
+TRANSCRIPT_SCHEMA = ("conv_id string, turn_idx int, role string, "
+                     "text string, tool string, ts timestamp")
+
+
+def load_transcripts(spark: SparkSession, path: str,
+                     fmt: str | None = None) -> DataFrame:
+    """Iceberg-seam: read the transcript table and normalize it to the
+    contract schema (conv_id, turn_idx, role, text, tool, ts).
+
+    fmt defaults by extension: .json/.jsonl → json lines, .csv → csv
+    with header, else parquet. Non-parquet readers get the EXPLICIT
+    contract schema — at 100 TB, schema inference is a full extra pass
+    over the data and silently widens int32 turn_idx to long; pinning
+    the schema keeps ingestion one-pass and type-stable across formats.
+    Parquet/Iceberg carry their own schema; a select() projects it to
+    the contract (and fails loudly on a missing column rather than
+    propagating an unexpectedly-shaped frame into the kernel)."""
+    if fmt is None:
+        low = path.lower()
+        if low.endswith((".json", ".jsonl", ".ndjson")):
+            fmt = "json"
+        elif low.endswith(".csv"):
+            fmt = "csv"
+        else:
+            fmt = "parquet"
+    if fmt == "json":
+        df = spark.read.schema(TRANSCRIPT_SCHEMA).json(path)
+    elif fmt == "csv":
+        df = (spark.read.schema(TRANSCRIPT_SCHEMA)
+              .option("header", "true")
+              # transcript payloads contain embedded quotes/newlines;
+              # standard RFC-4180 quoting handles both
+              .option("multiLine", "true").option("escape", '"')
+              .csv(path))
+    elif fmt == "parquet":
+        df = spark.read.parquet(path)
+    else:
+        raise ValueError(f"unknown transcript format {fmt!r}")
+    return df.select("conv_id", F.col("turn_idx").cast("int"), "role",
+                     "text", "tool", F.col("ts").cast("timestamp"))
 
 
 def write_output(df: DataFrame, path: str, mode: str = "overwrite") -> None:

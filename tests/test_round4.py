@@ -119,6 +119,34 @@ def test_cross_run_ingest_then_near_dup_apply(spark, tmp_path):
     unpersist_registered()
 
 
+# --------------------------------------------- multi-format ingestion
+
+def test_load_transcripts_formats(spark, tmp_path):
+    """json-lines and csv transcript drops must extract byte-identically
+    to the parquet path — the contract schema is pinned, never inferred."""
+    from pdftext_spark.operators.extract import plain_text
+    from pdftext_spark.sources.fixture_io import transcripts_path
+    from pdftext_spark.sources.session import load_transcripts
+
+    src = spark.read.parquet(transcripts_path("sf0.001"))
+    jd = str(tmp_path / "t.jsonl")
+    cd = str(tmp_path / "t.csv")
+    src.coalesce(1).write.json(jd)
+    src.coalesce(1).write.option("header", "true") \
+        .option("escape", '"').csv(cd)
+
+    def plain(df):
+        return sorted(
+            (r["conv_id"], r["turn_idx"], r["text"])
+            for r in plain_text(df).collect())
+
+    base = plain(load_transcripts(spark, transcripts_path("sf0.001")))
+    assert plain(load_transcripts(spark, jd)) == base
+    assert plain(load_transcripts(spark, cd)) == base
+    assert load_transcripts(spark, jd).schema \
+        == load_transcripts(spark, transcripts_path("sf0.001")).schema
+
+
 # ------------------------------------------------- fixture warm path
 
 def test_expected_outputs_read_materialized_corpus(monkeypatch):
