@@ -81,7 +81,8 @@ def _run_incremental(spark: SparkSession, input_path: str, output_dir: str,
     if not todo:
         return manifest
 
-    df = spark.read.parquet(input_path).withColumn(
+    from pdftext_spark.sources.session import load_transcripts
+    df = load_transcripts(spark, input_path).withColumn(
         "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(buckets)).cast("int"))
     part = df.where(F.col("bucket").isin(todo))
 
