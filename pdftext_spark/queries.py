@@ -924,7 +924,7 @@ def sql_text_pii(sf_dir):
             f"md5({scrub}) scrubbed_md5 FROM read_parquet('{p}')")
 
 
-def q_text_perplexity(spark, sf_dir):
+def q_text_perplexity(spark, sf_dir, broadcast: bool = True):
     """Bigram-LM perplexity proxy for quality gating (the n-gram upgrade
     of text_surprisal): per doc, the mean over its bigrams of
     C(prev) / C(prev, cur) — the inverse conditional bigram probability
@@ -937,9 +937,10 @@ def q_text_perplexity(spark, sf_dir):
     one bigram explode (persisted, scanned three times: two
     vocabulary-bounded count aggregations + the scoring pass), counts
     broadcast back onto the stream, one doc-keyed aggregation of longs.
-    At 100 TB the bigram-count table gets a frequency floor (count >= k
-    drops the singleton tail, ~80% of distinct bigrams) to stay
-    broadcastable — same plan, smaller side."""
+    At 100 TB distinct bigrams can reach 10^10 and outgrow any broadcast
+    even after a frequency floor — pass broadcast=False for the
+    shuffle-join form (sort-merge on (prev, cur)/(prev), the standard
+    big-side count join); a pytest proves both forms value-identical."""
     s = _SURPRISAL_SCALE
     bg = (_docs(spark, sf_dir)
           .withColumn("toks", F.expr(_TOKS_SPARK))
@@ -955,8 +956,10 @@ def q_text_perplexity(spark, sf_dir):
     _register_persisted(bg)
     cb = bg.groupBy("prev", "cur").agg(F.count("*").alias("cbg"))
     cp = bg.groupBy("prev").agg(F.count("*").alias("cpr"))
-    return (bg.join(F.broadcast(cb), ["prev", "cur"])
-            .join(F.broadcast(cp), "prev")
+    if broadcast:
+        cb, cp = F.broadcast(cb), F.broadcast(cp)
+    return (bg.join(cb, ["prev", "cur"])
+            .join(cp, "prev")
             .withColumn("v", F.expr(f"(cpr * {s}L) div cbg"))
             .groupBy("doc_id")
             .agg(F.count("*").alias("n_bigrams"),

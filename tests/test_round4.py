@@ -386,3 +386,18 @@ def test_shuffle_upstream_skips_salt(spark):
     import re
     assert "RoundRobinPartitioning" not in phys
     assert not re.search(r"Exchange hashpartitioning\([^)]*turn_idx", phys)
+
+
+# ------------------------------------------- perplexity scale fallback
+
+def test_perplexity_shuffle_join_form_matches_broadcast(spark):
+    """The 100 TB form (shuffle join on the count tables, for when the
+    bigram vocabulary outgrows any broadcast) must be value-identical to
+    the broadcast form."""
+    from pdftext_spark.queries import q_text_perplexity, unpersist_registered
+    sf = "/root/testdata/sf0.001"
+    a = sorted(map(tuple, q_text_perplexity(spark, sf).collect()))
+    b = sorted(map(tuple, q_text_perplexity(spark, sf, broadcast=False)
+                   .collect()))
+    unpersist_registered()
+    assert a == b and len(a) > 0
