@@ -401,3 +401,33 @@ def test_perplexity_shuffle_join_form_matches_broadcast(spark):
                    .collect()))
     unpersist_registered()
     assert a == b and len(a) > 0
+
+
+# ---------------------------------------------------- empty corpus
+
+def test_pipeline_queries_survive_empty_corpus(spark, tmp_path):
+    """A 100 TB job's first production incident is an empty partition:
+    every documents-table query must plan and run on a zero-row corpus
+    (no div-by-zero, no empty-reduce crash), returning zero rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdftext_spark import queries as Q
+
+    sf = str(tmp_path)
+    pq.write_table(pa.Table.from_pylist([], schema=pa.schema(
+        [("doc_id", pa.int64()), ("text", pa.string()),
+         ("lang", pa.string()), ("source", pa.string()),
+         ("n_chars", pa.int64())])), f"{sf}/documents.parquet")
+    pq.write_table(pa.Table.from_pylist([], schema=pa.schema(
+        [("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32())),
+         ("label", pa.int32())])), f"{sf}/embeddings.parquet")
+    for name in ("text_tokens", "text_quality", "text_features",
+                 "text_perplexity", "text_surprisal",
+                 "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+                 "text_pack", "sample_hash", "source_stats",
+                 "dedup_passages", "text_topterms", "emb_quantize",
+                 "ann_ivf", "contamination", "contamination_lsh"):
+        fn, _sql = Q.QUERIES[name]
+        assert fn(spark, sf).count() == 0, name
+    Q.unpersist_registered()
