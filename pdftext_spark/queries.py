@@ -2331,37 +2331,37 @@ def q_source_stats(spark, sf_dir):
          .select("doc_id", "source",
                  F.expr(f"size({_TOKS_SPARK})").cast("long")
                  .alias("n_tokens")))
+    # ONE source-keyed shuffle total: both window functions share the
+    # partition key, and the groupBy reuses the window's partitioning
+    # (Catalyst skips its exchange). The first cut joined the percentile
+    # rows back per quantile — 5 corpus-sized shuffles and a triple
+    # re-scan; rank selection inside the same frame needs neither.
     w = Window.partitionBy("source").orderBy("n_tokens", "doc_id")
-    r = d.withColumn("rk", F.row_number().over(w))
-    g = r.groupBy("source").agg(
+    wc = Window.partitionBy("source")
+    r = (d.withColumn("rk", F.row_number().over(w))
+         .withColumn("nd", F.count("*").over(wc)))
+    sel = ("max(CASE WHEN rk = CAST(floor((nd - 1) * {q}) AS INT) + 1 "
+           "THEN n_tokens END)")
+    return r.groupBy("source").agg(
         F.count("*").alias("n_docs"),
-        F.sum("n_tokens").alias("total_tokens"))
-    p50 = (r.join(g.select("source", "n_docs"), "source")
-           .where(F.expr("rk = CAST(floor((n_docs - 1) * 0.5) AS INT) + 1"))
-           .select("source", F.col("n_tokens").alias("p50_tokens")))
-    p90 = (r.join(g.select("source", "n_docs"), "source")
-           .where(F.expr("rk = CAST(floor((n_docs - 1) * 0.9) AS INT) + 1"))
-           .select("source", F.col("n_tokens").alias("p90_tokens")))
-    return (g.join(p50, "source").join(p90, "source")
-            .select("source", "n_docs", "total_tokens",
-                    "p50_tokens", "p90_tokens"))
+        F.sum("n_tokens").alias("total_tokens"),
+        F.expr(sel.format(q="0.5")).cast("long").alias("p50_tokens"),
+        F.expr(sel.format(q="0.9")).cast("long").alias("p90_tokens"))
 
 
 def sql_source_stats(sf_dir):
+    sel = ("max(CASE WHEN rk = floor((nd - 1) * {q})::INT + 1 "
+           "THEN n_tokens END)::BIGINT")
     return (
         "WITH d AS (SELECT doc_id, source, len(" + _TOKS_DUCK + ")::BIGINT "
         "n_tokens FROM documents), "
         "r AS (SELECT *, row_number() OVER (PARTITION BY source "
-        "ORDER BY n_tokens, doc_id) rk FROM d), "
-        "g AS (SELECT source, count(*) n_docs, sum(n_tokens)::BIGINT "
-        "total_tokens FROM d GROUP BY 1) "
-        "SELECT g.source, g.n_docs, g.total_tokens, "
-        "p50.n_tokens p50_tokens, p90.n_tokens p90_tokens "
-        "FROM g "
-        "JOIN r p50 ON p50.source = g.source "
-        "AND p50.rk = floor((g.n_docs - 1) * 0.5)::INT + 1 "
-        "JOIN r p90 ON p90.source = g.source "
-        "AND p90.rk = floor((g.n_docs - 1) * 0.9)::INT + 1")
+        "ORDER BY n_tokens, doc_id) rk, "
+        "count(*) OVER (PARTITION BY source) nd FROM d) "
+        "SELECT source, count(*) n_docs, sum(n_tokens)::BIGINT total_tokens, "
+        f"{sel.format(q='0.5')} p50_tokens, "
+        f"{sel.format(q='0.9')} p90_tokens "
+        "FROM r GROUP BY source")
 
 
 def q_text_topterms(spark, sf_dir):

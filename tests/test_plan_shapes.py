@@ -177,3 +177,18 @@ def test_text_features_single_scan(spark):
     # no explode — everything lives in the projection
     p = _plan(spark, "text_features")
     assert _shuffles(p) == 0 and "Join" not in p and "Generate" not in p
+
+
+def test_source_stats_single_shuffle(spark):
+    # both window functions and the aggregation share ONE source-keyed
+    # exchange; rank-selected percentiles add no joins
+    p = _plan(spark, "source_stats")
+    assert _shuffles(p) == 1 and "Join" not in p
+
+
+def test_contamination_lsh_broadcasts(spark):
+    # benchmark bands + shingle sets ride broadcasts; the only data
+    # shuffles are the candidate distinct and the final per-doc agg
+    p = _plan(spark, "contamination_lsh")
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in p and _shuffles(p) <= 2
