@@ -2315,6 +2315,57 @@ def sql_text_pack(sf_dir):
         f"((cum_tokens - n_tokens) // {b})::BIGINT bin_idx, cum_tokens FROM c")
 
 
+def q_text_pack_split(spark, sf_dir):
+    """Sequence packing with SPLITTING — the form trainers actually
+    consume: a document whose tokens straddle a bin boundary is cut into
+    per-bin segments (doc_id, bin_idx, tok_start, tok_end), so every bin
+    holds exactly _PACK_BUDGET tokens (except each shard's last). Same
+    deterministic (source, shard) layout as text_pack; the segment
+    explode multiplies rows by ~(1 + n_tokens/budget) but moves nothing
+    — it runs inside the windowed partition. All integer arithmetic,
+    exactly mirrored in the oracle."""
+    b = _PACK_BUDGET
+    d = (_docs(spark, sf_dir)
+         .withColumn("n_tokens", F.expr(f"size({_TOKS_SPARK})").cast("long"))
+         .where(F.col("n_tokens") > 0)
+         .withColumn("shard",
+                     (_h(F.col("doc_id").cast("string"))
+                      % _PACK_SHARDS).cast("long")))
+    w = (Window.partitionBy("source", "shard").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    c = (d.withColumn("cum", F.sum("n_tokens").over(w))
+         .withColumn("toff", F.expr("cum - n_tokens")))
+    return (c.select(
+        "doc_id", "source", "shard", "n_tokens", "toff",
+        F.explode(F.expr(f"sequence(toff div {b}, (cum - 1) div {b})"))
+        .alias("bin_idx"))
+        .select(
+            "doc_id", "source", "shard", "bin_idx",
+            F.expr(f"greatest(bin_idx * {b} - toff, 0L)").cast("long")
+            .alias("tok_start"),
+            F.expr(f"least((bin_idx + 1) * {b} - toff, n_tokens)")
+            .cast("long").alias("tok_end")))
+
+
+def sql_text_pack_split(sf_dir):
+    b = _PACK_BUDGET
+    h = _H_SQL.format(c="doc_id::VARCHAR")
+    return (
+        "WITH t AS (SELECT doc_id, source, "
+        "len(" + _TOKS_DUCK + ")::BIGINT n_tokens, "
+        f"({h} % {_PACK_SHARDS})::BIGINT shard FROM documents), "
+        "t2 AS (SELECT * FROM t WHERE n_tokens > 0), "
+        "c AS (SELECT doc_id, source, shard, n_tokens, "
+        # 'toff' not 'off': OFF is a DuckDB keyword
+        "(sum(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id "
+        "ROWS UNBOUNDED PRECEDING) - n_tokens)::BIGINT toff FROM t2), "
+        f"s AS (SELECT *, unnest(range(toff // {b}, "
+        f"(toff + n_tokens - 1) // {b} + 1)) bin_idx FROM c) "
+        f"SELECT doc_id, source, shard, bin_idx::BIGINT bin_idx, "
+        f"greatest(bin_idx * {b} - toff, 0)::BIGINT tok_start, "
+        f"least((bin_idx + 1) * {b} - toff, n_tokens)::BIGINT tok_end FROM s")
+
+
 def q_source_stats(spark, sf_dir):
     """Per-source corpus mix report with EXACT percentiles: doc count,
     token totals, and the exact p50/p90 token counts — the source-mix
@@ -2614,6 +2665,7 @@ UNGATED_QUERIES = {
     "refs_policy": (q_refs_policy, sql_refs_policy),            # composition: refs_canonical x blocklist broadcast
     "sample_stratified": (q_sample_stratified, sql_sample_stratified),  # per-lang rate variant of sample_hash (same md5-mod filter)
     "contamination_lsh": (q_contamination_lsh, sql_contamination_lsh),  # composition: minhash-LSH x contamination semantics
+    "text_pack_split": (q_text_pack_split, sql_text_pack_split),   # segment-splitting generalization of text_pack
     "ann_bruteforce_np": (q_ann_bruteforce_np, sql_ann_bruteforce),  # same oracle as ann_bruteforce
     "text_surprisal": (q_text_surprisal, sql_text_surprisal),   # unigram special case of text_perplexity
     "text_features": (q_text_features, sql_text_features),      # single-scan fusion of gated row-wise ops

@@ -431,3 +431,49 @@ def test_pipeline_queries_survive_empty_corpus(spark, tmp_path):
         fn, _sql = Q.QUERIES[name]
         assert fn(spark, sf).count() == 0, name
     Q.unpersist_registered()
+
+
+# --------------------------------------------------- packing segments
+
+def test_text_pack_split_segments(spark, tmp_path):
+    """With documents longer than the bin budget, segments must tile
+    each document exactly (lengths sum to n_tokens), every non-final bin
+    of a shard must hold exactly the budget, and segment offsets must be
+    contiguous per doc."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdftext_spark.queries import _PACK_BUDGET, q_text_pack_split
+
+    rows = [{"doc_id": i, "text": " ".join(f"w{j}" for j in range(n)),
+             "lang": "en", "source": f"s{i % 2}", "n_chars": 0}
+            for i, n in enumerate([3000, 500, 2048, 1, 4096, 2500, 700, 3500])]
+    sf = str(tmp_path)
+    pq.write_table(pa.Table.from_pylist(rows), f"{sf}/documents.parquet")
+    segs = q_text_pack_split(spark, sf).collect()
+
+    by_doc = {}
+    for r in segs:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    n_tokens = {r["doc_id"]: len(r["text"].split()) for r in rows}
+    assert set(by_doc) == set(n_tokens)
+    for doc, ss in by_doc.items():
+        ss.sort(key=lambda r: r["bin_idx"])
+        # contiguous tiling of the doc's tokens
+        assert ss[0]["tok_start"] == 0
+        assert ss[-1]["tok_end"] == n_tokens[doc]
+        for a, b in zip(ss, ss[1:]):
+            assert a["tok_end"] == b["tok_start"]
+            assert b["bin_idx"] == a["bin_idx"] + 1
+    assert any(len(ss) > 1 for ss in by_doc.values())  # splitting happened
+    # every bin except each shard's last carries exactly the budget
+    bins = {}
+    for r in segs:
+        key = (r["source"], r["shard"], r["bin_idx"])
+        bins[key] = bins.get(key, 0) + (r["tok_end"] - r["tok_start"])
+    last_bin = {}
+    for (src, sh, b), _ in bins.items():
+        last_bin[(src, sh)] = max(last_bin.get((src, sh), -1), b)
+    for (src, sh, b), total in bins.items():
+        if b != last_bin[(src, sh)]:
+            assert total == _PACK_BUDGET, (src, sh, b, total)
