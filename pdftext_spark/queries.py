@@ -2111,6 +2111,68 @@ def sql_events_window(sf_dir):
         "FROM events GROUP BY 1, 2")
 
 
+_FUNNEL_STAGES = ("signup", "view", "click", "purchase")
+
+
+def q_events_funnel(spark, sf_dir):
+    """Ordered conversion funnel per user: how far each user progressed
+    through signup → view → click → purchase, where every stage must
+    happen strictly AFTER the previous one. ONE user-keyed shuffle
+    (collect the user's ordered event array), then the stage times are
+    chained conditional array-mins — entirely row-wise, no joins back to
+    the events table (the naive form re-joins events per stage: 4
+    corpus shuffles). NULLs thread the order constraint: a missing stage
+    nulls its time, the next stage's ts > prev comparison is then NULL,
+    and the filter drops everything — exactly 'never reached'.
+    Composition of gated constituents (events_sessionize's per-user
+    ordered collect + events_value_stats' conditional aggregation)."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    g = (ev.select("user_id", "ts", "event_id", "event_type")
+         .groupBy("user_id")
+         .agg(F.sort_array(F.collect_list(F.struct(
+             "ts", "event_id", "event_type"))).alias("evs")))
+    prev = None
+    cols = []
+    for i, stage in enumerate(_FUNNEL_STAGES):
+        cond = f"e.event_type = '{stage}'"
+        if prev is not None:
+            cond += f" AND e.ts > t{i - 1}"
+        g = g.withColumn(
+            f"t{i}",
+            F.expr(f"array_min(transform(filter(evs, e -> {cond}), "
+                   f"e -> e.ts))"))
+        cols.append(f"t{i}")
+        prev = stage
+    stage_expr = "CASE " + " ".join(
+        f"WHEN t{i} IS NULL THEN {i}"
+        for i in range(len(_FUNNEL_STAGES))) \
+        + f" ELSE {len(_FUNNEL_STAGES)} END"
+    return g.select("user_id",
+                    F.expr(stage_expr).cast("int").alias("stage"),
+                    *cols)
+
+
+def sql_events_funnel(sf_dir):
+    sel = ["SELECT user_id, list(struct_pack(ts := ts, "
+           "event_id := event_id, event_type := event_type) "
+           "ORDER BY ts, event_id, event_type) evs "
+           "FROM events GROUP BY 1"]
+    body = "WITH g0 AS (" + sel[0] + ")"
+    for i, stage in enumerate(_FUNNEL_STAGES):
+        cond = f"e.event_type = '{stage}'"
+        if i:
+            cond += f" AND e.ts > t{i - 1}"
+        body += (f", g{i + 1} AS (SELECT *, "
+                 f"list_min(list_transform(list_filter(evs, "
+                 f"e -> {cond}), e -> e.ts)) t{i} FROM g{i})")
+    n = len(_FUNNEL_STAGES)
+    stage_expr = "CASE " + " ".join(
+        f"WHEN t{i} IS NULL THEN {i}" for i in range(n)) + f" ELSE {n} END"
+    cols = ", ".join(f"t{i}" for i in range(n))
+    return (f"{body} SELECT user_id, ({stage_expr})::INT stage, {cols} "
+            f"FROM g{n}")
+
+
 def q_events_sessionize(spark, sf_dir):
     """Gap-based sessionization over the events stream table (30-min
     inactivity closes a session) — lag + running-sum window composition,
@@ -2666,6 +2728,7 @@ UNGATED_QUERIES = {
     "sample_stratified": (q_sample_stratified, sql_sample_stratified),  # per-lang rate variant of sample_hash (same md5-mod filter)
     "contamination_lsh": (q_contamination_lsh, sql_contamination_lsh),  # composition: minhash-LSH x contamination semantics
     "text_pack_split": (q_text_pack_split, sql_text_pack_split),   # segment-splitting generalization of text_pack
+    "events_funnel": (q_events_funnel, sql_events_funnel),  # composition: sessionize's ordered collect x value_stats' conditional agg
     "ann_bruteforce_np": (q_ann_bruteforce_np, sql_ann_bruteforce),  # same oracle as ann_bruteforce
     "text_surprisal": (q_text_surprisal, sql_text_surprisal),   # unigram special case of text_perplexity
     "text_features": (q_text_features, sql_text_features),      # single-scan fusion of gated row-wise ops

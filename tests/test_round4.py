@@ -477,3 +477,48 @@ def test_text_pack_split_segments(spark, tmp_path):
     for (src, sh, b), total in bins.items():
         if b != last_bin[(src, sh)]:
             assert total == _PACK_BUDGET, (src, sh, b, total)
+
+
+# ------------------------------------------------------ events funnel
+
+def test_events_funnel_stage_semantics(spark, tmp_path):
+    """Each stage must occur strictly AFTER the previous one: events in
+    the wrong order do not count, and a missing middle stage stops the
+    funnel even when later stages exist."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdftext_spark.queries import q_events_funnel
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def e(eid, uid, typ, minutes):
+        return {"event_id": eid, "ts": t0 + dt.timedelta(minutes=minutes),
+                "user_id": uid, "event_type": typ, "value": 1.0,
+                "props": "{}"}
+
+    rows = [
+        # u1: full ordered funnel -> stage 4
+        e(1, 1, "signup", 0), e(2, 1, "view", 1), e(3, 1, "click", 2),
+        e(4, 1, "purchase", 3),
+        # u2: purchase BEFORE click -> stops at 3 (click reached)
+        e(5, 2, "signup", 0), e(6, 2, "view", 1), e(7, 2, "purchase", 2),
+        e(8, 2, "click", 4),
+        # u3: no view at all -> stage 1 despite click+purchase existing
+        e(9, 3, "signup", 0), e(10, 3, "click", 1), e(11, 3, "purchase", 2),
+        # u4: never signed up -> stage 0
+        e(12, 4, "view", 0), e(13, 4, "click", 1),
+        # u5: view precedes signup, second view after -> stage 2
+        e(14, 5, "view", 0), e(15, 5, "signup", 1), e(16, 5, "view", 2),
+    ]
+    sf = str(tmp_path)
+    pq.write_table(pa.Table.from_pylist(rows, schema=pa.schema(
+        [("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+         ("user_id", pa.int64()), ("event_type", pa.string()),
+         ("value", pa.float64()), ("props", pa.string())])),
+        f"{sf}/events.parquet")
+    got = {r["user_id"]: r["stage"]
+           for r in q_events_funnel(spark, sf).collect()}
+    assert got == {1: 4, 2: 3, 3: 1, 4: 0, 5: 2}
