@@ -2208,6 +2208,124 @@ def sql_events_sessionize(sf_dir):
         "FROM s GROUP BY user_id, session_idx")
 
 
+def q_events_asof(spark, sf_dir):
+    """AS-OF JOIN (last-touch attribution): each purchase event joined to
+    the same user's most recent non-purchase event strictly earlier in
+    (ts, event_id) order. Spark has no ASOF JOIN operator; the naive
+    range-join form explodes to O(purchases x events-per-user). This is
+    the union-sort-scan formulation instead: ONE shuffle on user_id, one
+    in-partition sort, then `last(..., ignorenulls) OVER (ROWS UNBOUNDED
+    PRECEDING .. 1 PRECEDING)` carries the latest touch forward — the
+    window frame IS the as-of semantics, cost O(n log n) per user
+    instead of a pair blowup, and it never re-reads or re-joins the
+    table. At 100 TB the user_id key is the natural partitioner (same
+    key sessionize shuffles on, so the two ops share one exchange when
+    pipelined); a user's history fits a partition because the window is
+    a running scan, not a materialized frame. Timestamps are carried as
+    exact tz-free epoch micros end-to-end (no timestamp round trip);
+    touch columns are NULL when no prior touch exists (left-join
+    semantics of the frame's empty prefix)."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ev = ev.withColumn("us", F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"))
+    w = (Window.partitionBy("user_id").orderBy("us", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    touch = F.col("event_type") != "purchase"
+    ev = ev.select(
+        "event_id", "user_id", "event_type",
+        F.col("us").alias("purchase_us"),
+        F.last(F.when(touch, F.col("event_id")), ignorenulls=True)
+        .over(w).alias("touch_event_id"),
+        F.last(F.when(touch, F.col("event_type")), ignorenulls=True)
+        .over(w).alias("touch_type"),
+        F.last(F.when(touch, F.col("us")), ignorenulls=True)
+        .over(w).alias("touch_us"))
+    return (ev.where(F.col("event_type") == "purchase")
+            .select("event_id", "user_id", "purchase_us", "touch_event_id",
+                    "touch_type",
+                    (F.col("purchase_us") - F.col("touch_us"))
+                    .alias("gap_us")))
+
+
+def sql_events_asof(sf_dir):
+    return (
+        "WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) us "
+        "FROM events), "
+        "t AS (SELECT *, "
+        "last_value(CASE WHEN event_type <> 'purchase' THEN event_id END "
+        "IGNORE NULLS) OVER w touch_event_id, "
+        "last_value(CASE WHEN event_type <> 'purchase' THEN event_type END "
+        "IGNORE NULLS) OVER w touch_type, "
+        "last_value(CASE WHEN event_type <> 'purchase' THEN us END "
+        "IGNORE NULLS) OVER w touch_us "
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) "
+        "SELECT event_id, user_id, us AS purchase_us, touch_event_id, "
+        "touch_type, (us - touch_us)::BIGINT gap_us "
+        "FROM t WHERE event_type = 'purchase'")
+
+
+_RANGE_W_US = 600 * 1_000_000  # 10-min incident window = bucket width
+
+
+def q_events_range_join(spark, sf_dir):
+    """BUCKETED RANGE JOIN (interval containment with NO equi-key): every
+    'error' event opens a global 10-min incident window [ts, ts+10min);
+    count the events (any user) falling inside each window. Spark's
+    planner turns a pure inequality join into BroadcastNestedLoopJoin —
+    O(incidents x events), the classic range-join blowup. The scale form
+    here manufactures the equi-key: time is cut into buckets exactly one
+    window wide, each incident is exploded to the <=2 buckets its window
+    overlaps, each event maps to its single floor bucket, and the join
+    becomes an equi-join on bucket followed by the exact containment
+    filter. Each matching (incident, event) pair meets in exactly one
+    bucket (the event's), so no dedup pass is needed. Cost: shuffle
+    keyed by time bucket — uniform by construction, skew-free even when
+    one user or one incident dominates — then a partial-aggregated
+    rollup to per-incident counts. At 100 TB both sides partition-prune
+    to the same time range and the bucket key co-locates them; the
+    O(n x m) nested-loop form the oracle runs would never finish."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ev = ev.withColumn("us", F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"))
+    inc = (ev.where(F.col("event_type") == "error")
+           .select(F.col("event_id").alias("incident_id"),
+                   F.col("us").alias("w_start"),
+                   (F.col("us") + F.lit(_RANGE_W_US)).alias("w_end")))
+    # explode the interval onto every bucket it overlaps (<= 2 by width)
+    inc = inc.withColumn(
+        "bucket",
+        F.explode(F.sequence(F.expr(f"w_start div {_RANGE_W_US}"),
+                             F.expr(f"(w_end - 1) div {_RANGE_W_US}"))))
+    hits = (ev.select("event_id", "user_id", "value", "us",
+                      F.expr(f"us div {_RANGE_W_US}").alias("bucket"))
+            .join(inc, "bucket")
+            .where((F.col("us") >= F.col("w_start"))
+                   & (F.col("us") < F.col("w_end"))
+                   & (F.col("event_id") != F.col("incident_id"))))
+    return (hits.groupBy("incident_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.countDistinct("user_id").alias("n_users"),
+                 F.sum(F.round(F.col("value") * 100).cast("long"))
+                 .alias("value_cents")))
+
+
+def sql_events_range_join(sf_dir):
+    # the naive inequality-join form — exactly what the bucketed plan
+    # must reproduce (DuckDB executes it as an IEJoin, fine at sf<=0.01)
+    return (
+        "WITH e AS (SELECT event_id, user_id, event_type, value, "
+        "epoch_us(ts) us FROM events) "
+        "SELECT i.event_id incident_id, count(*) n_events, "
+        "count(DISTINCT e2.user_id) n_users, "
+        "sum(round(e2.value * 100)::BIGINT)::BIGINT value_cents "
+        "FROM e i "
+        f"JOIN e e2 ON e2.us >= i.us AND e2.us < i.us + {_RANGE_W_US} "
+        "AND e2.event_id <> i.event_id "
+        "WHERE i.event_type = 'error' "
+        "GROUP BY 1")
+
+
 # --------------------------------------------------------------------------
 # pipeline-composition queries (dedup materialization, sampling,
 # heavy hitters, benchmark contamination)
@@ -2666,8 +2784,6 @@ DRIVER_GATE_CAP = 50
 GATED_QUERIES = {
     # extraction (SURVEY.md §2 operator pipeline, oracle = naive-oracle parquet)
     "extract_plain": (q_extract_plain, sql_extract_plain),
-    "extract_plain_sorted": (q_extract_plain_sorted, sql_extract_plain_sorted),
-    "extract_plain_hyphens": (q_extract_plain_hyphens, sql_extract_plain_hyphens),
     "extract_spans": (q_extract_spans, sql_extract_spans),
     "extract_chars": (q_extract_chars, sql_extract_chars),
     "extract_blocks": (q_extract_blocks, sql_extract_blocks),
@@ -2721,9 +2837,18 @@ GATED_QUERIES = {
     "events_value_stats": (q_events_value_stats, sql_events_value_stats),
     "events_window": (q_events_window, sql_events_window),
     "events_sessionize": (q_events_sessionize, sql_events_sessionize),
+    "events_asof": (q_events_asof, sql_events_asof),
+    "events_range_join": (q_events_range_join, sql_events_range_join),
 }
 
 UNGATED_QUERIES = {
+    # flag variants of the gated extract_plain kernel (same extraction
+    # pass, sort/hyphen flags flipped); moved past the cap in round 4 to
+    # gate the novel-semantics as-of/range joins instead — O1/F5 stay
+    # verified by the replica, tests/test_spark_pipeline.py, and the
+    # naive-oracle parquet these twins hash against
+    "extract_plain_sorted": (q_extract_plain_sorted, sql_extract_plain_sorted),
+    "extract_plain_hyphens": (q_extract_plain_hyphens, sql_extract_plain_hyphens),
     "refs_policy": (q_refs_policy, sql_refs_policy),            # composition: refs_canonical x blocklist broadcast
     "sample_stratified": (q_sample_stratified, sql_sample_stratified),  # per-lang rate variant of sample_hash (same md5-mod filter)
     "contamination_lsh": (q_contamination_lsh, sql_contamination_lsh),  # composition: minhash-LSH x contamination semantics

@@ -41,7 +41,8 @@ def test_driver_gate_covers_every_unique_query():
     assert names[len(GATED_QUERIES):] == list(UNGATED_QUERIES)
     assert len(GATED_QUERIES) <= DRIVER_GATE_CAP
     gated = set(GATED_QUERIES)
-    for must in ("events_window", "events_sessionize", "refs_canonical",
+    for must in ("events_window", "events_sessionize", "events_asof",
+                 "events_range_join", "refs_canonical",
                  "text_perplexity", "text_pii", "text_pack",
                  "dedup_minhash_lsh", "dedup_embedding_lsh",
                  "ann_bruteforce", "ann_ivf_probe"):

@@ -192,3 +192,23 @@ def test_contamination_lsh_broadcasts(spark):
     p = _plan(spark, "contamination_lsh")
     assert p.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in p and _shuffles(p) <= 2
+
+
+def test_events_asof_single_user_shuffle(spark):
+    # the as-of join is a window scan, not a join: ONE user-keyed
+    # exchange feeds the sort + running last(), and no join operator of
+    # any kind appears (the naive formulation would be a per-user range
+    # join)
+    p = _plan(spark, "events_asof")
+    assert _shuffles(p) == 1
+    assert "Join" not in p and "CartesianProduct" not in p
+    assert "Exchange hashpartitioning(user_id" in p
+
+
+def test_events_range_join_is_bucketed_equi_join(spark):
+    # the interval-containment join must run as a bucket equi-join, not
+    # the nested-loop plan Spark picks for a bare inequality join
+    p = _plan(spark, "events_range_join")
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert "SortMergeJoin" in p or "BroadcastHashJoin" in p or \
+        "ShuffledHashJoin" in p

@@ -522,3 +522,88 @@ def test_events_funnel_stage_semantics(spark, tmp_path):
     got = {r["user_id"]: r["stage"]
            for r in q_events_funnel(spark, sf).collect()}
     assert got == {1: 4, 2: 3, 3: 1, 4: 0, 5: 2}
+
+
+def _write_events(tmp_path, rows):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.Table.from_pylist(rows, schema=pa.schema(
+        [("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+         ("user_id", pa.int64()), ("event_type", pa.string()),
+         ("value", pa.float64()), ("props", pa.string())])),
+        f"{tmp_path}/events.parquet")
+    return str(tmp_path)
+
+
+def test_events_asof_semantics(spark, tmp_path):
+    """As-of = latest non-purchase event STRICTLY earlier in
+    (ts, event_id) order for the same user: same-ts lower-event_id
+    touches count, later touches never do, other users never leak, and
+    a purchase with no prior touch keeps NULL touch columns."""
+    import datetime as dt
+
+    from pdftext_spark.queries import q_events_asof
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def e(eid, uid, typ, seconds):
+        return {"event_id": eid, "ts": t0 + dt.timedelta(seconds=seconds),
+                "user_id": uid, "event_type": typ, "value": 1.0,
+                "props": "{}"}
+
+    rows = [
+        # u1: click at t=10 is latest before the t=20 purchase (the view
+        # at t=0 is older; the error at t=30 is later and must not match)
+        e(1, 1, "view", 0), e(2, 1, "click", 10), e(3, 1, "purchase", 20),
+        e(4, 1, "error", 30),
+        # u2: touch shares the purchase's timestamp but has a LOWER
+        # event_id -> strictly earlier in (ts, event_id) order -> counts
+        e(5, 2, "view", 50), e(6, 2, "purchase", 50),
+        # u3: purchase first -> no touch; the prior purchase is NOT a
+        # touch for the second purchase either (non-purchase only), so
+        # its touch is still the view
+        e(7, 3, "purchase", 0), e(8, 3, "view", 5), e(9, 3, "purchase", 9),
+        # u4 exists only to prove no cross-user leakage into u3
+        e(10, 4, "click", 1),
+    ]
+    got = {r["event_id"]: r for r in
+           q_events_asof(spark, _write_events(tmp_path, rows)).collect()}
+    assert set(got) == {3, 6, 7, 9}
+    assert got[3]["touch_event_id"] == 2 and got[3]["gap_us"] == 10_000_000
+    assert got[6]["touch_event_id"] == 5 and got[6]["gap_us"] == 0
+    assert got[7]["touch_event_id"] is None and got[7]["gap_us"] is None
+    assert got[9]["touch_event_id"] == 8 and got[9]["touch_type"] == "view"
+
+
+def test_events_range_join_boundaries(spark, tmp_path):
+    """Interval containment is [start, start+10min): the opening error
+    itself is excluded, an event exactly at start+10min is out, one at
+    start+10min-1us is in, and an event matching two overlapping
+    incident windows is counted once in EACH (but never twice in one —
+    the bucket explode must not duplicate pairs)."""
+    import datetime as dt
+
+    from pdftext_spark.queries import q_events_range_join
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def e(eid, typ, seconds, us=0, uid=1):
+        return {"event_id": eid,
+                "ts": t0 + dt.timedelta(seconds=seconds, microseconds=us),
+                "user_id": uid, "event_type": typ, "value": 1.0,
+                "props": "{}"}
+
+    rows = [
+        e(1, "error", 0),            # window [0, 600s)
+        e(2, "error", 300),          # window [300s, 900s) — overlaps #1
+        e(3, "view", 599, 999_999),  # last us of #1; also inside #2
+        e(4, "view", 600),           # exactly 600s: outside #1, inside #2
+        e(5, "view", 900),           # outside both
+        # #1 itself lands inside #2's window (errors are events too)
+    ]
+    got = {r["incident_id"]: r["n_events"] for r in
+           q_events_range_join(spark, _write_events(tmp_path, rows)).collect()}
+    # window 1 sees: event 2 (an error is still an event) + event 3;
+    # window 2 sees: events 3 and 4 (900s is outside the half-open end)
+    assert got == {1: 2, 2: 2}
