@@ -2442,6 +2442,82 @@ def sql_sample_stratified(sf_dir):
             f"WHERE {h} % 100 < CASE lang {cases} ELSE 0 END")
 
 
+# Corpus mixing: target mix 'web':'curated' = 3:7 by character volume.
+# Two groups keep the binding-group choice an exact integer
+# cross-comparison (no float ratios anywhere in either engine).
+_MIX_WEB = tuple(f"src{i}" for i in range(10))
+_MIX_W_WEB, _MIX_W_CUR = 3, 7
+_MIX_DENOM = 10_000
+
+
+def _mix_thresholds(cw: int, cc: int):
+    """Exact per-group acceptance thresholds (out of _MIX_DENOM) that
+    downsample toward the 3:7 target without upsampling anything: the
+    binding group (smallest chars/weight ratio among non-empty groups)
+    keeps rate 1, the other gets w_g*chars_b*DENOM // (w_b*chars_g).
+    Pure int arithmetic, mirrored branch-for-branch in the SQL oracle."""
+    ww, wc, D = _MIX_W_WEB, _MIX_W_CUR, _MIX_DENOM
+    tw = (0 if cw == 0 else
+          D if cc == 0 or cw * wc < cc * ww else
+          min(D, (ww * cc * D) // (wc * cw)))
+    tc = (0 if cc == 0 else
+          min(D, (wc * cw * D) // (ww * cc)) if cw > 0 and cw * wc < cc * ww
+          else D)
+    return tw, tc
+
+
+def q_sample_mix(spark, sf_dir):
+    """Corpus mixing to a target source composition (the pretraining
+    data-mixture step): hit a 3:7 web:curated split by character volume
+    by downsampling the over-represented group, never upsampling. Two
+    jobs: (1) a tiny conditional aggregate — two longs — fixes the exact
+    acceptance thresholds driver-side (the k-means-centroid
+    side-input pattern: the corpus itself sizes the rates, the rates
+    ride the expression tree as literals); (2) the corpus passes ONE
+    scan+filter with the same md5-mod predicate as sample_hash — zero
+    shuffle, pushdown-friendly, reproducible across reruns and engines.
+    All threshold arithmetic is exact int64 (no float ratios), so the
+    DuckDB oracle reproduces it branch-for-branch; at 100 TB the count
+    job reads only (source, n_chars) — column-pruned to a few GB."""
+    docs = _docs(spark, sf_dir)
+    web = ", ".join(f"'{s}'" for s in _MIX_WEB)
+    grp = F.expr(f"CASE WHEN source IN ({web}) THEN 'web' "
+                 f"ELSE 'curated' END")
+    d = docs.withColumn("grp", grp)
+    row = d.agg(
+        F.coalesce(F.sum(F.when(F.col("grp") == "web", F.col("n_chars"))),
+                   F.lit(0)).cast("long").alias("cw"),
+        F.coalesce(F.sum(F.when(F.col("grp") == "curated",
+                                F.col("n_chars"))),
+                   F.lit(0)).cast("long").alias("cc")).collect()[0]
+    tw, tc = _mix_thresholds(row["cw"], row["cc"])
+    thr = F.when(F.col("grp") == "web", F.lit(tw)).otherwise(F.lit(tc))
+    return (d.where((_h(F.col("doc_id").cast("string")) % _MIX_DENOM) < thr)
+            .select("doc_id", "source", "grp", "n_chars"))
+
+
+def sql_sample_mix(sf_dir):
+    web = ", ".join(f"'{s}'" for s in _MIX_WEB)
+    h = _H_SQL.format(c="doc_id::VARCHAR")
+    ww, wc, D = _MIX_W_WEB, _MIX_W_CUR, _MIX_DENOM
+    return (
+        f"WITH d AS (SELECT doc_id, source, n_chars, "
+        f"CASE WHEN source IN ({web}) THEN 'web' ELSE 'curated' END grp "
+        "FROM documents), "
+        "c AS (SELECT "
+        "COALESCE(sum(CASE WHEN grp='web' THEN n_chars END),0)::BIGINT cw, "
+        "COALESCE(sum(CASE WHEN grp='curated' THEN n_chars END),0)::BIGINT cc "
+        "FROM d), "
+        "t AS (SELECT "
+        f"CASE WHEN cw=0 THEN 0 WHEN cc=0 OR cw*{wc} < cc*{ww} THEN {D} "
+        f"ELSE LEAST({D}, ({ww}*cc*{D})//({wc}*cw)) END tw, "
+        f"CASE WHEN cc=0 THEN 0 WHEN cw>0 AND cw*{wc} < cc*{ww} "
+        f"THEN LEAST({D}, ({wc}*cw*{D})//({ww}*cc)) ELSE {D} END tc "
+        "FROM c) "
+        "SELECT d.doc_id, d.source, d.grp, d.n_chars FROM d, t "
+        f"WHERE {h} % {D} < CASE d.grp WHEN 'web' THEN t.tw ELSE t.tc END")
+
+
 _PACK_BUDGET = 2048  # tokens per packed training sequence
 
 
@@ -2851,6 +2927,7 @@ UNGATED_QUERIES = {
     "extract_plain_hyphens": (q_extract_plain_hyphens, sql_extract_plain_hyphens),
     "refs_policy": (q_refs_policy, sql_refs_policy),            # composition: refs_canonical x blocklist broadcast
     "sample_stratified": (q_sample_stratified, sql_sample_stratified),  # per-lang rate variant of sample_hash (same md5-mod filter)
+    "sample_mix": (q_sample_mix, sql_sample_mix),  # composition: source_stats' mix counts x sample_hash's md5-mod filter, driver-literal rates (k-means pattern)
     "contamination_lsh": (q_contamination_lsh, sql_contamination_lsh),  # composition: minhash-LSH x contamination semantics
     "text_pack_split": (q_text_pack_split, sql_text_pack_split),   # segment-splitting generalization of text_pack
     "events_funnel": (q_events_funnel, sql_events_funnel),  # composition: sessionize's ordered collect x value_stats' conditional agg

@@ -212,3 +212,10 @@ def test_events_range_join_is_bucketed_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
     assert "SortMergeJoin" in p or "BroadcastHashJoin" in p or \
         "ShuffledHashJoin" in p
+
+
+def test_sample_mix_corpus_pass_is_pure_scan(spark):
+    # the rates are driver-side literals; the corpus pass itself must be
+    # scan + filter only (the tiny count job is a separate 2-long agg)
+    p = _plan(spark, "sample_mix")
+    assert _shuffles(p) == 0 and "Join" not in p

@@ -427,7 +427,8 @@ def test_pipeline_queries_survive_empty_corpus(spark, tmp_path):
                  "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
                  "text_pack", "sample_hash", "source_stats",
                  "dedup_passages", "text_topterms", "emb_quantize",
-                 "ann_ivf", "contamination", "contamination_lsh"):
+                 "ann_ivf", "contamination", "contamination_lsh",
+                 "sample_mix"):
         fn, _sql = Q.QUERIES[name]
         assert fn(spark, sf).count() == 0, name
     Q.unpersist_registered()
@@ -607,3 +608,32 @@ def test_events_range_join_boundaries(spark, tmp_path):
     # window 1 sees: event 2 (an error is still an event) + event 3;
     # window 2 sees: events 3 and 4 (900s is outside the half-open end)
     assert got == {1: 2, 2: 2}
+
+
+def test_sample_mix_hits_target_and_never_upsamples(spark, tmp_path):
+    """On a corpus where the web group dominates (9:1 by chars), the mix
+    must keep ALL of the scarce curated group (binding group, rate 1)
+    and downsample web so the realized char split lands near 3:7."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdftext_spark.queries import q_sample_mix
+
+    rows = []
+    for i in range(1800):  # web: src0..src9, 100 chars each
+        rows.append({"doc_id": i, "text": "x", "lang": "en",
+                     "source": f"src{i % 10}", "n_chars": 100})
+    for i in range(200):   # curated: src10..src19
+        rows.append({"doc_id": 10_000 + i, "text": "x", "lang": "en",
+                     "source": f"src{10 + i % 10}", "n_chars": 100})
+    sf = str(tmp_path)
+    pq.write_table(pa.Table.from_pylist(rows), f"{sf}/documents.parquet")
+    got = q_sample_mix(spark, sf).collect()
+    cur = [r for r in got if r["grp"] == "curated"]
+    web = [r for r in got if r["grp"] == "web"]
+    assert len(cur) == 200                       # binding group untouched
+    # target web chars = (3/7) * curated chars = 8571; md5 sampling noise
+    # on 1800 candidate docs stays well within 20%
+    web_chars = 100 * len(web)
+    assert 0.8 * 8571 < web_chars < 1.2 * 8571
+    assert {r["doc_id"] for r in web} <= {r["doc_id"] for r in rows[:1800]}
