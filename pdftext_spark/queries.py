@@ -2060,7 +2060,9 @@ def q_events_value_stats(spark, sf_dir):
     value column via Spark's exact `percentile` (DuckDB `quantile_cont`;
     both use the standard (n-1)·p linear interpolation). At 100 TB the
     exact sort-based percentile becomes approx_percentile with a bounded
-    error budget; here the gate wants bit-equality, so exact it is."""
+    error budget (pinned against the exact values in
+    tests/test_round4.py::test_events_value_stats_approx_scale_path);
+    here the gate wants bit-equality, so exact it is."""
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     return (ev.groupBy("event_type")
             .agg(F.count("*").alias("n_events"),

@@ -637,3 +637,24 @@ def test_sample_mix_hits_target_and_never_upsamples(spark, tmp_path):
     web_chars = 100 * len(web)
     assert 0.8 * 8571 < web_chars < 1.2 * 8571
     assert {r["doc_id"] for r in web} <= {r["doc_id"] for r in rows[:1800]}
+
+
+def test_events_value_stats_approx_scale_path(spark):
+    """events_value_stats documents its 100 TB form: swap the exact
+    sort-based percentile for approx_percentile (mergeable GK sketch,
+    no global sort). Pin that the swap is actually available and lands
+    within the sketch's accuracy budget of the exact gated values."""
+    import os
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    rows = (ev.groupBy("event_type")
+            .agg(F.expr("percentile(value, 0.9)").alias("exact"),
+                 F.expr("approx_percentile(value, 0.9, 1000)")
+                 .alias("approx"),
+                 F.min("value").alias("lo"), F.max("value").alias("hi"))
+            .collect())
+    assert rows
+    for r in rows:
+        # accuracy=1000 => rank error <= n/1000; bound loosely in value
+        # space via the group's range
+        assert abs(r["approx"] - r["exact"]) <= 0.05 * (r["hi"] - r["lo"]), r
