@@ -94,3 +94,62 @@ def decode_media_df(media_df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media_df.select("doc_id", "media").mapInPandas(run, DECODED_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("media", T.BinaryType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+])
+
+
+def resize_media(payload: bytes, max_dim: int) -> tuple:
+    """Resize one payload so max(width, height) <= max_dim → (payload,
+    width, height).
+
+    STUB SEAM (same contract as decode_media): a real deployment swaps
+    the body transform for ``PIL.Image.resize``; the synthetic container
+    scales its header dims by the integer-ceil factor and strides the
+    body bytes by that factor, so the output is deterministic, smaller
+    by ~the area ratio, and still a valid IMG1 payload (resize then
+    decode composes). Payloads already within budget pass through
+    byte-identical (idempotence)."""
+    m = _HEADER_RE.match(payload)
+    if not m:
+        raise NotImplementedError(
+            "real media resize requires an image library (PIL/cv2) not "
+            "available in this environment; only synthetic IMG1 payloads "
+            "are resizable")
+    w, h, fr = (int(m.group(i)) for i in (1, 2, 3))
+    if max(w, h) <= max_dim:
+        return payload, w, h
+    k = -(-max(w, h) // max_dim)          # ceil divide: shrink factor
+    nw, nh = max(1, w // k), max(1, h // k)
+    body = payload[m.end():]
+    header = f"IMG1;W={nw};H={nh};F={fr};".encode()
+    return header + body[::k], nw, nh
+
+
+def resize_media_df(media_df: DataFrame, max_dim: int = 128) -> DataFrame:
+    """mapInPandas resize over (doc_id, media): binary in, binary out,
+    one Arrow round trip, per-row error isolation (undecodable/null
+    payloads yield a null media row rather than failing the task)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "media": [], "width": [], "height": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                try:
+                    if payload is None:
+                        raise ValueError("null media payload")
+                    out, w, h = resize_media(bytes(payload), max_dim)
+                except (NotImplementedError, TypeError, ValueError):
+                    out = w = h = None
+                rows["doc_id"].append(doc_id)
+                rows["media"].append(out)
+                rows["width"].append(w)
+                rows["height"].append(h)
+            yield pd.DataFrame(rows)
+
+    return media_df.select("doc_id", "media").mapInPandas(run, RESIZED_SCHEMA)

@@ -10,6 +10,8 @@ from pdftext_spark.operators.multimodal import (
     attach_synthetic_media,
     decode_media,
     decode_media_df,
+    resize_media,
+    resize_media_df,
 )
 
 
@@ -25,6 +27,41 @@ def test_decode_media_deterministic():
 def test_decode_media_stub_seam():
     with pytest.raises(NotImplementedError):
         decode_media(b"\x89PNG\r\n\x1a\n....")  # real image → stubbed
+
+
+def test_resize_media_semantics():
+    """Over-budget payloads shrink by the integer-ceil factor with a
+    strided body (still a decodable IMG1 container); within-budget
+    payloads pass through byte-identical; real formats hit the stub."""
+    body = bytes(range(20))
+    payload = b"IMG1;W=300;H=100;F=2;" + body
+    out, w, h = resize_media(payload, 128)
+    assert (w, h) == (100, 33)          # k = ceil(300/128) = 3
+    assert out == b"IMG1;W=100;H=33;F=2;" + body[::3]
+    w2, h2, fr2, _ = decode_media(out)  # resize→decode composes
+    assert (w2, h2, fr2) == (100, 33, 2)
+    small = b"IMG1;W=64;H=48;F=1;" + body
+    assert resize_media(small, 128) == (small, 64, 48)   # idempotent
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        resize_media(b"\x89PNG\r\n\x1a\n....", 128)
+
+
+def test_resize_media_df(spark):
+    docs = spark.createDataFrame(
+        [(1, "x" * 40), (2, "y")], "doc_id long, text string")
+    media = attach_synthetic_media(docs)
+    out = {r["doc_id"]: r for r in
+           resize_media_df(media, max_dim=50).orderBy("doc_id").collect()}
+    # doc 1: header W=65,H=49 -> k=ceil(65/50)=2 -> 32x24
+    assert (out[1]["width"], out[1]["height"]) == (32, 24)
+    local, lw, lh = resize_media(
+        bytes(media.where("doc_id = 1").collect()[0]["media"]), 50)
+    assert bytes(out[1]["media"]) == local  # Spark path == local stub
+    bad = spark.createDataFrame([(9, bytearray(b"\x89PNG..."))],
+                                "doc_id long, media binary")
+    r = resize_media_df(bad).collect()[0]
+    assert r["media"] is None and r["width"] is None
 
 
 def test_decode_media_df(spark, tmp_path):
