@@ -2397,6 +2397,79 @@ def sql_dedup_passages(sf_dir):
         "HAVING count(DISTINCT doc_id) >= 2")
 
 
+def q_dedup_scrub(spark, sf_dir):
+    """Repeated-passage SCRUB materialization — dedup_passages' findings
+    actually applied to the text (the removal step of Lee et al. 2022):
+    every 8-token window repeated across >=2 docs keeps its occurrences
+    only in the canonical owner (min doc_id); in every other doc the
+    tokens covered by any such window are removed and the text is
+    re-joined from the survivors. Shape: window hashes are computed
+    row-wise exactly as in dedup_passages; the repeated-passage table
+    (ph, owner) is the small boilerplate vocabulary and BROADCASTS back
+    onto the hash stream; covered positions collapse to one int-array
+    mask per dirty doc (O(dirty docs), token positions never shuffle
+    per-token); the corpus then meets its masks in a single doc_id-keyed
+    join and the filter/rejoin runs in the expression tree. At 100 TB
+    the corpus takes exactly one shuffle (that join) and everything
+    upstream of it is sized by the repeated vocabulary, not the corpus."""
+    w = _PASSAGE_N
+    d = _docs(spark, sf_dir).withColumn("toks", F.expr(_TOKS_SPARK))
+    ph = (d.where(F.expr(f"size(toks) >= {w}"))
+          .withColumn("pp", F.explode(F.expr(
+              f"transform(sequence(1, size(toks)-{w-1}), i -> "
+              f"struct(i AS pos, md5(concat_ws(' ', slice(toks, i, {w}))) "
+              f"AS ph))")))
+          .select("doc_id", "pp.pos", "pp.ph"))
+    rep = (ph.groupBy("ph")
+           .agg(F.countDistinct("doc_id").alias("n_docs"),
+                F.min("doc_id").alias("owner"))
+           .where(F.col("n_docs") >= 2)
+           .select("ph", "owner"))
+    cov = (ph.join(F.broadcast(rep), "ph")
+           .where(F.col("doc_id") != F.col("owner"))
+           .select("doc_id",
+                   F.explode(F.expr(f"sequence(pos, pos + {w - 1})"))
+                   .alias("j"))
+           .groupBy("doc_id").agg(F.collect_set("j").alias("cov")))
+    kept = F.expr(
+        "filter(transform(toks, (t, i) -> struct(t AS t, i + 1 AS j)), "
+        "s -> NOT array_contains(cov, s.j))")
+    return (d.join(cov, "doc_id", "left")
+            .withColumn("cov", F.coalesce(
+                F.col("cov"), F.expr("CAST(array() AS array<int>)")))
+            .withColumn("kept", kept)
+            .select("doc_id",
+                    F.size("toks").cast("long").alias("n_tokens"),
+                    F.size("kept").cast("long").alias("n_tokens_kept"),
+                    F.expr("concat_ws(' ', transform(kept, s -> s.t))")
+                    .alias("text_scrubbed")))
+
+
+def sql_dedup_scrub(sf_dir):
+    w = _PASSAGE_N
+    return (
+        "WITH t AS (SELECT doc_id, " + _TOKS_DUCK + " toks FROM documents), "
+        f"p AS (SELECT doc_id, i, md5(array_to_string("
+        f"list_slice(toks, i, i+{w-1}), ' ')) ph "
+        f"FROM t, unnest(range(1, len(toks)-{w-2})) u(i)), "
+        "rep AS (SELECT ph, min(doc_id) owner_id FROM p GROUP BY ph "
+        "HAVING count(DISTINCT doc_id) >= 2), "
+        f"cov AS (SELECT DISTINCT p.doc_id, u.j "
+        f"FROM p JOIN rep USING (ph), unnest(range(p.i, p.i+{w})) u(j) "
+        "WHERE p.doc_id <> rep.owner_id), "
+        "tok AS (SELECT doc_id, j, toks[j] tok "
+        "FROM t, unnest(range(1, len(toks)+1)) u(j)), "
+        "kept AS (SELECT tok.doc_id, tok.j, tok.tok FROM tok "
+        "LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.j = cov.j "
+        "WHERE cov.j IS NULL), "
+        "k AS (SELECT doc_id, count(*) n_kept, "
+        "string_agg(tok, ' ' ORDER BY j) txt FROM kept GROUP BY doc_id) "
+        "SELECT t.doc_id, len(t.toks)::BIGINT n_tokens, "
+        "COALESCE(k.n_kept, 0)::BIGINT n_tokens_kept, "
+        "COALESCE(k.txt, '') text_scrubbed "
+        "FROM t LEFT JOIN k USING (doc_id)")
+
+
 def q_sample_hash(spark, sf_dir):
     """Deterministic 20% corpus sample: md5(doc_id) mod 100 < 20. The
     idiomatic reproducible sample for a 10^12-row corpus — pure scan +
@@ -2930,6 +3003,7 @@ UNGATED_QUERIES = {
     "refs_policy": (q_refs_policy, sql_refs_policy),            # composition: refs_canonical x blocklist broadcast
     "sample_stratified": (q_sample_stratified, sql_sample_stratified),  # per-lang rate variant of sample_hash (same md5-mod filter)
     "sample_mix": (q_sample_mix, sql_sample_mix),  # composition: source_stats' mix counts x sample_hash's md5-mod filter, driver-literal rates (k-means pattern)
+    "dedup_scrub": (q_dedup_scrub, sql_dedup_scrub),  # materialization of dedup_passages (dedup_apply's pattern at passage granularity)
     "contamination_lsh": (q_contamination_lsh, sql_contamination_lsh),  # composition: minhash-LSH x contamination semantics
     "text_pack_split": (q_text_pack_split, sql_text_pack_split),   # segment-splitting generalization of text_pack
     "events_funnel": (q_events_funnel, sql_events_funnel),  # composition: sessionize's ordered collect x value_stats' conditional agg

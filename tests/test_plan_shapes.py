@@ -219,3 +219,13 @@ def test_sample_mix_corpus_pass_is_pure_scan(spark):
     # scan + filter only (the tiny count job is a separate 2-long agg)
     p = _plan(spark, "sample_mix")
     assert _shuffles(p) == 0 and "Join" not in p
+
+
+def test_dedup_scrub_broadcasts_boilerplate(spark):
+    # the repeated-passage vocabulary rides a broadcast back onto the
+    # hash stream; the corpus text column meets only the per-doc mask
+    # join — no nested-loop anywhere
+    p = _plan(spark, "dedup_scrub")
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert _shuffles(p) <= 4

@@ -428,7 +428,7 @@ def test_pipeline_queries_survive_empty_corpus(spark, tmp_path):
                  "text_pack", "sample_hash", "source_stats",
                  "dedup_passages", "text_topterms", "emb_quantize",
                  "ann_ivf", "contamination", "contamination_lsh",
-                 "sample_mix"):
+                 "sample_mix", "dedup_scrub"):
         fn, _sql = Q.QUERIES[name]
         assert fn(spark, sf).count() == 0, name
     Q.unpersist_registered()
@@ -658,3 +658,29 @@ def test_events_value_stats_approx_scale_path(spark):
         # accuracy=1000 => rank error <= n/1000; bound loosely in value
         # space via the group's range
         assert abs(r["approx"] - r["exact"]) <= 0.05 * (r["hi"] - r["lo"]), r
+
+
+def test_dedup_scrub_semantics(spark, tmp_path):
+    """The canonical owner (min doc_id) keeps the repeated passage; every
+    other doc loses exactly the covered tokens (union of overlapping
+    windows); docs without cross-doc repeats pass through verbatim."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdftext_spark.queries import q_dedup_scrub
+
+    boiler = " ".join(f"b{i}" for i in range(9))   # 9 tokens -> 2 windows
+    rows = [
+        {"doc_id": 1, "text": f"alpha {boiler} beta"},
+        {"doc_id": 2, "text": f"start {boiler} end"},
+        {"doc_id": 3, "text": "unique short doc"},
+    ]
+    for r in rows:
+        r.update({"lang": "en", "source": "src0", "n_chars": len(r["text"])})
+    sf = str(tmp_path)
+    pq.write_table(pa.Table.from_pylist(rows), f"{sf}/documents.parquet")
+    got = {r["doc_id"]: r for r in q_dedup_scrub(spark, sf).collect()}
+    assert got[1]["text_scrubbed"] == f"alpha {boiler} beta"  # owner keeps
+    assert got[2]["text_scrubbed"] == "start end"  # both windows' union gone
+    assert got[2]["n_tokens_kept"] == 2 and got[2]["n_tokens"] == 11
+    assert got[3]["text_scrubbed"] == "unique short doc"
