@@ -440,6 +440,82 @@ def sql_refs_domains(sf_dir):
             f"GROUP BY 1")
 
 
+_PR_SCALE = 10**12     # fixed-point rank unit per node
+_PR_ITERS = 3
+
+
+def q_refs_pagerank(spark, sf_dir):
+    """Domain PageRank over the transcript link graph — the
+    CommonCrawl-style domain-authority score curation pipelines rank
+    sources by. Graph: nodes are the external-link domains; a directed
+    edge src→dst exists when dst's domain FOLLOWS src's in a
+    conversation's reading order (lag over the span order, self-loops
+    and duplicate edges dropped). Rank: damping 0.85, uniform init,
+    _PR_ITERS Jacobi sweeps, dangling mass dropped — every operation is
+    fixed-point int64 (contributions are pr div outdeg, the update is
+    (15*SCALE + 85*csum) div 100), so sums are order-independent and
+    the DuckDB oracle unrolls the iterations CTE-for-CTE with identical
+    arithmetic. Scale shape: the graph tables are domain-cardinality
+    (tiny next to the corpus — the one heavy step is the edge
+    extraction, which rides the already-cached span flatten + ONE
+    conv-keyed window); each sweep is an edges⋈rank join + dst-keyed
+    pre-aggregated sum, the dedup_clusters superstep family — at 1e8+
+    domains the rank side shuffle-joins instead of broadcasting and a
+    localCheckpoint per sweep caps the lineage."""
+    sp = _flat_spans(spark, sf_dir)
+    u = (sp.where(F.col("s.url").rlike(_DOMAIN_RE))
+         .select("conv_id", "turn_idx", "block_idx", "line_idx", "span_idx",
+                 F.regexp_extract(F.col("s.url"), _DOMAIN_RE, 1)
+                 .alias("domain")))
+    w = Window.partitionBy("conv_id").orderBy(
+        "turn_idx", "block_idx", "line_idx", "span_idx")
+    o = u.withColumn("prev", F.lag("domain").over(w))
+    edges = (o.where(F.col("prev").isNotNull()
+                     & (F.col("prev") != F.col("domain")))
+             .select(F.col("prev").alias("src"), F.col("domain").alias("dst"))
+             .distinct())
+    nodes = u.select("domain").distinct()
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    ew = edges.join(outdeg, "src")
+    pr = nodes.withColumn("pr", F.lit(_PR_SCALE).cast("long"))
+    for _ in range(_PR_ITERS):
+        contrib = (ew.join(pr, ew["src"] == pr["domain"])
+                   .select("dst", F.expr("pr div deg").alias("c"))
+                   .groupBy("dst").agg(F.sum("c").alias("cs")))
+        pr = (nodes.join(contrib, nodes["domain"] == contrib["dst"], "left")
+              .select("domain",
+                      F.expr(f"(15 * {_PR_SCALE}L + 85 * coalesce(cs, 0L)) "
+                             "div 100").alias("pr")))
+    return pr.select("domain", F.col("pr").alias("rank_score"))
+
+
+def sql_refs_pagerank(sf_dir):
+    p = _fixture_path(sf_dir, "expected_spans.parquet")
+    S, re_ = _PR_SCALE, _DOMAIN_RE
+    sql = (
+        f"WITH s AS (SELECT conv_id, turn_idx, block_idx, line_idx, "
+        f"span_idx, regexp_extract(url, '{re_}', 1) AS domain "
+        f"FROM read_parquet('{p}') WHERE regexp_matches(url, '{re_}')), "
+        "o AS (SELECT domain, lag(domain) OVER (PARTITION BY conv_id "
+        "ORDER BY turn_idx, block_idx, line_idx, span_idx) prev FROM s), "
+        "e AS (SELECT DISTINCT prev src, domain dst FROM o "
+        "WHERE prev IS NOT NULL AND prev <> domain), "
+        "n AS (SELECT DISTINCT domain FROM s), "
+        "od AS (SELECT src, count(*) deg FROM e GROUP BY src), "
+        f"p0 AS (SELECT domain, {S}::BIGINT pr FROM n)")
+    prev = "p0"
+    for k in range(1, _PR_ITERS + 1):
+        sql += (
+            f", c{k} AS (SELECT e.dst, sum({prev}.pr // od.deg)::BIGINT cs "
+            f"FROM e JOIN {prev} ON e.src = {prev}.domain "
+            "JOIN od USING (src) GROUP BY e.dst)"
+            f", p{k} AS (SELECT n.domain, "
+            f"((15 * {S} + 85 * COALESCE(c{k}.cs, 0)) // 100)::BIGINT pr "
+            f"FROM n LEFT JOIN c{k} ON n.domain = c{k}.dst)")
+        prev = f"p{k}"
+    return sql + f" SELECT domain, pr AS rank_score FROM {prev}"
+
+
 # URL canonicalization (refs_canonical). Normalization subset, applied in
 # this order, each step a single regex both RE2 (DuckDB) and
 # java.util.regex (Spark) read identically — no lookarounds:
@@ -3004,6 +3080,7 @@ UNGATED_QUERIES = {
     "sample_stratified": (q_sample_stratified, sql_sample_stratified),  # per-lang rate variant of sample_hash (same md5-mod filter)
     "sample_mix": (q_sample_mix, sql_sample_mix),  # composition: source_stats' mix counts x sample_hash's md5-mod filter, driver-literal rates (k-means pattern)
     "dedup_scrub": (q_dedup_scrub, sql_dedup_scrub),  # materialization of dedup_passages (dedup_apply's pattern at passage granularity)
+    "refs_pagerank": (q_refs_pagerank, sql_refs_pagerank),  # composition: refs_domains' domain stream x dedup_clusters' iterative superstep family
     "contamination_lsh": (q_contamination_lsh, sql_contamination_lsh),  # composition: minhash-LSH x contamination semantics
     "text_pack_split": (q_text_pack_split, sql_text_pack_split),   # segment-splitting generalization of text_pack
     "events_funnel": (q_events_funnel, sql_events_funnel),  # composition: sessionize's ordered collect x value_stats' conditional agg

@@ -684,3 +684,53 @@ def test_dedup_scrub_semantics(spark, tmp_path):
     assert got[2]["text_scrubbed"] == "start end"  # both windows' union gone
     assert got[2]["n_tokens_kept"] == 2 and got[2]["n_tokens"] == 11
     assert got[3]["text_scrubbed"] == "unique short doc"
+
+
+def test_refs_pagerank_matches_python_reference(spark):
+    """Third independent implementation: derive the same edge set from
+    the expected-spans parquet in plain Python and run the integer
+    fixed-point sweeps by hand; Spark must match EXACTLY (the DuckDB
+    oracle is the second engine, this is the third)."""
+    import re as _re
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+
+    from pdftext_spark.queries import (
+        _PR_ITERS,
+        _PR_SCALE,
+        q_refs_pagerank,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    from pdftext_spark.queries import _fixture_path
+    t = pq.read_table(_fixture_path(sf, "expected_spans.parquet"),
+                      columns=["conv_id", "turn_idx", "block_idx",
+                               "line_idx", "span_idx", "url"]).to_pylist()
+    pat = _re.compile(r"^https?://([^/]+)")
+    per_conv = defaultdict(list)
+    for r in t:
+        m = pat.match(r["url"] or "")
+        if m:
+            per_conv[r["conv_id"]].append(
+                ((r["turn_idx"], r["block_idx"], r["line_idx"],
+                  r["span_idx"]), m.group(1)))
+    nodes, edges = set(), set()
+    for seq in per_conv.values():
+        seq.sort()
+        doms = [d for _, d in seq]
+        nodes.update(doms)
+        edges.update((a, b) for a, b in zip(doms, doms[1:]) if a != b)
+    outdeg = defaultdict(int)
+    for a, _ in edges:
+        outdeg[a] += 1
+    pr = {n: _PR_SCALE for n in nodes}
+    for _ in range(_PR_ITERS):
+        cs = defaultdict(int)
+        for a, b in edges:
+            cs[b] += pr[a] // outdeg[a]
+        pr = {n: (15 * _PR_SCALE + 85 * cs[n]) // 100 for n in nodes}
+    got = {r["domain"]: r["rank_score"]
+           for r in q_refs_pagerank(spark, sf).collect()}
+    assert got == pr
+    assert len(got) >= 2 and max(got.values()) > min(got.values())
