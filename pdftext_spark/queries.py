@@ -1056,6 +1056,56 @@ def sql_text_perplexity(sf_dir):
         "GROUP BY doc_id")
 
 
+def q_text_ccnet(spark, sf_dir):
+    """CCNet-style perplexity bucketing: split the corpus into
+    head/middle/tail tertiles of the bigram-perplexity score — the
+    quality partition CCNet (Wenzek et al. 2020) trains on. Thresholds
+    are DISCRETE order statistics (the ceil(n/3)-th and ceil(2n/3)-th
+    smallest score in (score, doc_id) order — no interpolation, so no
+    cross-engine float ulp risk) computed over the deterministic 20%
+    md5 sample and applied as driver literals (the sample_mix pattern;
+    CCNet itself fixes thresholds on a held-out corpus, so constants-
+    by-construction IS the production form — at 10^12 docs the sample
+    rank selection becomes approx_percentile or an offline job). The
+    corpus pass is then a pure projection over the scored stream."""
+    scored = q_text_perplexity(spark, sf_dir).persist()
+    _register_persisted(scored)
+    smp = (scored
+           .where((_h(F.col("doc_id").cast("string")) % 100) < 20)
+           .select("perplexity_x1e6", "doc_id"))
+    n = smp.count()
+    if n:
+        def kth(k):
+            return (smp.orderBy("perplexity_x1e6", "doc_id").limit(k)
+                    .agg(F.max("perplexity_x1e6")).collect()[0][0])
+        t1, t2 = kth((n + 2) // 3), kth((2 * n + 2) // 3)
+        t1c, t2c = F.lit(t1), F.lit(t2)
+    else:
+        t1c = t2c = F.lit(None).cast("long")
+    return scored.select(
+        "doc_id", "perplexity_x1e6",
+        F.when(F.col("perplexity_x1e6") <= t1c, "head")
+        .when(F.col("perplexity_x1e6") <= t2c, "middle")
+        .otherwise("tail").alias("bucket"))
+
+
+def sql_text_ccnet(sf_dir):
+    h = _H_SQL.format(c="doc_id::VARCHAR")
+    return (
+        "WITH sc AS (" + sql_text_perplexity(sf_dir) + "), "
+        f"smp AS (SELECT perplexity_x1e6 v, doc_id FROM sc "
+        f"WHERE {h} % 100 < 20), "
+        "r AS (SELECT v, row_number() OVER (ORDER BY v, doc_id) rn, "
+        "count(*) OVER () n FROM smp), "
+        "th AS (SELECT max(CASE WHEN rn <= (n + 2) // 3 THEN v END) t1, "
+        "max(CASE WHEN rn <= (2 * n + 2) // 3 THEN v END) t2 FROM r) "
+        "SELECT sc.doc_id, sc.perplexity_x1e6, "
+        "CASE WHEN sc.perplexity_x1e6 <= th.t1 THEN 'head' "
+        "WHEN sc.perplexity_x1e6 <= th.t2 THEN 'middle' "
+        "ELSE 'tail' END bucket "
+        "FROM sc, th")
+
+
 # Blocklist terms, chosen from the corpus vocabulary so the scrub has
 # real work to do. At 100 TB the list (LDNOOBW-style, a few thousand
 # entries) is read from a side table and folded into the expression tree
@@ -3081,6 +3131,7 @@ UNGATED_QUERIES = {
     "sample_mix": (q_sample_mix, sql_sample_mix),  # composition: source_stats' mix counts x sample_hash's md5-mod filter, driver-literal rates (k-means pattern)
     "dedup_scrub": (q_dedup_scrub, sql_dedup_scrub),  # materialization of dedup_passages (dedup_apply's pattern at passage granularity)
     "refs_pagerank": (q_refs_pagerank, sql_refs_pagerank),  # composition: refs_domains' domain stream x dedup_clusters' iterative superstep family
+    "text_ccnet": (q_text_ccnet, sql_text_ccnet),  # composition: text_perplexity's score x sample_hash's md5 sample (driver-literal thresholds)
     "contamination_lsh": (q_contamination_lsh, sql_contamination_lsh),  # composition: minhash-LSH x contamination semantics
     "text_pack_split": (q_text_pack_split, sql_text_pack_split),   # segment-splitting generalization of text_pack
     "events_funnel": (q_events_funnel, sql_events_funnel),  # composition: sessionize's ordered collect x value_stats' conditional agg

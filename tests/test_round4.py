@@ -734,3 +734,22 @@ def test_refs_pagerank_matches_python_reference(spark):
            for r in q_refs_pagerank(spark, sf).collect()}
     assert got == pr
     assert len(got) >= 2 and max(got.values()) > min(got.values())
+
+
+def test_text_ccnet_buckets_monotone_and_balanced(spark):
+    """Buckets must be monotone in score (every head <= every middle <=
+    every tail) and, with sample thresholds from a representative 20%
+    md5 sample, roughly tertile-sized on the full corpus."""
+    from pdftext_spark.queries import q_text_ccnet, unpersist_registered
+
+    rows = q_text_ccnet(spark, "/root/testdata/sf0.001").collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["bucket"], []).append(r["perplexity_x1e6"])
+    assert set(by) == {"head", "middle", "tail"}
+    assert max(by["head"]) <= min(by["middle"])
+    assert max(by["middle"]) <= min(by["tail"])
+    n = len(rows)
+    for b in by.values():
+        assert 0.2 * n < len(b) < 0.47 * n  # tertile-ish
+    unpersist_registered()
