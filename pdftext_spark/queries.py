@@ -1648,6 +1648,43 @@ def sql_ann_bruteforce(sf_dir):
         "SELECT qid, rank, cid neighbor_id, cos FROM r WHERE rank <= 5")
 
 
+def q_ann_bruteforce_l2(spark, sf_dir):
+    """Brute-force EUCLIDEAN top-5 — the L2 metric twin of
+    ann_bruteforce (same broadcast-queries × one-scan plan, same
+    6-dp-rounded index-ordered fold so both engines sum identically;
+    only the score and its sort direction change: distance ascending).
+    Cosine serves normalized-embedding search; L2 is the metric FAISS /
+    IVF-flat indexes default to for unnormalized vectors."""
+    e = _emb(spark, sf_dir)
+    q = e.where(F.col("vec_id") < 8).select(F.col("vec_id").alias("qid"),
+                                            F.col("embedding").alias("qe"))
+    c = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    pairs = (F.broadcast(q).crossJoin(c)
+             .where(F.col("qid") != F.col("cid"))
+             .withColumn("l2", F.round(F.expr(
+                 "sqrt(aggregate(zip_with(qe, ce, (x, y) -> "
+                 "(cast(x as double) - cast(y as double)) * "
+                 "(cast(x as double) - cast(y as double))), "
+                 "cast(0.0 as double), (acc, v) -> acc + v))"), 6)))
+    w = Window.partitionBy("qid").orderBy(F.asc("l2"), F.asc("cid"))
+    return (pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= 5)
+            .select("qid", "rank", F.col("cid").alias("neighbor_id"), "l2"))
+
+
+def sql_ann_bruteforce_l2(sf_dir):
+    l2 = ("round(sqrt(list_sum(list_transform(range(1, len(q.embedding) + 1), "
+          "i -> (q.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE) * "
+          "(q.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE)))), 6)")
+    return (
+        "WITH p AS (SELECT q.vec_id qid, c.vec_id cid, " + l2 + " l2 "
+        "FROM embeddings q JOIN embeddings c "
+        "ON q.vec_id < 8 AND q.vec_id != c.vec_id), "
+        "r AS (SELECT qid, cid, l2, row_number() OVER "
+        "(PARTITION BY qid ORDER BY l2 ASC, cid ASC) rank FROM p) "
+        "SELECT qid, rank, cid neighbor_id, l2 FROM r WHERE rank <= 5")
+
+
 def q_ann_bruteforce_np(spark, sf_dir):
     """The same brute-force top-5, scored by an ARROW-BATCHED NUMPY kernel
     (mapInPandas) — the 100 TB form of the dot product. Each batch computes
@@ -3132,6 +3169,7 @@ UNGATED_QUERIES = {
     "dedup_scrub": (q_dedup_scrub, sql_dedup_scrub),  # materialization of dedup_passages (dedup_apply's pattern at passage granularity)
     "refs_pagerank": (q_refs_pagerank, sql_refs_pagerank),  # composition: refs_domains' domain stream x dedup_clusters' iterative superstep family
     "text_ccnet": (q_text_ccnet, sql_text_ccnet),  # composition: text_perplexity's score x sample_hash's md5 sample (driver-literal thresholds)
+    "ann_bruteforce_l2": (q_ann_bruteforce_l2, sql_ann_bruteforce_l2),  # L2-metric twin of ann_bruteforce (same plan, distance ascending)
     "contamination_lsh": (q_contamination_lsh, sql_contamination_lsh),  # composition: minhash-LSH x contamination semantics
     "text_pack_split": (q_text_pack_split, sql_text_pack_split),   # segment-splitting generalization of text_pack
     "events_funnel": (q_events_funnel, sql_events_funnel),  # composition: sessionize's ordered collect x value_stats' conditional agg
