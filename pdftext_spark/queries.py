@@ -2130,6 +2130,59 @@ def sql_rel_pricing_summary(sf_dir):
         "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus")
 
 
+def q_rel_ship_priority(spark, sf_dir):
+    """TPC-H Q3-shape shipping priority: unshipped revenue by order for
+    one market segment — the canonical 3-table star join. Plan: both
+    dimension filters (segment customers, open orders) BROADCAST onto
+    the lineitem fact scan, revenue partial-aggregates by orderkey
+    map-side, and the global top-10 is TakeOrderedAndProject (partial
+    per-partition top-k, no full sort). Money in exact 1e-4-dollar
+    units (cents x (100 - discount%)) so both engines agree
+    bit-for-bit."""
+    cutoff = "1998-06-01"
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    c = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    cust = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    oo = (o.where(F.col("o_orderdate") < F.lit(cutoff))
+          .join(F.broadcast(cust), o["o_custkey"] == F.col("c_custkey"),
+                "left_semi")
+          .select("o_orderkey", "o_orderdate", "o_orderpriority"))
+    rev = (F.round(F.col("l_extendedprice") * 100).cast("long")
+           * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")))
+    agg = (li.where(F.col("l_shipdate") > F.lit(cutoff))
+           .join(F.broadcast(oo), li["l_orderkey"] == oo["o_orderkey"])
+           .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+           .agg(F.sum(rev).alias("revenue_e4")))
+    top = agg.orderBy(F.desc("revenue_e4"), F.asc("l_orderkey")).limit(10)
+    w = Window.orderBy(F.desc("revenue_e4"), F.asc("l_orderkey"))
+    return (top.withColumn("rank", F.row_number().over(w).cast("long"))
+            .select("rank", F.col("l_orderkey").alias("orderkey"),
+                    "revenue_e4",
+                    F.date_format("o_orderdate", "yyyy-MM-dd")
+                    .alias("orderdate"),
+                    "o_orderpriority"))
+
+
+def sql_rel_ship_priority(sf_dir):
+    return (
+        "WITH agg AS (SELECT l_orderkey, "
+        "sum(round(l_extendedprice * 100)::BIGINT * "
+        "(100 - round(l_discount * 100)::BIGINT))::BIGINT revenue_e4, "
+        "o_orderdate, o_orderpriority "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "WHERE c_mktsegment = 'BUILDING' "
+        "AND o_orderdate < TIMESTAMP '1998-06-01' "
+        "AND l_shipdate > TIMESTAMP '1998-06-01' "
+        "GROUP BY l_orderkey, o_orderdate, o_orderpriority), "
+        "r AS (SELECT *, row_number() OVER "
+        "(ORDER BY revenue_e4 DESC, l_orderkey ASC) rank FROM agg) "
+        "SELECT rank, l_orderkey orderkey, revenue_e4, "
+        "strftime(o_orderdate, '%Y-%m-%d') orderdate, o_orderpriority "
+        "FROM r WHERE rank <= 10")
+
+
 def q_rel_top_customers(spark, sf_dir):
     """Broadcast join + top-k: top 10 customers by order value cents."""
     o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
@@ -2489,6 +2542,47 @@ def sql_events_range_join(sf_dir):
         "AND e2.event_id <> i.event_id "
         "WHERE i.event_type = 'error' "
         "GROUP BY 1")
+
+
+_WEEK_US = 7 * 86400 * 1_000_000
+
+
+def q_events_retention(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-active week
+    (epoch-week of their earliest event), counted again in every later
+    week they return — the (cohort_week, offset_weeks) → n_users table
+    every growth dashboard draws. Shape: ONE user-keyed shuffle does
+    all the work — per user, aggregate the distinct active weeks AND
+    their min in the same pass, then explode the (cohort, offset) pairs
+    and count per cell (pre-aggregated rows; cell cardinality is
+    weeks², not users). The naive form self-joins activity against
+    first-activity — a second corpus shuffle this plan never takes.
+    Weeks are exact integer epoch-week indexes (no calendar/timezone
+    round trip)."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ev = ev.withColumn("wk", F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        f" div {_WEEK_US}"))
+    per_user = (ev.groupBy("user_id")
+                .agg(F.collect_set("wk").alias("wks")))
+    cells = (per_user
+             .withColumn("cohort_week", F.array_min("wks"))
+             .select("user_id", "cohort_week",
+                     F.explode("wks").alias("wk")))
+    return (cells.groupBy("cohort_week",
+                          (F.col("wk") - F.col("cohort_week"))
+                          .alias("offset_weeks"))
+            .agg(F.count("*").alias("n_users")))
+
+
+def sql_events_retention(sf_dir):
+    return (
+        f"WITH a AS (SELECT DISTINCT user_id, epoch_us(ts) // {_WEEK_US} wk "
+        "FROM events), "
+        "c AS (SELECT user_id, min(wk) OVER (PARTITION BY user_id) "
+        "cohort_week, wk FROM a) "
+        "SELECT cohort_week, (wk - cohort_week)::BIGINT offset_weeks, "
+        "count(*) n_users FROM c GROUP BY 1, 2")
 
 
 # --------------------------------------------------------------------------
@@ -3170,6 +3264,8 @@ UNGATED_QUERIES = {
     "refs_pagerank": (q_refs_pagerank, sql_refs_pagerank),  # composition: refs_domains' domain stream x dedup_clusters' iterative superstep family
     "text_ccnet": (q_text_ccnet, sql_text_ccnet),  # composition: text_perplexity's score x sample_hash's md5 sample (driver-literal thresholds)
     "ann_bruteforce_l2": (q_ann_bruteforce_l2, sql_ann_bruteforce_l2),  # L2-metric twin of ann_bruteforce (same plan, distance ascending)
+    "rel_ship_priority": (q_rel_ship_priority, sql_rel_ship_priority),  # composition: rel_top_customers' broadcast+top-k x rel_pricing_summary's exact cents
+    "events_retention": (q_events_retention, sql_events_retention),  # composition: sessionize's user-keyed agg x events_window's integer time buckets
     "contamination_lsh": (q_contamination_lsh, sql_contamination_lsh),  # composition: minhash-LSH x contamination semantics
     "text_pack_split": (q_text_pack_split, sql_text_pack_split),   # segment-splitting generalization of text_pack
     "events_funnel": (q_events_funnel, sql_events_funnel),  # composition: sessionize's ordered collect x value_stats' conditional agg

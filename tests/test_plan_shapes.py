@@ -229,3 +229,18 @@ def test_dedup_scrub_broadcasts_boilerplate(spark):
     assert "BroadcastHashJoin" in p
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
     assert _shuffles(p) <= 4
+
+
+def test_rel_ship_priority_broadcast_star(spark):
+    # both dimension filters broadcast onto the fact scan; the global
+    # top-10 must be a partial top-k, not a full sort
+    p = _plan(spark, "rel_ship_priority")
+    assert p.count("BroadcastHashJoin") >= 2 and "SortMergeJoin" not in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_events_retention_single_user_shuffle(spark):
+    # one user-keyed shuffle + the cells aggregation of pre-aggregated
+    # rows; the naive self-join form never appears
+    p = _plan(spark, "events_retention")
+    assert "Join" not in p and _shuffles(p) <= 2
