@@ -1067,7 +1067,12 @@ def q_text_ccnet(spark, sf_dir):
     CCNet itself fixes thresholds on a held-out corpus, so constants-
     by-construction IS the production form — at 10^12 docs the sample
     rank selection becomes approx_percentile or an offline job). The
-    corpus pass is then a pure projection over the scored stream."""
+    corpus pass is then a pure projection over the scored stream.
+    Thresholds deliberately take three small jobs over the PERSISTED
+    scored frame (count + two orderBy().limit(k).agg(max) passes): each
+    compiles to TakeOrderedAndProject — distributed partial top-k —
+    whereas the one-pass row_number() alternative would serialize the
+    whole sample onto a single task."""
     scored = q_text_perplexity(spark, sf_dir).persist()
     _register_persisted(scored)
     smp = (scored
@@ -1614,13 +1619,20 @@ def sql_dedup_embedding_lsh(sf_dir):
 # 2c. similarity search (embeddings)
 # --------------------------------------------------------------------------
 
-def _cosine_pairs(spark, sf_dir, query_pred):
+def _query_pairs(spark, sf_dir, query_pred):
+    """Broadcast-queries x one-candidate-scan pair stream (qid, qe, cid,
+    ce) — the single pair-generation plan every brute-force metric
+    (cosine, L2) layers its score onto."""
     e = _emb(spark, sf_dir)
     q = e.where(query_pred).select(F.col("vec_id").alias("qid"),
                                    F.col("embedding").alias("qe"))
     c = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
-    pairs = F.broadcast(q).crossJoin(c).where(F.col("qid") != F.col("cid"))
-    return pairs.withColumn("cos", _cos6("qe", "ce"))
+    return F.broadcast(q).crossJoin(c).where(F.col("qid") != F.col("cid"))
+
+
+def _cosine_pairs(spark, sf_dir, query_pred):
+    return (_query_pairs(spark, sf_dir, query_pred)
+            .withColumn("cos", _cos6("qe", "ce")))
 
 
 def q_ann_bruteforce(spark, sf_dir):
@@ -1655,12 +1667,7 @@ def q_ann_bruteforce_l2(spark, sf_dir):
     only the score and its sort direction change: distance ascending).
     Cosine serves normalized-embedding search; L2 is the metric FAISS /
     IVF-flat indexes default to for unnormalized vectors."""
-    e = _emb(spark, sf_dir)
-    q = e.where(F.col("vec_id") < 8).select(F.col("vec_id").alias("qid"),
-                                            F.col("embedding").alias("qe"))
-    c = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
-    pairs = (F.broadcast(q).crossJoin(c)
-             .where(F.col("qid") != F.col("cid"))
+    pairs = (_query_pairs(spark, sf_dir, F.col("vec_id") < 8)
              .withColumn("l2", F.round(F.expr(
                  "sqrt(aggregate(zip_with(qe, ce, (x, y) -> "
                  "(cast(x as double) - cast(y as double)) * "
@@ -2271,6 +2278,14 @@ def sql_rel_rollup(sf_dir):
         "GROUP BY ROLLUP (r_name, n_name)")
 
 
+def _with_us(ev):
+    """Attach exact tz-free epoch micros for the parquet-naive ts column
+    (TIMESTAMP_NTZ anchor; the single definition every events query
+    keys its time axis on — the SQL twin is DuckDB's epoch_us(ts))."""
+    return ev.withColumn("us", F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"))
+
+
 def q_events_value_stats(spark, sf_dir):
     """Exact ordered statistics per event type — median and p90 of the
     value column via Spark's exact `percentile` (DuckDB `quantile_cont`;
@@ -2306,10 +2321,8 @@ def q_events_window(spark, sf_dir):
     Plan: map-side partial aggregation, one (window, type)-keyed shuffle
     of pre-aggregated rows — cardinality = hours x event types, not
     events."""
-    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ev = _with_us(spark.read.parquet(os.path.join(sf_dir, "events.parquet")))
     hour_us = 3600 * 1_000_000
-    ev = ev.withColumn("us", F.expr(
-        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"))
     return (ev.withColumn("window_start_us",
                           F.expr(f"(us div {hour_us}) * {hour_us}"))
             .groupBy("window_start_us", "event_type")
@@ -2395,10 +2408,7 @@ def q_events_sessionize(spark, sf_dir):
     """Gap-based sessionization over the events stream table (30-min
     inactivity closes a session) — lag + running-sum window composition,
     the batch form of a stateful streaming operator."""
-    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    # exact tz-free epoch micros for TIMESTAMP_NTZ (parquet naive timestamps)
-    ev = ev.withColumn("us", F.expr(
-        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"))
+    ev = _with_us(spark.read.parquet(os.path.join(sf_dir, "events.parquet")))
     w = Window.partitionBy("user_id").orderBy("us", "event_id")
     gap = F.col("us") - F.lag("us").over(w)
     ev = ev.withColumn("new_s", F.when(gap.isNull() | (gap > 1800 * 1000000), 1)
@@ -2443,9 +2453,7 @@ def q_events_asof(spark, sf_dir):
     exact tz-free epoch micros end-to-end (no timestamp round trip);
     touch columns are NULL when no prior touch exists (left-join
     semantics of the frame's empty prefix)."""
-    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    ev = ev.withColumn("us", F.expr(
-        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"))
+    ev = _with_us(spark.read.parquet(os.path.join(sf_dir, "events.parquet")))
     w = (Window.partitionBy("user_id").orderBy("us", "event_id")
          .rowsBetween(Window.unboundedPreceding, -1))
     touch = F.col("event_type") != "purchase"
@@ -2503,9 +2511,7 @@ def q_events_range_join(spark, sf_dir):
     rollup to per-incident counts. At 100 TB both sides partition-prune
     to the same time range and the bucket key co-locates them; the
     O(n x m) nested-loop form the oracle runs would never finish."""
-    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    ev = ev.withColumn("us", F.expr(
-        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"))
+    ev = _with_us(spark.read.parquet(os.path.join(sf_dir, "events.parquet")))
     inc = (ev.where(F.col("event_type") == "error")
            .select(F.col("event_id").alias("incident_id"),
                    F.col("us").alias("w_start"),
@@ -2559,10 +2565,8 @@ def q_events_retention(spark, sf_dir):
     first-activity — a second corpus shuffle this plan never takes.
     Weeks are exact integer epoch-week indexes (no calendar/timezone
     round trip)."""
-    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    ev = ev.withColumn("wk", F.expr(
-        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
-        f" div {_WEEK_US}"))
+    ev = _with_us(spark.read.parquet(os.path.join(sf_dir, "events.parquet")))
+    ev = ev.withColumn("wk", F.expr(f"us div {_WEEK_US}"))
     per_user = (ev.groupBy("user_id")
                 .agg(F.collect_set("wk").alias("wks")))
     cells = (per_user

@@ -42,8 +42,7 @@ def test_resize_media_semantics():
     assert (w2, h2, fr2) == (100, 33, 2)
     small = b"IMG1;W=64;H=48;F=1;" + body
     assert resize_media(small, 128) == (small, 64, 48)   # idempotent
-    import pytest as _pytest
-    with _pytest.raises(NotImplementedError):
+    with pytest.raises(NotImplementedError):
         resize_media(b"\x89PNG\r\n\x1a\n....", 128)
 
 

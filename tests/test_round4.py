@@ -428,7 +428,7 @@ def test_pipeline_queries_survive_empty_corpus(spark, tmp_path):
                  "text_pack", "sample_hash", "source_stats",
                  "dedup_passages", "text_topterms", "emb_quantize",
                  "ann_ivf", "contamination", "contamination_lsh",
-                 "sample_mix", "dedup_scrub"):
+                 "sample_mix", "dedup_scrub", "text_ccnet"):
         fn, _sql = Q.QUERIES[name]
         assert fn(spark, sf).count() == 0, name
     Q.unpersist_registered()
@@ -601,7 +601,8 @@ def test_events_range_join_boundaries(spark, tmp_path):
         e(3, "view", 599, 999_999),  # last us of #1; also inside #2
         e(4, "view", 600),           # exactly 600s: outside #1, inside #2
         e(5, "view", 900),           # outside both
-        # #1 itself lands inside #2's window (errors are events too)
+        # error #2 (t=300s) itself lands inside window #1 (errors are
+        # events too); error #1 (t=0) predates window #2's [300s, 900s)
     ]
     got = {r["incident_id"]: r["n_events"] for r in
            q_events_range_join(spark, _write_events(tmp_path, rows)).collect()}
@@ -644,8 +645,6 @@ def test_events_value_stats_approx_scale_path(spark):
     sort-based percentile for approx_percentile (mergeable GK sketch,
     no global sort). Pin that the swap is actually available and lands
     within the sketch's accuracy budget of the exact gated values."""
-    import os
-
     ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     rows = (ev.groupBy("event_type")
             .agg(F.expr("percentile(value, 0.9)").alias("exact"),
