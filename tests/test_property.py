@@ -308,3 +308,54 @@ def test_html_tag_soup_never_crashes(s):
     from pdftext_spark.core.html_main import extract_main_text
     out = extract_main_text(s)
     assert isinstance(out, str)
+
+
+@given(st.integers(0, 10**15), st.integers(0, 10**15))
+@settings(**SETTINGS)
+def test_mix_thresholds_properties(cw, cc):
+    """sample_mix invariants for ANY group volumes: thresholds stay in
+    [0, DENOM] (never upsample), a non-empty binding group keeps rate 1,
+    an empty group rates 0, and the realized volume ratio honors the
+    3:7 target direction (the web threshold satisfies
+    tw*cw*7 <= tc*cc*3 + slack of one rounding unit scaled)."""
+    from pdftext_spark.queries import _MIX_DENOM, _mix_thresholds
+
+    tw, tc = _mix_thresholds(cw, cc)
+    D = _MIX_DENOM
+    assert 0 <= tw <= D and 0 <= tc <= D
+    # empty group -> rate 0; the converse does not hold (under extreme
+    # imbalance the non-binding rate legitimately floors to 0)
+    if cw == 0:
+        assert tw == 0
+    if cc == 0:
+        assert tc == 0
+    if cw and cc:
+        assert tw == D or tc == D          # one group always binds
+        # floor-rounding may only UNDERSHOOT the non-binding group:
+        # realized web:curated volume <= 3:7 when web is downsampled
+        # (and symmetrically), never overshoot
+        if tc == D:
+            assert tw * cw * 7 <= D * cc * 3
+        if tw == D:
+            assert tc * cc * 3 <= D * cw * 7
+
+
+@given(st.integers(1, 4000), st.integers(1, 4000), st.integers(0, 40),
+       st.binary(max_size=200), st.integers(1, 512))
+@settings(**SETTINGS)
+def test_resize_media_properties(w, h, fr, body, max_dim):
+    """resize_media invariants for ANY synthetic container: result dims
+    respect the budget, output stays a decodable IMG1 payload with the
+    frame count preserved, within-budget inputs pass through
+    byte-identical, and resize is idempotent."""
+    from pdftext_spark.operators.multimodal import decode_media, resize_media
+
+    payload = f"IMG1;W={w};H={h};F={fr};".encode() + body
+    out, nw, nh = resize_media(payload, max_dim)
+    assert max(nw, nh) <= max(max_dim, 1)
+    w2, h2, fr2, _ = decode_media(out)
+    assert (w2, h2, fr2) == (nw, nh, fr)
+    if max(w, h) <= max_dim:
+        assert out == payload
+    out2, nw2, nh2 = resize_media(out, max_dim)
+    assert (out2, nw2, nh2) == (out, nw, nh)
