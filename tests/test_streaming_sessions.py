@@ -192,3 +192,67 @@ def test_windowed_event_counts_matches_batch(spark, two_batch_dir, tmp_path):
     exp = {(r["w"]["start"], r["event_type"], r["n_events"], r["value_cents"])
            for r in batch.collect()}
     assert got == exp and len(got) > 10
+
+
+def test_windowed_counts_drop_beyond_watermark_late_data(spark, tmp_path):
+    """Append-mode watermark semantics end to end: batch 1 advances the
+    event clock far past hour 0, so batch 2's hour-0 straggler is
+    BEYOND the 30-min watermark and must be dropped from the finalized
+    hour-0 window, while batch 2's recent event still lands in its own
+    (open) window. This is the late-data contract the q_events_window
+    batch twin assumes when it recomputes 'once all late data lands'."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F  # noqa: F811 (module-style)
+
+    from pdftext_spark.streaming.sessions import windowed_event_counts
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def rows(specs):
+        return [{"event_id": i, "ts": t0 + dt.timedelta(minutes=m),
+                 "user_id": 1, "event_type": ty, "value": 1.0, "props": "{}"}
+                for i, (ty, m) in enumerate(specs)]
+
+    schema = pa.schema([("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+                        ("user_id", pa.int64()), ("event_type", pa.string()),
+                        ("value", pa.float64()), ("props", pa.string())])
+    src = tmp_path / "in"
+    src.mkdir()
+    # batch 1: two hour-0 events + a clock-advancer at hour 10
+    pq.write_table(pa.Table.from_pylist(
+        rows([("view", 1), ("view", 2), ("click", 600)]), schema=schema),
+        str(src / "a_batch1.parquet"))
+
+    out = str(tmp_path / "out")
+
+    def run():
+        stream = (spark.readStream.schema(
+            spark.read.parquet(str(src)).schema)
+            .option("maxFilesPerTrigger", 1).parquet(str(src)))
+        q = (windowed_event_counts(stream)
+             .select(F.col("w.start").alias("ws"), "event_type", "n_events")
+             .writeStream.format("parquet").outputMode("append")
+             .option("path", out)
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return {(r["ws"].minute + 60 * r["ws"].hour, r["event_type"]):
+                r["n_events"] for r in spark.read.parquet(out).collect()}
+
+    run()
+    # batch 2: an hour-0 straggler (beyond watermark: clock sits at
+    # 10:00 - 30min) and a fresh event near the clock
+    pq.write_table(pa.Table.from_pylist(
+        [{"event_id": 10, "ts": t0 + dt.timedelta(minutes=3), "user_id": 1,
+          "event_type": "view", "value": 1.0, "props": "{}"},
+         {"event_id": 11, "ts": t0 + dt.timedelta(minutes=590), "user_id": 1,
+          "event_type": "view", "value": 1.0, "props": "{}"}],
+        schema=schema), str(src / "b_batch2.parquet"))
+    got = run()
+    # hour-0 window finalized at 2 views: the straggler was dropped
+    assert got[(0, "view")] == 2
+    # the straggler did not resurrect a second hour-0 emission either
+    assert sum(1 for (start, ty) in got if start == 0 and ty == "view") == 1
