@@ -256,3 +256,59 @@ def test_windowed_counts_drop_beyond_watermark_late_data(spark, tmp_path):
     assert got[(0, "view")] == 2
     # the straggler did not resurrect a second hour-0 emission either
     assert sum(1 for (start, ty) in got if start == 0 and ty == "view") == 1
+
+
+def test_asof_stream_matches_batch_across_restart(spark, tmp_path):
+    """Streaming last-touch attribution must be ROW-IDENTICAL to the
+    batch as-of window (q_events_asof) when events replay in event-time
+    order — split at the median timestamp into two files, run with a
+    checkpoint RESTART between them (run 2 is a new query object), so
+    the cross-batch frame lives entirely in the state store."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pdftext_spark.queries import q_events_asof
+    from pdftext_spark.streaming.asof import asof_stream
+
+    sf = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(os.path.join(sf, "events.parquet"))
+    mid = (ev.select(F.expr(
+        "percentile(timestampdiff(MICROSECOND, "
+        "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts), 0.5)").alias("m"))
+        .collect()[0]["m"])
+    ev = ev.withColumn("mid_us", F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"))
+    src = tmp_path / "in"
+    src.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    ev.where(F.col("mid_us") <= mid).drop("mid_us").coalesce(1) \
+        .write.parquet(str(src / "chunk_a"))
+    for f in os.listdir(src / "chunk_a"):
+        if f.endswith(".parquet"):
+            os.rename(src / "chunk_a" / f, src / f"a_{f}")
+
+    def run():
+        stream = (spark.readStream.schema(ev.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(str(src)))
+        q = (asof_stream(stream).writeStream.format("parquet")
+             .outputMode("append").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    run()
+    ev.where(F.col("mid_us") > mid).drop("mid_us").coalesce(1) \
+        .write.parquet(str(src / "chunk_b"))
+    for f in os.listdir(src / "chunk_b"):
+        if f.endswith(".parquet"):
+            os.rename(src / "chunk_b" / f, src / f"b_{f}")
+    run()
+
+    cols = ("event_id", "user_id", "purchase_us", "touch_event_id",
+            "touch_type", "gap_us")
+    got = sorted(tuple(r[c] for c in cols)
+                 for r in spark.read.parquet(out).collect())
+    exp = sorted(tuple(r[c] for c in cols)
+                 for r in q_events_asof(spark, sf).collect())
+    assert got == exp and len(got) > 50
