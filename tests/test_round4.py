@@ -752,3 +752,35 @@ def test_text_ccnet_buckets_monotone_and_balanced(spark):
     for b in by.values():
         assert 0.2 * n < len(b) < 0.47 * n  # tertile-ish
     unpersist_registered()
+
+
+def test_run_query_cli(spark, monkeypatch, tmp_path, capsys):
+    """The pipeline-query entry point: --list prints the registry, a dry
+    run reports rows+schema, --output writes parquet, and an unknown
+    name exits 2 (getOrCreate reuses the test session in-process)."""
+    import sys
+
+    sys.path.insert(0, "scripts")
+    try:
+        import run_query
+    finally:
+        sys.path.pop(0)
+
+    monkeypatch.setattr(sys, "argv", ["run_query.py", "--list"])
+    assert run_query.main() == 0
+    assert "sample_mix" in capsys.readouterr().out
+
+    monkeypatch.setattr(sys, "argv", [
+        "run_query.py", "sample_hash", "--sf", "/root/testdata/sf0.001"])
+    assert run_query.main() == 0
+    assert "rows; schema" in capsys.readouterr().out
+
+    out = str(tmp_path / "q")
+    monkeypatch.setattr(sys, "argv", [
+        "run_query.py", "sample_hash", "--sf", "/root/testdata/sf0.001",
+        "--output", out])
+    assert run_query.main() == 0
+    assert spark.read.parquet(out).count() > 0
+
+    monkeypatch.setattr(sys, "argv", ["run_query.py", "nope"])
+    assert run_query.main() == 2
