@@ -244,3 +244,34 @@ def test_events_retention_single_user_shuffle(spark):
     # rows; the naive self-join form never appears
     p = _plan(spark, "events_retention")
     assert "Join" not in p and _shuffles(p) <= 2
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """The co-located-join scale path the docstrings reference: two
+    tables bucketed AND sorted on the join key join with ZERO exchanges
+    and zero sorts — at 100 TB this is how a fact table meets its
+    per-doc side tables (masks, scores, dedup verdicts) repeatedly
+    without re-shuffling the corpus each time."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a, b = (f"t{uuid.uuid4().hex[:8]}" for _ in range(2))
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        (d.select("doc_id", "source").write.mode("overwrite")
+         .bucketBy(8, "doc_id").sortBy("doc_id").saveAsTable(a))
+        (d.select("doc_id", "n_chars").write.mode("overwrite")
+         .bucketBy(8, "doc_id").sortBy("doc_id").saveAsTable(b))
+        j = spark.table(a).join(spark.table(b), "doc_id")
+        n = j.count()
+        p = j._jdf.queryExecution().executedPlan().toString()
+        assert n == d.count()
+        assert "Exchange" not in p          # bucketing replaces the shuffle
+        assert "SortMergeJoin" in p
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+        spark.sql(f"DROP TABLE IF EXISTS {a}")
+        spark.sql(f"DROP TABLE IF EXISTS {b}")
