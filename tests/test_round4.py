@@ -784,3 +784,18 @@ def test_run_query_cli(spark, monkeypatch, tmp_path, capsys):
 
     monkeypatch.setattr(sys, "argv", ["run_query.py", "nope"])
     assert run_query.main() == 2
+
+
+def test_approx_count_distinct_scale_path(spark):
+    """The distinct-user/conv counts (refs_domains, events_range_join,
+    events_retention) become approx_count_distinct (HLL++, mergeable, no
+    distinct expansion) at 10^12 rows; pin that the sketch lands within
+    its default 5% rsd of the exact counts on real data."""
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    rows = (ev.groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("exact"),
+                 F.approx_count_distinct("user_id").alias("approx"))
+            .collect())
+    assert rows
+    for r in rows:
+        assert abs(r["approx"] - r["exact"]) <= max(2, 0.15 * r["exact"]), r
