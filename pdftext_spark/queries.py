@@ -2436,7 +2436,10 @@ def sql_events_sessionize(sf_dir):
         "FROM s GROUP BY user_id, session_idx")
 
 
-def q_events_asof(spark, sf_dir):
+_ASOF_CHUNK_US = 86400 * 1_000_000   # per-day chunks for the sharded form
+
+
+def q_events_asof(spark, sf_dir, chunked: bool = False):
     """AS-OF JOIN (last-touch attribution): each purchase event joined to
     the same user's most recent non-purchase event strictly earlier in
     (ts, event_id) order. Spark has no ASOF JOIN operator; the naive
@@ -2446,31 +2449,66 @@ def q_events_asof(spark, sf_dir):
     PRECEDING .. 1 PRECEDING)` carries the latest touch forward — the
     window frame IS the as-of semantics, cost O(n log n) per user
     instead of a pair blowup, and it never re-reads or re-joins the
-    table. At 100 TB the user_id key is the natural partitioner (same
-    key sessionize shuffles on, so the two ops share one exchange when
-    pipelined); a user's history fits a partition because the window is
-    a running scan, not a materialized frame. Timestamps are carried as
-    exact tz-free epoch micros end-to-end (no timestamp round trip);
-    touch columns are NULL when no prior touch exists (left-join
-    semantics of the frame's empty prefix)."""
+    table. The user_id key is the natural partitioner (same key
+    sessionize shuffles on, so the two ops share one exchange when
+    pipelined). Timestamps are carried as exact tz-free epoch micros
+    end-to-end (no timestamp round trip); touch columns are NULL when
+    no prior touch exists (left-join semantics of the empty prefix).
+
+    A single user whose history outgrows one task (a bot at 10^12
+    events — the text_pack skew lesson) is handled by the SEGMENTED
+    form (``chunked=True``, value-identical by test): events shuffle on
+    (user_id, day-chunk) so no user serializes; each chunk computes its
+    local strictly-before frame plus a one-row summary (latest touch in
+    chunk); a per-user carry window over the TINY summary table (one
+    row per active user-day) propagates the incoming touch to each
+    chunk; a coalesce stitches local and incoming. Worst-case bot cost
+    drops from O(user history) on one task to O(events per user-day)."""
     ev = _with_us(spark.read.parquet(os.path.join(sf_dir, "events.parquet")))
-    w = (Window.partitionBy("user_id").orderBy("us", "event_id")
-         .rowsBetween(Window.unboundedPreceding, -1))
     touch = F.col("event_type") != "purchase"
-    ev = ev.select(
-        "event_id", "user_id", "event_type",
+    if not chunked:
+        w = (Window.partitionBy("user_id").orderBy("us", "event_id")
+             .rowsBetween(Window.unboundedPreceding, -1))
+        ev = ev.select(
+            "event_id", "user_id", "event_type",
+            F.col("us").alias("purchase_us"),
+            F.last(F.when(touch, F.col("event_id")), ignorenulls=True)
+            .over(w).alias("touch_event_id"),
+            F.last(F.when(touch, F.col("event_type")), ignorenulls=True)
+            .over(w).alias("touch_type"),
+            F.last(F.when(touch, F.col("us")), ignorenulls=True)
+            .over(w).alias("touch_us"))
+        return (ev.where(F.col("event_type") == "purchase")
+                .select("event_id", "user_id", "purchase_us",
+                        "touch_event_id", "touch_type",
+                        (F.col("purchase_us") - F.col("touch_us"))
+                        .alias("gap_us")))
+    ev = ev.withColumn("chunk", F.expr(f"us div {_ASOF_CHUNK_US}"))
+    wl = (Window.partitionBy("user_id", "chunk").orderBy("us", "event_id")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    loc = ev.select(
+        "event_id", "user_id", "event_type", "chunk",
         F.col("us").alias("purchase_us"),
-        F.last(F.when(touch, F.col("event_id")), ignorenulls=True)
-        .over(w).alias("touch_event_id"),
-        F.last(F.when(touch, F.col("event_type")), ignorenulls=True)
-        .over(w).alias("touch_type"),
-        F.last(F.when(touch, F.col("us")), ignorenulls=True)
-        .over(w).alias("touch_us"))
-    return (ev.where(F.col("event_type") == "purchase")
-            .select("event_id", "user_id", "purchase_us", "touch_event_id",
-                    "touch_type",
-                    (F.col("purchase_us") - F.col("touch_us"))
-                    .alias("gap_us")))
+        F.last(F.when(touch, F.struct("us", "event_id", "event_type")),
+               ignorenulls=True).over(wl).alias("lt"))
+    # one row per active (user, day): the latest touch inside the chunk
+    # (struct max = lexicographic on (us, event_id), exactly the order
+    # the window scans in)
+    summ = (ev.groupBy("user_id", "chunk")
+            .agg(F.max(F.when(touch, F.struct("us", "event_id",
+                                              "event_type"))).alias("ct")))
+    wc = (Window.partitionBy("user_id").orderBy("chunk")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    inc = summ.select(
+        "user_id", "chunk",
+        F.last("ct", ignorenulls=True).over(wc).alias("inc"))
+    j = (loc.join(inc, ["user_id", "chunk"])
+         .withColumn("t", F.coalesce(F.col("lt"), F.col("inc"))))
+    return (j.where(F.col("event_type") == "purchase")
+            .select("event_id", "user_id", "purchase_us",
+                    F.col("t.event_id").alias("touch_event_id"),
+                    F.col("t.event_type").alias("touch_type"),
+                    (F.col("purchase_us") - F.col("t.us")).alias("gap_us")))
 
 
 def sql_events_asof(sf_dir):

@@ -799,3 +799,34 @@ def test_approx_count_distinct_scale_path(spark):
     assert rows
     for r in rows:
         assert abs(r["approx"] - r["exact"]) <= max(2, 0.15 * r["exact"]), r
+
+
+def test_events_asof_chunked_form_identical(spark):
+    """The segmented (user, day-chunk) as-of — the no-user-serializes
+    scale form — must be ROW-IDENTICAL to the single-window form, and
+    its heavy shuffle must key on (user_id, chunk)."""
+    from pdftext_spark.queries import q_events_asof
+
+    sf = "/root/testdata/sf0.001"
+    cols = ("event_id", "user_id", "purchase_us", "touch_event_id",
+            "touch_type", "gap_us")
+
+    def rows(df):
+        return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+    plain = rows(q_events_asof(spark, sf))
+    chunked_df = q_events_asof(spark, sf, chunked=True)
+    assert rows(chunked_df) == plain and len(plain) > 50
+    p = chunked_df._jdf.queryExecution().executedPlan().toString()
+    import re
+    keys = [m.group(1) for m in
+            re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", p)]
+    # the heavy event stream keys on (user_id, chunk) — the no-user-
+    # serializes property; the tiny summary pipeline may add user_id-
+    # keyed exchanges of per-user-day rows (strategy-dependent count)
+    assert any("user_id" in k and "chunk" in k for k in keys)
+    # every window in the chunked plan is chunk-scoped (partition or
+    # order key); the unchunked form's user-alone running frame — the
+    # thing that serializes a bot user — must not appear
+    specs = re.findall(r"windowspecdefinition\([^)]*\)", p)
+    assert specs and all("chunk" in w for w in specs)
