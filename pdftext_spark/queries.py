@@ -2356,7 +2356,12 @@ def q_events_funnel(spark, sf_dir):
     nulls its time, the next stage's ts > prev comparison is then NULL,
     and the filter drops everything — exactly 'never reached'.
     Composition of gated constituents (events_sessionize's per-user
-    ordered collect + events_value_stats' conditional aggregation)."""
+    ordered collect + events_value_stats' conditional aggregation).
+    Skew caveat: collect_list materializes one user's full history —
+    a bot user concentrates on one task (the events_asof(chunked=True)
+    segmentation pattern is the remedy shape if that ever bites;
+    funnels would chunk per (user, day) with per-chunk stage minima
+    merged by a carry pass over chunk summaries)."""
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     g = (ev.select("user_id", "ts", "event_id", "event_type")
          .groupBy("user_id")
@@ -2407,7 +2412,11 @@ def sql_events_funnel(sf_dir):
 def q_events_sessionize(spark, sf_dir):
     """Gap-based sessionization over the events stream table (30-min
     inactivity closes a session) — lag + running-sum window composition,
-    the batch form of a stateful streaming operator."""
+    the batch form of a stateful streaming operator. Skew caveat: the
+    running window scans one user's history on one task; a bot user
+    would chunk per (user, day) with session fragments merged at chunk
+    boundaries (the events_asof(chunked=True) pattern), or run through
+    streaming/sessions.py whose state is incremental by construction."""
     ev = _with_us(spark.read.parquet(os.path.join(sf_dir, "events.parquet")))
     w = Window.partitionBy("user_id").orderBy("us", "event_id")
     gap = F.col("us") - F.lag("us").over(w)
