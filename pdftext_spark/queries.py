@@ -2597,6 +2597,49 @@ def sql_events_range_join(sf_dir):
         "GROUP BY 1")
 
 
+_PATTERN_SPAN_US = 12 * 3600 * 1_000_000   # error,error,purchase within 12 h
+
+
+def q_events_pattern(spark, sf_dir):
+    """CEP-style sequence pattern detection (the MATCH_RECOGNIZE shape
+    Spark lacks; cf. multi-pattern detection over event streams, SIGMOD
+    2019): find every CONTIGUOUS [error, error, purchase] run in a
+    user's event sequence whose first-to-last span is <= 12 hours —
+    the 'two failures then a conversion' incident signature. Where
+    events_funnel tracks non-contiguous global progression, this is
+    strict adjacency: the pattern compiles to a lag-chain over ONE
+    user-keyed window (lag(type,1), lag(type,2), lag(us,2)) plus a
+    row-wise predicate — no joins, no state machine materialization,
+    and fixed O(pattern length) columns per event. At 100 TB the lag
+    chain rides the same (user_id)-keyed exchange sessionize uses; a
+    bot user would segment per (user, day-chunk) with (pattern-1)-row
+    chunk-boundary overlap (the events_asof(chunked=True) pattern)."""
+    ev = _with_us(spark.read.parquet(os.path.join(sf_dir, "events.parquet")))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    ev = (ev.select("user_id", "event_id", "event_type", "us")
+          .withColumn("t1", F.lag("event_type", 1).over(w))
+          .withColumn("t2", F.lag("event_type", 2).over(w))
+          .withColumn("us2", F.lag("us", 2).over(w)))
+    return (ev.where((F.col("event_type") == "purchase")
+                     & (F.col("t1") == "error") & (F.col("t2") == "error")
+                     & (F.col("us") - F.col("us2") <= _PATTERN_SPAN_US))
+            .select("user_id", F.col("event_id").alias("close_event_id"),
+                    (F.col("us") - F.col("us2")).alias("span_us")))
+
+
+def sql_events_pattern(sf_dir):
+    return (
+        "WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) us "
+        "FROM events), "
+        "l AS (SELECT user_id, event_id, event_type, us, "
+        "lag(event_type, 1) OVER w t1, lag(event_type, 2) OVER w t2, "
+        "lag(us, 2) OVER w us2 FROM e "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)) "
+        "SELECT user_id, event_id close_event_id, (us - us2)::BIGINT span_us "
+        "FROM l WHERE event_type = 'purchase' AND t1 = 'error' "
+        f"AND t2 = 'error' AND us - us2 <= {_PATTERN_SPAN_US}")
+
+
 _WEEK_US = 7 * 86400 * 1_000_000
 
 
@@ -3317,6 +3360,7 @@ UNGATED_QUERIES = {
     "ann_bruteforce_l2": (q_ann_bruteforce_l2, sql_ann_bruteforce_l2),  # L2-metric twin of ann_bruteforce (same plan, distance ascending)
     "rel_ship_priority": (q_rel_ship_priority, sql_rel_ship_priority),  # composition: rel_top_customers' broadcast+top-k x rel_pricing_summary's exact cents
     "events_retention": (q_events_retention, sql_events_retention),  # composition: sessionize's user-keyed agg x events_window's integer time buckets
+    "events_pattern": (q_events_pattern, sql_events_pattern),  # composition: sessionize's lag window x funnel's stage predicate (contiguous CEP form)
     "contamination_lsh": (q_contamination_lsh, sql_contamination_lsh),  # composition: minhash-LSH x contamination semantics
     "text_pack_split": (q_text_pack_split, sql_text_pack_split),   # segment-splitting generalization of text_pack
     "events_funnel": (q_events_funnel, sql_events_funnel),  # composition: sessionize's ordered collect x value_stats' conditional agg

@@ -830,3 +830,37 @@ def test_events_asof_chunked_form_identical(spark):
     # thing that serializes a bot user — must not appear
     specs = re.findall(r"windowspecdefinition\([^)]*\)", p)
     assert specs and all("chunk" in w for w in specs)
+
+
+def test_events_pattern_contiguity(spark, tmp_path):
+    """The pattern is STRICT adjacency: an intervening event of any type
+    breaks [error, error, purchase]; the span bound is inclusive of the
+    limit and excludes beyond; other users' events never interleave."""
+    import datetime as dt
+
+    from pdftext_spark.queries import _PATTERN_SPAN_US, q_events_pattern
+
+    t0 = dt.datetime(2024, 1, 1)
+    span_s = _PATTERN_SPAN_US // 1_000_000
+
+    def e(eid, uid, typ, seconds):
+        return {"event_id": eid, "ts": t0 + dt.timedelta(seconds=seconds),
+                "user_id": uid, "event_type": typ, "value": 1.0,
+                "props": "{}"}
+
+    rows = [
+        # u1: clean match, span exactly at the limit (inclusive)
+        e(1, 1, "error", 0), e(2, 1, "error", 10),
+        e(3, 1, "purchase", span_s),
+        # u2: a view between the errors and the purchase breaks it
+        e(4, 2, "error", 0), e(5, 2, "error", 10), e(6, 2, "view", 20),
+        e(7, 2, "purchase", 30),
+        # u3: right shape but one second past the span bound
+        e(8, 3, "error", 0), e(9, 3, "error", 10),
+        e(10, 3, "purchase", span_s + 1),
+        # u4's events sit between u1's — must not interleave
+        e(11, 4, "view", 5), e(12, 4, "view", 15),
+    ]
+    got = q_events_pattern(spark, _write_events(tmp_path, rows)).collect()
+    assert [(r["user_id"], r["close_event_id"], r["span_us"])
+            for r in got] == [(1, 3, _PATTERN_SPAN_US)]
