@@ -2342,6 +2342,35 @@ def sql_events_window(sf_dir):
         "FROM events GROUP BY 1, 2")
 
 
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_events_pivot(spark, sf_dir):
+    """PIVOT: one row per user, one count column per event type — the
+    wide activity-profile table feature stores export. The value list
+    is EXPLICIT (`.pivot(col, values)`), which matters at scale: the
+    two-pass form (Spark first runs a distinct scan to discover values)
+    both doubles the I/O and makes the schema data-dependent; with the
+    domain pinned the plan is a single partial-aggregated shuffle of
+    5-column cells keyed by user. Counts as exact longs; the DuckDB
+    oracle is the equivalent conditional aggregation."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    p = (ev.groupBy("user_id")
+         .pivot("event_type", list(_EVENT_TYPES))
+         .agg(F.count(F.lit(1))))   # count(*) is rejected inside pivot
+    return p.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+          for t in _EVENT_TYPES])
+
+
+def sql_events_pivot(sf_dir):
+    cols = ", ".join(
+        f"count(*) FILTER (event_type = '{t}') AS n_{t}"
+        for t in _EVENT_TYPES)
+    return f"SELECT user_id, {cols} FROM events GROUP BY user_id"
+
+
 _SLIDE_US = 900 * 1_000_000      # 15-min slide
 _SLIDE_K = 4                     # 1-hour window = 4 slides
 
@@ -3399,6 +3428,7 @@ UNGATED_QUERIES = {
     "events_retention": (q_events_retention, sql_events_retention),  # composition: sessionize's user-keyed agg x events_window's integer time buckets
     "events_pattern": (q_events_pattern, sql_events_pattern),  # composition: sessionize's lag window x funnel's stage predicate (contiguous CEP form)
     "events_window_sliding": (q_events_window_sliding, sql_events_window_sliding),  # overlapping-window twin of events_window (explode over slide offsets)
+    "events_pivot": (q_events_pivot, sql_events_pivot),  # pivot = conditional-agg composition of events_value_stats' grouping
     "contamination_lsh": (q_contamination_lsh, sql_contamination_lsh),  # composition: minhash-LSH x contamination semantics
     "text_pack_split": (q_text_pack_split, sql_text_pack_split),   # segment-splitting generalization of text_pack
     "events_funnel": (q_events_funnel, sql_events_funnel),  # composition: sessionize's ordered collect x value_stats' conditional agg
