@@ -2342,6 +2342,37 @@ def sql_events_window(sf_dir):
         "FROM events GROUP BY 1, 2")
 
 
+def q_events_props(spark, sf_dir):
+    """Semi-structured JSON extraction over the events `props` column —
+    the schema-on-read operator every event pipeline leans on (payloads
+    evolve faster than tables). `from_json` with a PINNED schema parses
+    in the JVM projection (one pass, null on malformed — the
+    permissive-mode contract); the decile rollup of the extracted
+    metric then rides the usual partial-aggregated shuffle. At 100 TB
+    the lesson is the pinned schema: schema INFERENCE on JSON is a full
+    extra corpus scan, and get_json_object re-parses per path — one
+    from_json with a struct schema parses once for any number of
+    fields."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ev = ev.withColumn(
+        "k", F.from_json("props", "struct<k: bigint>")["k"])
+    return (ev.groupBy(F.expr("k div 10").alias("k_decile"), "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum("k").alias("k_sum"),
+                 F.sum(F.round(F.col("value") * 100).cast("long"))
+                 .alias("value_cents")))
+
+
+def sql_events_props(sf_dir):
+    return (
+        "WITH e AS (SELECT event_type, value, "
+        "json_extract(props, '$.k')::BIGINT k FROM events) "
+        "SELECT k // 10 AS k_decile, event_type, count(*) n_events, "
+        "sum(k)::BIGINT k_sum, "
+        "sum(round(value * 100)::BIGINT)::BIGINT value_cents "
+        "FROM e GROUP BY 1, 2")
+
+
 _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
@@ -3429,6 +3460,7 @@ UNGATED_QUERIES = {
     "events_pattern": (q_events_pattern, sql_events_pattern),  # composition: sessionize's lag window x funnel's stage predicate (contiguous CEP form)
     "events_window_sliding": (q_events_window_sliding, sql_events_window_sliding),  # overlapping-window twin of events_window (explode over slide offsets)
     "events_pivot": (q_events_pivot, sql_events_pivot),  # pivot = conditional-agg composition of events_value_stats' grouping
+    "events_props": (q_events_props, sql_events_props),  # JSON schema-on-read composition of events_window's rollup shape
     "contamination_lsh": (q_contamination_lsh, sql_contamination_lsh),  # composition: minhash-LSH x contamination semantics
     "text_pack_split": (q_text_pack_split, sql_text_pack_split),   # segment-splitting generalization of text_pack
     "events_funnel": (q_events_funnel, sql_events_funnel),  # composition: sessionize's ordered collect x value_stats' conditional agg
