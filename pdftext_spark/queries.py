@@ -2402,6 +2402,30 @@ def sql_events_pivot(sf_dir):
     return f"SELECT user_id, {cols} FROM events GROUP BY user_id"
 
 
+def q_events_unpivot(spark, sf_dir):
+    """UNPIVOT (melt) — the inverse reshape of events_pivot: the wide
+    per-user profile back to long (user_id, event_type, n_events) rows.
+    Dropping the zero cells makes pivot∘unpivot the identity on the
+    long form, so the oracle is simply the direct per-(user, type)
+    count — the algebraic property IS the correctness check. unpivot
+    is a zero-shuffle projection (each wide row explodes to its K
+    cells in place); the only exchange in the plan is the pivot's own
+    user-keyed aggregate."""
+    wide = q_events_pivot(spark, sf_dir)
+    long = wide.unpivot(
+        "user_id",
+        [f"n_{t}" for t in _EVENT_TYPES],
+        "event_type", "n_events")
+    return (long.where(F.col("n_events") > 0)
+            .withColumn("event_type",
+                        F.expr("substring(event_type, 3)")))
+
+
+def sql_events_unpivot(sf_dir):
+    return ("SELECT user_id, event_type, count(*) n_events "
+            "FROM events GROUP BY 1, 2")
+
+
 _SLIDE_US = 900 * 1_000_000      # 15-min slide
 _SLIDE_K = 4                     # 1-hour window = 4 slides
 
@@ -3461,6 +3485,7 @@ UNGATED_QUERIES = {
     "events_window_sliding": (q_events_window_sliding, sql_events_window_sliding),  # overlapping-window twin of events_window (explode over slide offsets)
     "events_pivot": (q_events_pivot, sql_events_pivot),  # pivot = conditional-agg composition of events_value_stats' grouping
     "events_props": (q_events_props, sql_events_props),  # JSON schema-on-read composition of events_window's rollup shape
+    "events_unpivot": (q_events_unpivot, sql_events_unpivot),  # melt inverse of events_pivot; oracle = direct group count (identity property)
     "contamination_lsh": (q_contamination_lsh, sql_contamination_lsh),  # composition: minhash-LSH x contamination semantics
     "text_pack_split": (q_text_pack_split, sql_text_pack_split),   # segment-splitting generalization of text_pack
     "events_funnel": (q_events_funnel, sql_events_funnel),  # composition: sessionize's ordered collect x value_stats' conditional agg
