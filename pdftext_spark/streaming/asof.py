@@ -19,9 +19,11 @@ micro-batch it lands in, without re-scanning history.
   order is preserved across batches (the replay/backfill case — and
   the test drives exactly that through a checkpoint restart), the
   stream's output is ROW-IDENTICAL to q_events_asof. On out-of-order
-  arrival the max-keyed state keeps the best touch seen SO FAR — the
-  answer an online attribution pipeline actually wants (never
-  retroactively re-attribute an already-emitted purchase).
+  arrival a purchase is attributed to the best STRICTLY-EARLIER touch
+  known at emission time (the carried touch is used only when it
+  precedes the purchase in event time, so gap_us is never negative
+  and nothing from the purchase's future is attributed); touches that
+  arrive after a purchase was emitted never re-attribute it.
 
 Scale notes (100 TB): state cardinality is O(users) at ~40 bytes each —
 RocksDB state store territory like streaming/dedup.py; the per-batch
@@ -60,26 +62,36 @@ def _asof_fn():
             return
         rows = (pd.concat(frames, ignore_index=True)
                 .sort_values(["us", "event_id"]))
-        if state.exists:
-            t_us, t_id, t_type = state.get
-        else:
-            t_us = t_id = t_type = None
+        # carried state and the in-batch running touch are tracked
+        # SEPARATELY: a late-arriving purchase must never be attributed
+        # to a carried touch from its event-time future (negative gap);
+        # it can still use an in-batch touch that precedes it, and the
+        # carried touch only when it is strictly earlier.
+        s0 = tuple(state.get) if state.exists else None
+        tb = None   # latest (us, event_id, event_type) touch in batch
         out = []
         for r in rows.itertuples(index=False):
             if r.event_type == "purchase":
+                p = (int(r.us), int(r.event_id))
+                best = tb
+                if s0 is not None and (s0[0], s0[1]) < p \
+                        and (best is None or (s0[0], s0[1]) > best[:2]):
+                    best = s0
                 out.append({
                     "user_id": int(key[0]),
                     "event_id": int(r.event_id),
                     "purchase_us": int(r.us),
-                    "touch_event_id": None if t_id is None else int(t_id),
-                    "touch_type": t_type,
-                    "gap_us": None if t_us is None else int(r.us) - int(t_us),
+                    "touch_event_id": None if best is None else int(best[1]),
+                    "touch_type": None if best is None else best[2],
+                    "gap_us": (None if best is None
+                               else int(r.us) - int(best[0])),
                 })
-            elif (t_us is None
-                  or (int(r.us), int(r.event_id)) > (int(t_us), int(t_id))):
-                t_us, t_id, t_type = int(r.us), int(r.event_id), r.event_type
-        if t_us is not None:
-            state.update((t_us, t_id, t_type))
+            elif tb is None or (int(r.us), int(r.event_id)) > tb[:2]:
+                tb = (int(r.us), int(r.event_id), r.event_type)
+        new = max(x for x in (s0, tb) if x is not None) \
+            if (s0 or tb) else None
+        if new is not None:
+            state.update(tuple(new))
         if out:
             yield pd.DataFrame(out)
 
@@ -91,10 +103,10 @@ def asof_stream(events: DataFrame) -> DataFrame:
     columns (event_id, ts, user_id, event_type); emits one row per
     purchase with the latest strictly-earlier non-purchase touch, in
     the micro-batch the purchase arrives."""
+    from pdftext_spark.streaming.sessions import _epoch_us
+
     ev = (events
-          .withColumn("us", F.expr(
-              "timestampdiff(MICROSECOND, "
-              "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"))
+          .withColumn("us", _epoch_us("ts"))
           .select("user_id", "event_id", "event_type", "us"))
     return ev.groupBy("user_id").applyInPandasWithState(
         _asof_fn(),

@@ -50,9 +50,17 @@ def main():
               file=sys.stderr)
         return 2
 
-    from pdftext_spark.sources.session import build_session
+    from pyspark.sql import SparkSession
 
-    spark = build_session(shuffle_partitions=args.partitions)
+    # bare getOrCreate (same as run_job.py): under spark-submit the
+    # submitted --master/--conf win; build_session() would hardcode
+    # local[N] + sandbox scan tuning and silently demote a cluster
+    # submission to driver-local execution
+    builder = SparkSession.builder.appName("pdftext_spark-query")
+    if args.partitions:
+        builder = builder.config("spark.sql.shuffle.partitions",
+                                 str(args.partitions))
+    spark = builder.getOrCreate()
     df = Q.QUERIES[args.query][0](spark, args.sf)
     if args.output:
         df.write.mode("overwrite").parquet(args.output)

@@ -758,9 +758,12 @@ def test_run_query_cli(spark, monkeypatch, tmp_path, capsys):
     """The pipeline-query entry point: --list prints the registry, a dry
     run reports rows+schema, --output writes parquet, and an unknown
     name exits 2 (getOrCreate reuses the test session in-process)."""
+    import os
     import sys
 
-    sys.path.insert(0, "scripts")
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts"))
     try:
         import run_query
     finally:
@@ -789,8 +792,11 @@ def test_run_query_cli(spark, monkeypatch, tmp_path, capsys):
 def test_approx_count_distinct_scale_path(spark):
     """The distinct-user/conv counts (refs_domains, events_range_join,
     events_retention) become approx_count_distinct (HLL++, mergeable, no
-    distinct expansion) at 10^12 rows; pin that the sketch lands within
-    its default 5% rsd of the exact counts on real data."""
+    distinct expansion) at 10^12 rows. The default rsd is 5%; the bound
+    asserted here is a deliberately looser 15%-or-2 envelope so tiny
+    per-type groups (where one HLL bucket flip is a large relative
+    error) cannot flake the suite — the pin is that the sketch tracks
+    the exact counts at all, not its asymptotic rate."""
     ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     rows = (ev.groupBy("event_type")
             .agg(F.countDistinct("user_id").alias("exact"),
@@ -867,14 +873,16 @@ def test_events_pattern_contiguity(spark, tmp_path):
 
 
 def test_events_window_sliding_coverage(spark):
-    """Every event lands in exactly width/slide = 4 overlapping windows:
-    total sliding n_events = 4x the corpus, each tumbling-hour count
-    equals the sum of its aligned sliding window at the same start, and
-    each window's span covers its events."""
+    """Every event lands in exactly width/slide = 4 overlapping windows
+    (total sliding n_events = 4x the corpus), and a sliding window that
+    starts on an hour boundary contains exactly the tumbling-hour
+    window's events — the alignment property that catches any slide
+    offset shift."""
     import os
 
     from pdftext_spark.queries import (
         _SLIDE_K,
+        q_events_window,
         q_events_window_sliding,
         unpersist_registered,
     )
@@ -883,4 +891,11 @@ def test_events_window_sliding_coverage(spark):
     rows = q_events_window_sliding(spark, sf).collect()
     n = spark.read.parquet(os.path.join(sf, "events.parquet")).count()
     assert sum(r["n_events"] for r in rows) == _SLIDE_K * n
+    sliding = {(r["window_start_us"], r["event_type"]):
+               (r["n_events"], r["value_cents"]) for r in rows}
+    tumbling = q_events_window(spark, sf).collect()
+    assert tumbling
+    for t in tumbling:  # hour grid is a subset of the 15-min grid
+        assert sliding[(t["window_start_us"], t["event_type"])] == \
+            (t["n_events"], t["value_cents"])
     unpersist_registered()

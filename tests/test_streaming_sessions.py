@@ -312,3 +312,57 @@ def test_asof_stream_matches_batch_across_restart(spark, tmp_path):
     exp = sorted(tuple(r[c] for c in cols)
                  for r in q_events_asof(spark, sf).collect())
     assert got == exp and len(got) > 50
+
+
+def test_asof_fn_out_of_order_never_attributes_future_touch():
+    """Review finding (round 4): with a carried touch at t=100, a LATE
+    batch delivering touch(50) and purchase(60) must attribute the
+    purchase to the in-batch touch at 50 — never to the carried touch
+    from its event-time future (negative gap); and the carried state
+    must still advance to the overall max touch."""
+    import pandas as pd
+
+    from pdftext_spark.streaming.asof import _asof_fn
+
+    class FakeState:
+        def __init__(self, value=None):
+            self._v = value
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+
+    fn = _asof_fn()
+    st = FakeState((100, 7, "view"))      # carried touch at us=100
+    batch = pd.DataFrame([
+        {"us": 50, "event_id": 1, "event_type": "click"},   # late touch
+        {"us": 60, "event_id": 2, "event_type": "purchase"},
+        {"us": 200, "event_id": 3, "event_type": "purchase"},
+    ])
+    out = pd.concat(list(fn((4,), iter([batch]), st)), ignore_index=True)
+    rows = {int(r["event_id"]): r for _, r in out.iterrows()}
+    # purchase at 60: in-batch touch(50) wins; the future touch(100) is
+    # never attributed and no negative gap appears
+    assert rows[2]["touch_event_id"] == 1 and rows[2]["gap_us"] == 10
+    # purchase at 200: the carried touch(100) is now strictly earlier
+    # and later than touch(50), so it wins
+    assert rows[3]["touch_event_id"] == 7 and rows[3]["gap_us"] == 100
+    assert st.get == (100, 7, "view")     # state = overall max touch
+
+    # no prior state, purchase before any touch -> NULL attribution
+    st2 = FakeState()
+    b2 = pd.DataFrame([
+        {"us": 10, "event_id": 1, "event_type": "purchase"},
+        {"us": 20, "event_id": 2, "event_type": "view"},
+    ])
+    out2 = pd.concat(list(fn((5,), iter([b2]), st2)), ignore_index=True)
+    assert out2.iloc[0]["touch_event_id"] is None or \
+        pd.isna(out2.iloc[0]["touch_event_id"])
+    assert st2.get == (20, 2, "view")
