@@ -3086,7 +3086,11 @@ def q_text_pack(spark, sf_dir):
     when the previous docs in its shard filled it. The md5-derived shard
     is reproduced verbatim in the DuckDB oracle, so the full value hash
     still gates the output."""
-    d = (_docs(spark, sf_dir)
+    return _pack_frame(_docs(spark, sf_dir))
+
+
+def _pack_frame(docs):
+    d = (docs
          .withColumn("n_tokens", F.expr(f"size({_TOKS_SPARK})").cast("long"))
          .withColumn("shard",
                      (_h(F.col("doc_id").cast("string"))
@@ -3104,13 +3108,13 @@ def q_text_pack(spark, sf_dir):
                 "cum_tokens"))
 
 
-def sql_text_pack(sf_dir):
+def sql_text_pack(sf_dir, source_sql: str = "documents"):
     b = _PACK_BUDGET
     h = _H_SQL.format(c="doc_id::VARCHAR")
     return (
         "WITH t AS (SELECT doc_id, source, "
         "len(" + _TOKS_DUCK + ")::BIGINT n_tokens, "
-        f"({h} % {_PACK_SHARDS})::BIGINT shard FROM documents), "
+        f"({h} % {_PACK_SHARDS})::BIGINT shard FROM {source_sql}), "
         "c AS (SELECT doc_id, source, shard, n_tokens, "
         "sum(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id "
         "ROWS UNBOUNDED PRECEDING)::BIGINT cum_tokens FROM t) "
@@ -3388,6 +3392,28 @@ def sql_curate_corpus(sf_dir):
         "SELECT doc_id FROM (" + sql_contamination(sf_dir) + ") x)")
 
 
+def q_pipeline_pack(spark, sf_dir):
+    """The WHOLE training-data prep as ONE Spark plan: curate (lang +
+    quality gates, near-dup and contamination anti-joins) then pack the
+    survivors into fixed-budget training sequences — curate_corpus
+    composed with text_pack, end to end. The curated id set rides the
+    semi-join; the corpus is scanned once for the gates and once for
+    the pack (the pack needs text token counts the curate projection
+    dropped); all side inputs stay broadcast-sized. This is the query a
+    production run submits via scripts/run_query.py pipeline_pack."""
+    curated = q_curate_corpus(spark, sf_dir).select("doc_id")
+    return _pack_frame(_docs(spark, sf_dir).join(curated, "doc_id",
+                                                 "left_semi"))
+
+
+def sql_pipeline_pack(sf_dir):
+    return sql_text_pack(
+        sf_dir,
+        source_sql=("(SELECT * FROM documents WHERE doc_id IN "
+                    "(SELECT doc_id FROM (" + sql_curate_corpus(sf_dir)
+                    + ") cur))"))
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3486,6 +3512,7 @@ UNGATED_QUERIES = {
     "events_pivot": (q_events_pivot, sql_events_pivot),  # pivot = conditional-agg composition of events_value_stats' grouping
     "events_props": (q_events_props, sql_events_props),  # JSON schema-on-read composition of events_window's rollup shape
     "events_unpivot": (q_events_unpivot, sql_events_unpivot),  # melt inverse of events_pivot; oracle = direct group count (identity property)
+    "pipeline_pack": (q_pipeline_pack, sql_pipeline_pack),  # composition: curate_corpus ∘ text_pack (the end-to-end prep plan)
     "contamination_lsh": (q_contamination_lsh, sql_contamination_lsh),  # composition: minhash-LSH x contamination semantics
     "text_pack_split": (q_text_pack_split, sql_text_pack_split),   # segment-splitting generalization of text_pack
     "events_funnel": (q_events_funnel, sql_events_funnel),  # composition: sessionize's ordered collect x value_stats' conditional agg
