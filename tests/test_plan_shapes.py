@@ -275,3 +275,41 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
         spark.sql(f"DROP TABLE IF EXISTS {a}")
         spark.sql(f"DROP TABLE IF EXISTS {b}")
+
+
+def test_aqe_skew_join_splits_hot_key(spark):
+    """The skew remedy the docstrings lean on must actually engage: a
+    join where half the left side shares ONE key gets its hot partition
+    split by AQE at runtime — SortMergeJoin(skew=true) with a skewed
+    AQEShuffleRead in the FINAL adaptive plan (captured after
+    execution; the pre-execution plan says isFinalPlan=false)."""
+    from pyspark.sql import functions as F
+
+    saved = {k: spark.conf.get(k, None) for k in (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor")}
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    try:
+        left = spark.range(0, 400_000).select(
+            F.when(F.col("id") < 200_000, 0)
+            .otherwise((F.col("id") % 999) + 1).alias("k"),
+            F.concat(F.lit("payloadpayloadpayload"), F.col("id")).alias("v"))
+        right = spark.range(0, 1000).select(
+            F.col("id").alias("k"), F.lit("dim").alias("d"))
+        j = left.join(right, "k")
+        assert len(j.collect()) == 400_000
+        p = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in p
+        assert "skew=true" in p and "skewed" in p
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
