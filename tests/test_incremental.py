@@ -73,3 +73,23 @@ def test_metrics_consistency(spark, transcripts):
     assert total["n_turns"] == transcripts.count()
     assert total["n_error_turns"] == 0
     ext.unpersist()
+
+
+def test_bucket_partition_pruning(spark, fixture_dir, tmp_path):
+    """The bucket-partitioned sink must partition-prune: a single-bucket
+    read shows the bucket predicate under PartitionFilters (pruned at
+    planning, never scanned) — at 100 TB this is what makes per-bucket
+    reprocessing and downstream bucket-local reads O(bucket), not
+    O(corpus)."""
+    cfg = ExtractConfig(resume_buckets=4)
+    inp = os.path.join(fixture_dir, "transcripts.parquet")
+    out_dir = str(tmp_path / "out")
+    run_incremental(spark, inp, out_dir, cfg)
+    one = read_output(spark, out_dir).where("bucket = 2")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan.split(
+        "PartitionFilters", 1)[1][:120]
+    # the pushed partition filter must not survive as a post-scan Filter
+    assert one.count() > 0
+    total = read_output(spark, out_dir).count()
+    assert one.count() < total
