@@ -115,3 +115,41 @@ def asof_stream(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+def attribution_join_stream(events: DataFrame, window_s: int = 3600) -> DataFrame:
+    """TRUE stream-stream join (watermarked, time-range bounded): every
+    (purchase, touch) pair for one user with the touch strictly earlier
+    and within `window_s`. Where asof_stream keeps only the LATEST
+    touch via O(1) state, the join form emits ALL in-window pairs —
+    Spark's own symmetric-hash join state does the buffering, and the
+    time-range condition plus the two watermarks bound that state: a
+    buffered touch is dropped once the purchase-side watermark passes
+    its window end, so state is O(events per user-hour), not O(stream).
+    One self-source split feeds both sides here; in production the two
+    sides are independent topics sharing the user_id shuffle key."""
+    from pdftext_spark.streaming.sessions import _epoch_us
+
+    base = (events
+            .withColumn("us", _epoch_us("ts"))
+            .withColumn("wts", F.expr("timestamp_micros(us)")))
+    touches = (base.where(F.col("event_type") != "purchase")
+               .select(F.col("user_id").alias("t_user"),
+                       F.col("event_id").alias("touch_event_id"),
+                       F.col("event_type").alias("touch_type"),
+                       F.col("us").alias("touch_us"),
+                       F.col("wts").alias("t_wts"))
+               .withWatermark("t_wts", "30 minutes"))
+    purchases = (base.where(F.col("event_type") == "purchase")
+                 .select("user_id", "event_id",
+                         F.col("us").alias("purchase_us"), "wts")
+                 .withWatermark("wts", "30 minutes"))
+    cond = ((purchases["user_id"] == touches["t_user"])
+            & (touches["t_wts"] < purchases["wts"])
+            & (touches["t_wts"] >= F.expr(
+                f"wts - INTERVAL {window_s} SECONDS")))
+    return (purchases.join(touches, cond)
+            .select("user_id", "event_id", "purchase_us",
+                    "touch_event_id", "touch_type",
+                    (F.col("purchase_us") - F.col("touch_us"))
+                    .alias("gap_us")))

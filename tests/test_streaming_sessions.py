@@ -366,3 +366,46 @@ def test_asof_fn_out_of_order_never_attributes_future_touch():
     assert out2.iloc[0]["touch_event_id"] is None or \
         pd.isna(out2.iloc[0]["touch_event_id"])
     assert st2.get == (20, 2, "view")
+
+
+def test_attribution_join_stream_matches_batch(spark, tmp_path):
+    """Stream-stream watermarked join: all in-window (purchase, touch)
+    pairs per user must equal the batch inequality join over the same
+    events (strictly-earlier touch within 1 h)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pdftext_spark.streaming.asof import attribution_join_stream
+
+    sf = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(os.path.join(sf, "events.parquet"))
+    src = tmp_path / "in"
+    src.mkdir()
+    ev.coalesce(2).write.mode("overwrite").parquet(str(src / "chunk"))
+    for f in os.listdir(src / "chunk"):
+        if f.endswith(".parquet"):
+            os.rename(src / "chunk" / f, src / f)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(tmp_path / "in")))
+    q = (attribution_join_stream(stream).writeStream.format("parquet")
+         .outputMode("append").option("path", out)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    us = F.expr("timestampdiff(MICROSECOND, "
+                "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    e = ev.select("user_id", "event_id", "event_type", us.alias("us"))
+    t = e.where(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("tu"), F.col("event_id").alias("tid"),
+        F.col("us").alias("tus"))
+    p = e.where(F.col("event_type") == "purchase")
+    batch = (p.join(t, (p["user_id"] == t["tu"]) & (t["tus"] < p["us"])
+                    & (t["tus"] >= p["us"] - 3600 * 1_000_000))
+             .select("event_id", "tid"))
+    exp = sorted((r["event_id"], r["tid"]) for r in batch.collect())
+    got = sorted((r["event_id"], r["touch_event_id"])
+                 for r in spark.read.parquet(out).collect())
+    assert got == exp and len(got) >= 10
