@@ -2530,25 +2530,85 @@ def sql_events_funnel(sf_dir):
             f"FROM g{n}")
 
 
-def q_events_sessionize(spark, sf_dir):
+_SESSION_GAP_US = 1800 * 1_000_000   # 30-min inactivity closes a session
+
+
+def q_events_sessionize(spark, sf_dir, chunked: bool = False):
     """Gap-based sessionization over the events stream table (30-min
     inactivity closes a session) — lag + running-sum window composition,
-    the batch form of a stateful streaming operator. Skew caveat: the
-    running window scans one user's history on one task; a bot user
-    would chunk per (user, day) with session fragments merged at chunk
-    boundaries (the events_asof(chunked=True) pattern), or run through
-    streaming/sessions.py whose state is incremental by construction."""
+    the batch form of a stateful streaming operator.
+
+    The default form's running window scans one user's whole history on
+    one task — the bot-user skew trap. ``chunked=True`` is the SEGMENTED
+    scale form (value-identical by test): events shuffle on (user_id,
+    day-chunk) and sessionize locally, each chunk emits a one-row
+    summary (first/last event time, local session count), and a carry
+    pass over the TINY summary table (one row per active user-day)
+    decides which chunk-boundary fragments merge (bridge gap <= the
+    session gap) and assigns each chunk a global session-index base =
+    sessions-before-this-chunk minus boundary-merges-so-far. Local
+    per-session partial aggregates (count / extrema / type set) then
+    re-aggregate by global index — count and extrema are trivially
+    mergeable and the type set stays exact as a set union (event_type
+    cardinality is tiny). Worst-case bot cost drops from O(user
+    history) on one task to O(events per user-day); streaming/
+    sessions.py is the incremental twin of the same rule."""
     ev = _with_us(spark.read.parquet(os.path.join(sf_dir, "events.parquet")))
-    w = Window.partitionBy("user_id").orderBy("us", "event_id")
-    gap = F.col("us") - F.lag("us").over(w)
-    ev = ev.withColumn("new_s", F.when(gap.isNull() | (gap > 1800 * 1000000), 1)
+    if not chunked:
+        w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        gap = F.col("us") - F.lag("us").over(w)
+        ev = ev.withColumn("new_s",
+                           F.when(gap.isNull() | (gap > _SESSION_GAP_US), 1)
+                           .otherwise(0))
+        ev = ev.withColumn(
+            "session_idx",
+            F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1)
+        return (ev.groupBy("user_id", "session_idx")
+                .agg(F.count("*").alias("n_events"),
+                     (F.max("us") - F.min("us")).alias("duration_us"),
+                     F.countDistinct("event_type").alias("n_types")))
+    ev = ev.withColumn("chunk", F.expr(f"us div {_ASOF_CHUNK_US}"))
+    wl = Window.partitionBy("user_id", "chunk").orderBy("us", "event_id")
+    gap = F.col("us") - F.lag("us").over(wl)
+    ev = ev.withColumn("new_s",
+                       F.when(gap.isNull() | (gap > _SESSION_GAP_US), 1)
                        .otherwise(0))
-    ev = ev.withColumn("session_idx",
-                       F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1)
-    return (ev.groupBy("user_id", "session_idx")
+    ev = ev.withColumn(
+        "loc_idx",
+        F.sum("new_s").over(wl.rowsBetween(Window.unboundedPreceding, 0)) - 1)
+    # per-(user, chunk, local session) partial aggregates — mergeable
+    part = (ev.groupBy("user_id", "chunk", "loc_idx")
             .agg(F.count("*").alias("n_events"),
-                 (F.max("us") - F.min("us")).alias("duration_us"),
-                 F.countDistinct("event_type").alias("n_types")))
+                 F.min("us").alias("first_us"),
+                 F.max("us").alias("last_us"),
+                 F.collect_set("event_type").alias("types")))
+    # one row per active (user, day): enough to decide boundary merges
+    summ = (part.groupBy("user_id", "chunk")
+            .agg((F.max("loc_idx") + 1).alias("n_loc"),
+                 F.min("first_us").alias("c_first"),
+                 F.max("last_us").alias("c_last")))
+    wc = Window.partitionBy("user_id").orderBy("chunk")
+    # merge iff the bridge gap (prev chunk's last event -> this chunk's
+    # first) is within the session gap; non-adjacent active days always
+    # exceed it because the chunk width (1 day) > the gap
+    summ = summ.withColumn(
+        "merge",
+        F.when(F.lag("c_last").over(wc).isNotNull()
+               & (F.col("c_first") - F.lag("c_last").over(wc)
+                  <= _SESSION_GAP_US), 1).otherwise(0))
+    base = (F.coalesce(F.sum("n_loc")
+                       .over(wc.rowsBetween(Window.unboundedPreceding, -1)),
+                       F.lit(0))
+            - F.sum("merge").over(wc.rowsBetween(Window.unboundedPreceding, 0)))
+    summ = summ.select("user_id", "chunk", base.alias("base"))
+    j = (part.join(summ, ["user_id", "chunk"])
+         .withColumn("session_idx",
+                     (F.col("base") + F.col("loc_idx")).cast("long")))
+    return (j.groupBy("user_id", "session_idx")
+            .agg(F.sum("n_events").alias("n_events"),
+                 (F.max("last_us") - F.min("first_us")).alias("duration_us"),
+                 F.size(F.array_distinct(F.flatten(F.collect_list("types"))))
+                 .cast("long").alias("n_types")))
 
 
 def sql_events_sessionize(sf_dir):
@@ -2564,6 +2624,13 @@ def sql_events_sessionize(sf_dir):
         "(max(us) - min(us))::BIGINT duration_us, "
         "count(DISTINCT event_type) n_types "
         "FROM s GROUP BY user_id, session_idx")
+
+
+def q_events_sessionize_chunked(spark, sf_dir):
+    """Registry alias for the segmented sessionize (same DuckDB oracle
+    as the gated events_sessionize — the segmentation must be
+    invisible in the output)."""
+    return q_events_sessionize(spark, sf_dir, chunked=True)
 
 
 _ASOF_CHUNK_US = 86400 * 1_000_000   # per-day chunks for the sharded form
@@ -3508,6 +3575,7 @@ UNGATED_QUERIES = {
     "rel_ship_priority": (q_rel_ship_priority, sql_rel_ship_priority),  # composition: rel_top_customers' broadcast+top-k x rel_pricing_summary's exact cents
     "events_retention": (q_events_retention, sql_events_retention),  # composition: sessionize's user-keyed agg x events_window's integer time buckets
     "events_pattern": (q_events_pattern, sql_events_pattern),  # composition: sessionize's lag window x funnel's stage predicate (contiguous CEP form)
+    "events_sessionize_chunked": (q_events_sessionize_chunked, sql_events_sessionize),  # segmented scale form, same oracle as events_sessionize
     "events_window_sliding": (q_events_window_sliding, sql_events_window_sliding),  # overlapping-window twin of events_window (explode over slide offsets)
     "events_pivot": (q_events_pivot, sql_events_pivot),  # pivot = conditional-agg composition of events_value_stats' grouping
     "events_props": (q_events_props, sql_events_props),  # JSON schema-on-read composition of events_window's rollup shape

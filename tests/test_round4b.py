@@ -1,0 +1,85 @@
+"""Round-4 late-session additions: segmented scale forms and new
+pipeline operators (see SURVEY.md round-5 candidates pulled forward)."""
+import datetime as dt
+import re
+
+import pytest  # noqa: F401
+
+from pdftext_spark.queries import q_events_sessionize
+
+
+def _write_events(tmp_path, rows):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.Table.from_pylist(rows, schema=pa.schema(
+        [("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+         ("user_id", pa.int64()), ("event_type", pa.string()),
+         ("value", pa.float64()), ("props", pa.string())])),
+        f"{tmp_path}/events.parquet")
+    return str(tmp_path)
+
+
+_SESS_COLS = ("user_id", "session_idx", "n_events", "duration_us", "n_types")
+
+
+def _sess_rows(df):
+    return sorted(tuple(r[c] for c in _SESS_COLS) for r in df.collect())
+
+
+def test_events_sessionize_chunked_form_identical(spark):
+    """The segmented (user, day-chunk) sessionize — the no-user-serializes
+    scale form — must be ROW-IDENTICAL to the single-window form, its
+    heavy shuffle must key on (user_id, chunk), and no user-alone
+    running window may survive in the plan."""
+    sf = "/root/testdata/sf0.001"
+    plain = _sess_rows(q_events_sessionize(spark, sf))
+    chunked_df = q_events_sessionize(spark, sf, chunked=True)
+    assert _sess_rows(chunked_df) == plain and len(plain) > 100
+    p = chunked_df._jdf.queryExecution().executedPlan().toString()
+    keys = [m.group(1) for m in
+            re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", p)]
+    assert any("user_id" in k and "chunk" in k for k in keys)
+    # every window is chunk-scoped (partition or order key); the
+    # unchunked form's user-alone running frame must not appear
+    specs = re.findall(r"windowspecdefinition\([^)]*\)", p)
+    assert specs and all("chunk" in w for w in specs)
+
+
+def test_events_sessionize_chunked_boundary_semantics(spark, tmp_path):
+    """Chunk-boundary merge rule pinned on crafted frames: a 20-min
+    bridge over midnight merges into one session, a 40-min bridge does
+    not, and a session chain covering three calendar days stays ONE
+    session — with the merged extrema/counts/type-set exact."""
+    t0 = dt.datetime(2024, 3, 1)
+    eid = [0]
+
+    def e(uid, minutes, typ="view"):
+        eid[0] += 1
+        return {"event_id": eid[0], "ts": t0 + dt.timedelta(minutes=minutes),
+                "user_id": uid, "event_type": typ, "value": 1.0,
+                "props": "{}"}
+
+    day = 24 * 60
+    rows = [
+        # u1: 23:50 -> 00:10 next day, 20-min bridge => one session
+        e(1, day - 10, "view"), e(1, day + 10, "click"),
+        # u2: 23:40 -> 00:20 next day, 40-min bridge => two sessions
+        e(2, day - 20), e(2, day + 20),
+    ]
+    # u3: every 25 min from day-1 23:55 through day 2 into day 3 00:05
+    m = day - 5
+    while m <= 2 * day + 5:
+        rows.append(e(3, m))
+        m += 25
+    sf = _write_events(tmp_path, rows)
+    got = _sess_rows(q_events_sessionize(spark, sf, chunked=True))
+    assert got == _sess_rows(q_events_sessionize(spark, sf))
+    by_user = {}
+    for r in got:
+        by_user.setdefault(r[0], []).append(r)
+    assert len(by_user[1]) == 1
+    u1 = by_user[1][0]
+    assert u1[2] == 2 and u1[3] == 20 * 60 * 1_000_000 and u1[4] == 2
+    assert len(by_user[2]) == 2
+    assert len(by_user[3]) == 1  # three-day chain stays one session
