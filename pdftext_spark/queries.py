@@ -2466,7 +2466,7 @@ def sql_events_window_sliding(sf_dir):
 _FUNNEL_STAGES = ("signup", "view", "click", "purchase")
 
 
-def q_events_funnel(spark, sf_dir):
+def q_events_funnel(spark, sf_dir, chunked: bool = False):
     """Ordered conversion funnel per user: how far each user progressed
     through signup → view → click → purchase, where every stage must
     happen strictly AFTER the previous one. ONE user-keyed shuffle
@@ -2478,35 +2478,96 @@ def q_events_funnel(spark, sf_dir):
     and the filter drops everything — exactly 'never reached'.
     Composition of gated constituents (events_sessionize's per-user
     ordered collect + events_value_stats' conditional aggregation).
-    Skew caveat: collect_list materializes one user's full history —
-    a bot user concentrates on one task (the events_asof(chunked=True)
-    segmentation pattern is the remedy shape if that ever bites;
-    funnels would chunk per (user, day) with per-chunk stage minima
-    merged by a carry pass over chunk summaries)."""
+
+    The default form's collect_list materializes one user's full
+    history on one task — the bot-user skew trap. ``chunked=True`` is
+    the SEGMENTED scale form (value-identical by test), built on an
+    exactness property of time-partitioned chunks: an entry state
+    carried in from an earlier chunk has its time strictly BELOW every
+    event in this chunk, so the 'ts > prev stage' constraint is
+    automatically satisfied across the boundary and the per-chunk
+    transition function depends only on the entry STAGE — a finite
+    domain. Each (user, day-chunk) therefore precomputes the chained
+    stage minima for every possible entry stage (a 4+3+2+1 triangle of
+    array-mins over the chunk's own events), and a per-user fold
+    (aggregate) over the TINY chunk-summary table (one row per active
+    user-day) composes the transitions in chunk order, threading the
+    reached stage and filling each stage time from the chunk that
+    advanced past it. Worst-case bot cost drops from O(user history)
+    on one task to O(events per user-day)."""
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    g = (ev.select("user_id", "ts", "event_id", "event_type")
-         .groupBy("user_id")
+    n_st = len(_FUNNEL_STAGES)
+    if not chunked:
+        g = (ev.select("user_id", "ts", "event_id", "event_type")
+             .groupBy("user_id")
+             .agg(F.sort_array(F.collect_list(F.struct(
+                 "ts", "event_id", "event_type"))).alias("evs")))
+        prev = None
+        cols = []
+        for i, stage in enumerate(_FUNNEL_STAGES):
+            cond = f"e.event_type = '{stage}'"
+            if prev is not None:
+                cond += f" AND e.ts > t{i - 1}"
+            g = g.withColumn(
+                f"t{i}",
+                F.expr(f"array_min(transform(filter(evs, e -> {cond}), "
+                       f"e -> e.ts))"))
+            cols.append(f"t{i}")
+            prev = stage
+        stage_expr = "CASE " + " ".join(
+            f"WHEN t{i} IS NULL THEN {i}" for i in range(n_st)) \
+            + f" ELSE {n_st} END"
+        return g.select("user_id",
+                        F.expr(stage_expr).cast("int").alias("stage"),
+                        *cols)
+    ev = _with_us(ev).withColumn("chunk", F.expr(f"us div {_ASOF_CHUNK_US}"))
+    g = (ev.select("user_id", "chunk", "ts", "event_id", "event_type")
+         .groupBy("user_id", "chunk")
          .agg(F.sort_array(F.collect_list(F.struct(
              "ts", "event_id", "event_type"))).alias("evs")))
-    prev = None
-    cols = []
-    for i, stage in enumerate(_FUNNEL_STAGES):
-        cond = f"e.event_type = '{stage}'"
-        if prev is not None:
-            cond += f" AND e.ts > t{i - 1}"
-        g = g.withColumn(
-            f"t{i}",
-            F.expr(f"array_min(transform(filter(evs, e -> {cond}), "
-                   f"e -> e.ts))"))
-        cols.append(f"t{i}")
-        prev = stage
-    stage_expr = "CASE " + " ".join(
-        f"WHEN t{i} IS NULL THEN {i}"
-        for i in range(len(_FUNNEL_STAGES))) \
-        + f" ELSE {len(_FUNNEL_STAGES)} END"
-    return g.select("user_id",
-                    F.expr(stage_expr).cast("int").alias("stage"),
-                    *cols)
+    # the transition triangle: v{s}_{i} = chained min for stage i given
+    # entry stage s (entry time is < every event here, so stage s's min
+    # is unconstrained; later stages chain on this chunk's own times)
+    for s in range(n_st):
+        prev = None
+        for i in range(s, n_st):
+            cond = f"e.event_type = '{_FUNNEL_STAGES[i]}'"
+            if prev is not None:
+                cond += f" AND e.ts > {prev}"
+            g = g.withColumn(
+                f"v{s}_{i}",
+                F.expr(f"array_min(transform(filter(evs, e -> {cond}), "
+                       f"e -> e.ts))"))
+            prev = f"v{s}_{i}"
+    mat = F.array(*[F.array(*[F.col(f"v{s}_{i}") for i in range(s, n_st)])
+                    for s in range(n_st)])
+    summ = g.select("user_id", "chunk", mat.alias("mat"))
+    per_user = (summ.groupBy("user_id")
+                .agg(F.sort_array(F.collect_list(F.struct("chunk", "mat")))
+                     .alias("chunks")))
+    nulls = ", ".join(["CAST(NULL AS TIMESTAMP)"] * n_st)
+    fold = F.expr(f"""
+        aggregate(chunks,
+          named_struct('stage', 0, 'ts', array({nulls})),
+          (acc, c) -> IF(acc.stage >= {n_st}, acc,
+            named_struct(
+              'stage', acc.stage + size(filter(
+                  element_at(c.mat, acc.stage + 1), x -> x IS NOT NULL)),
+              'ts', transform(acc.ts, (t, i) -> IF(i < acc.stage, t,
+                  element_at(element_at(c.mat, acc.stage + 1),
+                             i - acc.stage + 1))))))
+    """)
+    res = per_user.select("user_id", fold.alias("st"))
+    return res.select("user_id",
+                      F.col("st.stage").cast("int").alias("stage"),
+                      *[F.col("st.ts")[i].alias(f"t{i}")
+                        for i in range(n_st)])
+
+
+def q_events_funnel_chunked(spark, sf_dir):
+    """Registry alias for the segmented funnel (same DuckDB oracle as
+    events_funnel — the segmentation must be invisible)."""
+    return q_events_funnel(spark, sf_dir, chunked=True)
 
 
 def sql_events_funnel(sf_dir):
@@ -3584,6 +3645,7 @@ UNGATED_QUERIES = {
     "contamination_lsh": (q_contamination_lsh, sql_contamination_lsh),  # composition: minhash-LSH x contamination semantics
     "text_pack_split": (q_text_pack_split, sql_text_pack_split),   # segment-splitting generalization of text_pack
     "events_funnel": (q_events_funnel, sql_events_funnel),  # composition: sessionize's ordered collect x value_stats' conditional agg
+    "events_funnel_chunked": (q_events_funnel_chunked, sql_events_funnel),  # segmented scale form, same oracle as events_funnel
     "ann_bruteforce_np": (q_ann_bruteforce_np, sql_ann_bruteforce),  # same oracle as ann_bruteforce
     "text_surprisal": (q_text_surprisal, sql_text_surprisal),   # unigram special case of text_perplexity
     "text_features": (q_text_features, sql_text_features),      # single-scan fusion of gated row-wise ops

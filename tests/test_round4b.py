@@ -83,3 +83,75 @@ def test_events_sessionize_chunked_boundary_semantics(spark, tmp_path):
     assert u1[2] == 2 and u1[3] == 20 * 60 * 1_000_000 and u1[4] == 2
     assert len(by_user[2]) == 2
     assert len(by_user[3]) == 1  # three-day chain stays one session
+
+
+def test_events_funnel_chunked_form_identical(spark):
+    """The segmented (user, day-chunk) funnel must be ROW-IDENTICAL to
+    the single-collect form; its heavy shuffle keys on (user_id, chunk)
+    and the per-user reduce only ever sees one row per active user-day."""
+    from pdftext_spark.queries import q_events_funnel
+
+    sf = "/root/testdata/sf0.001"
+    cols = ("user_id", "stage", "t0", "t1", "t2", "t3")
+
+    def rows(df):
+        return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+    plain = rows(q_events_funnel(spark, sf))
+    chunked_df = q_events_funnel(spark, sf, chunked=True)
+    assert rows(chunked_df) == plain and len(plain) > 5
+    p = chunked_df._jdf.queryExecution().executedPlan().toString()
+    keys = [m.group(1) for m in
+            re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", p)]
+    assert any("user_id" in k and "chunk" in k for k in keys)
+
+
+def test_events_funnel_chunked_semantics(spark, tmp_path):
+    """Cross-chunk progression pinned on crafted frames: stages split
+    across days compose (the carried entry time is strictly before the
+    whole next chunk), strict-after still binds WITHIN a chunk, and a
+    later-chunk stage event never beats an earlier chunk's min."""
+    from pdftext_spark.queries import q_events_funnel
+
+    t0 = dt.datetime(2024, 3, 1)
+    eid = [0]
+
+    def e(uid, day, minutes, typ):
+        eid[0] += 1
+        return {"event_id": eid[0],
+                "ts": t0 + dt.timedelta(days=day, minutes=minutes),
+                "user_id": uid, "event_type": typ, "value": 1.0,
+                "props": "{}"}
+
+    rows_in = [
+        # u1: one stage per day over four days -> full conversion
+        e(1, 0, 10, "signup"), e(1, 1, 10, "view"),
+        e(1, 2, 10, "click"), e(1, 3, 10, "purchase"),
+        # u2: day 0 has purchase BEFORE click (blocked within chunk);
+        # day 1 supplies the purchase -> full conversion via carry
+        e(2, 0, 0, "signup"), e(2, 0, 10, "view"),
+        e(2, 0, 20, "purchase"), e(2, 0, 30, "click"),
+        e(2, 1, 0, "purchase"),
+        # u3: signup+view+click all on day 0, never purchases -> stage 3
+        e(3, 0, 0, "signup"), e(3, 0, 10, "view"), e(3, 0, 20, "click"),
+        # u4: view/click/purchase day 0, signup only on day 1 -> the
+        # day-1 signup can't resurrect day-0 later stages: stage 1
+        e(4, 0, 0, "view"), e(4, 0, 10, "click"),
+        e(4, 0, 20, "purchase"), e(4, 1, 0, "signup"),
+        # u5: two signups (day 0 and day 2), view day 1 -> t0 must be
+        # the day-0 min, t1 the day-1 view, stage 2
+        e(5, 0, 0, "signup"), e(5, 2, 0, "signup"), e(5, 1, 0, "view"),
+    ]
+    sf = _write_events(tmp_path, rows_in)
+    got = {r["user_id"]: r for r in
+           q_events_funnel(spark, sf, chunked=True).collect()}
+    base = {r["user_id"]: r for r in q_events_funnel(spark, sf).collect()}
+    for uid in got:
+        assert tuple(got[uid]) == tuple(base[uid]), uid
+    assert got[1]["stage"] == 4
+    assert got[2]["stage"] == 4
+    assert got[2]["t3"] == t0 + dt.timedelta(days=1)
+    assert got[3]["stage"] == 3 and got[3]["t3"] is None
+    assert got[4]["stage"] == 1 and got[4]["t1"] is None
+    assert got[5]["stage"] == 2
+    assert got[5]["t0"] == t0 and got[5]["t1"] == t0 + dt.timedelta(days=1)
