@@ -1218,6 +1218,59 @@ def sql_dedup_jaccard(sf_dir):
         "WHERE round(common * 1.0 / (na.n + nb.n - common), 6) >= 0.8")
 
 
+def q_dedup_jaccard_prefix(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup pairs (threshold 0.8) via PREFIX
+    FILTERING — the SSJoin/PPJoin family (Chaudhuri et al. ICDE'06,
+    Xiao et al. WWW'08), the principled scale path that makes the exact
+    threshold join tractable where dedup_jaccard's full shingle
+    equi-join is quadratic in duplicate density. Shingles get a global
+    canonical order by ascending document frequency (rarest first);
+    each doc keeps only its first |x| - ceil(0.8·|x|) + 1 shingles in
+    that order. For any pair with J >= t the smallest common shingle in
+    the canonical order provably lands in BOTH prefixes (the suffix of
+    either doc holds at most ceil(t|x|)-1 < |x∩y| common shingles, and
+    a prefix is downward-closed in the order), so joining prefixes
+    only loses nothing. Because prefixes hold the RAREST shingles, the
+    candidate join is skew-light by construction — the hot head
+    shingles that blow up the naive join never enter it. Candidates
+    then verify with one array_intersect against the persisted per-doc
+    shingle arrays (two slim joins sized by candidate density). Output
+    and oracle are identical to dedup_jaccard: the filter must be
+    invisible."""
+    docs = (_docs(spark, sf_dir)
+            .withColumn("toks", F.expr(_TOKS_SPARK))
+            .withColumn("sh", F.array_distinct(F.expr(_SHINGLES_SPARK)))
+            .select("doc_id", "sh", F.size("sh").alias("n"))
+            .persist())
+    docs = _register_persisted(docs)
+    ex = docs.select("doc_id", "n", F.explode("sh").alias("shingle"))
+    freq = ex.groupBy("shingle").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    pref = (ex.join(freq, "shingle")
+            .withColumn("pos", F.row_number().over(w))
+            .where(F.col("pos") <= F.col("n") - F.ceil(F.col("n") * 0.8) + 1)
+            .select("shingle", "doc_id"))
+    cand = (pref.alias("a")
+            .join(pref.alias("b"),
+                  (F.col("a.shingle") == F.col("b.shingle"))
+                  & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    da = docs.select(F.col("doc_id").alias("doc_a"),
+                     F.col("sh").alias("sha"), F.col("n").alias("na"))
+    db = docs.select(F.col("doc_id").alias("doc_b"),
+                     F.col("sh").alias("shb"), F.col("n").alias("nb"))
+    return (cand.join(da, "doc_a").join(db, "doc_b")
+            .withColumn("common", F.size(F.array_intersect("sha", "shb")))
+            .withColumn("jaccard",
+                        F.round(F.col("common")
+                                / (F.col("na") + F.col("nb") - F.col("common")),
+                                6))
+            .where(F.col("jaccard") >= 0.8)
+            .select("doc_a", "doc_b", "jaccard"))
+
+
 _N_PERM = 16
 _BAND = 4  # 4 bands of 4
 _M31 = 2147483647  # Mersenne prime; (a*h+b) % _M31 stays exact in int64
@@ -3651,6 +3704,7 @@ UNGATED_QUERIES = {
     "text_features": (q_text_features, sql_text_features),      # single-scan fusion of gated row-wise ops
     "ann_ivf": (q_ann_ivf, sql_ann_ivf),              # nprobe=1 special case of ann_ivf_probe
     "dedup_jaccard": (q_dedup_jaccard, sql_dedup_jaccard),      # exact baseline of dedup_minhash_lsh
+    "dedup_jaccard_prefix": (q_dedup_jaccard_prefix, sql_dedup_jaccard),  # PPJoin prefix-filtered scale form, same oracle as dedup_jaccard
     "dedup_embedding": (q_dedup_embedding, sql_dedup_embedding),  # all-pairs baseline of dedup_embedding_lsh
 }
 

