@@ -1732,6 +1732,44 @@ def q_ann_bruteforce_l2(spark, sf_dir):
             .select("qid", "rank", F.col("cid").alias("neighbor_id"), "l2"))
 
 
+def q_ann_maxip(spark, sf_dir):
+    """Brute-force MAXIMUM-INNER-PRODUCT top-5 — the MIPS metric twin of
+    ann_bruteforce (same broadcast-queries × one-scan plan; only the
+    score changes: unnormalized dot product, descending). MIPS is the
+    recommender-system retrieval metric (user × item factor models
+    score by raw inner product, where item popularity lives in the
+    vector norm). The fixture embeddings are unit-norm (measured in
+    round 4), under which MIPS degenerates to cosine — so the
+    candidate side carries a DETERMINISTIC derived magnitude
+    m = 1 + vec_id % 5 (standing in for the varying norms real factor
+    models produce; no external data, both engines derive it from
+    vec_id identically). The test pins that the resulting ranking
+    genuinely disagrees with cosine's — the norm term must matter."""
+    pairs = (_query_pairs(spark, sf_dir, F.col("vec_id") < 8)
+             .withColumn("ip", F.round(
+                 (F.lit(1) + F.col("cid") % 5).cast("double")
+                 * F.expr("aggregate(zip_with(qe, ce, (x, y) -> "
+                          "cast(x as double) * cast(y as double)), "
+                          "cast(0.0 as double), (acc, v) -> acc + v)"), 6)))
+    w = Window.partitionBy("qid").orderBy(F.desc("ip"), F.asc("cid"))
+    return (pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= 5)
+            .select("qid", "rank", F.col("cid").alias("neighbor_id"), "ip"))
+
+
+def sql_ann_maxip(sf_dir):
+    ip = ("round((1 + c.vec_id % 5)::DOUBLE * "
+          "list_sum(list_transform(range(1, len(q.embedding) + 1), "
+          "i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)), 6)")
+    return (
+        "WITH p AS (SELECT q.vec_id qid, c.vec_id cid, " + ip + " ip "
+        "FROM embeddings q JOIN embeddings c "
+        "ON q.vec_id < 8 AND q.vec_id != c.vec_id), "
+        "r AS (SELECT qid, cid, ip, row_number() OVER "
+        "(PARTITION BY qid ORDER BY ip DESC, cid ASC) rank FROM p) "
+        "SELECT qid, rank, cid neighbor_id, ip FROM r WHERE rank <= 5")
+
+
 def sql_ann_bruteforce_l2(sf_dir):
     l2 = ("round(sqrt(list_sum(list_transform(range(1, len(q.embedding) + 1), "
           "i -> (q.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE) * "
@@ -3686,6 +3724,7 @@ UNGATED_QUERIES = {
     "refs_pagerank": (q_refs_pagerank, sql_refs_pagerank),  # composition: refs_domains' domain stream x dedup_clusters' iterative superstep family
     "text_ccnet": (q_text_ccnet, sql_text_ccnet),  # composition: text_perplexity's score x sample_hash's md5 sample (driver-literal thresholds)
     "ann_bruteforce_l2": (q_ann_bruteforce_l2, sql_ann_bruteforce_l2),  # L2-metric twin of ann_bruteforce (same plan, distance ascending)
+    "ann_maxip": (q_ann_maxip, sql_ann_maxip),  # MIPS-metric twin of ann_bruteforce (derived candidate magnitudes)
     "rel_ship_priority": (q_rel_ship_priority, sql_rel_ship_priority),  # composition: rel_top_customers' broadcast+top-k x rel_pricing_summary's exact cents
     "events_retention": (q_events_retention, sql_events_retention),  # composition: sessionize's user-keyed agg x events_window's integer time buckets
     "events_pattern": (q_events_pattern, sql_events_pattern),  # composition: sessionize's lag window x funnel's stage predicate (contiguous CEP form)
