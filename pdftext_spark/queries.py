@@ -1668,6 +1668,66 @@ def sql_dedup_embedding_lsh(sf_dir):
         f"WHERE round({_DOT_DUCK} / ({_NORM_DUCK.format(v='a')} * {_NORM_DUCK.format(v='b')}), 6) >= 0.45")
 
 
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    cluster the embedding space first, then search for near-duplicates
+    ONLY within each cluster — the published trick that turns
+    dedup_embedding's O(n^2) all-pairs product into per-cluster products
+    bounded by cluster size. At 100 TB: K grows with the corpus so
+    clusters stay ~constant-sized, and the pair join is ONE
+    hash-partitioned shuffle keyed on the cluster id (plan-asserted in
+    tests). Clustering reuses ann_ivf's seed-centroid assignment
+    (centroids = vec_id < 8, rounded-cosine argmax, centroid-id
+    tie-break, self-pairs excluded — identical quirk set in both
+    engines). Keep rule: a vector is DROPPED iff a lower-id vector in
+    the SAME cluster has cosine >= dedup_embedding's 0.45 threshold —
+    deterministic and order-free. The within-cluster restriction is the
+    documented recall trade (the companion test measures recall vs the
+    exact all-pairs pass). Skew note: one pathological giant cluster
+    re-introduces the quadratic blow-up; production splits clusters
+    above a size cap by re-seeding (the sub-cluster step SemDeDup also
+    prescribes)."""
+    pairs = _cosine_pairs(spark, sf_dir, F.col("vec_id") < 8) \
+        .select(F.col("cid").alias("vec_id"), F.col("qid").alias("centroid"),
+                "cos")
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("centroid"))
+    assign = (pairs.withColumn("rn", F.row_number().over(w))
+              .where(F.col("rn") == 1).select("vec_id", "centroid"))
+    e = _emb(spark, sf_dir).select("vec_id", "embedding").join(assign, "vec_id")
+    a = e.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"),
+                 F.col("centroid").alias("ca"))
+    b = e.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"),
+                 F.col("centroid").alias("cb"))
+    dup = (a.join(b, (F.col("ca") == F.col("cb")) & (F.col("va") < F.col("vb")))
+           .where(_cos6("ea", "eb") >= 0.45)
+           .select(F.col("vb").alias("vec_id")).distinct()
+           .withColumn("dropped", F.lit(True)))
+    return (e.select("vec_id", "centroid").join(dup, "vec_id", "left")
+            .select("vec_id", "centroid",
+                    F.coalesce("dropped", F.lit(False)).alias("dropped")))
+
+
+def sql_dedup_semantic(sf_dir):
+    cos_ab = (f"round({_DOT_DUCK} / ({_NORM_DUCK.format(v='a')} "
+              f"* {_NORM_DUCK.format(v='b')}), 6)")
+    return (
+        "WITH ap AS (SELECT c.vec_id vec_id, q.vec_id centroid, "
+        + _COS_DUCK + " cos "
+        "FROM embeddings q JOIN embeddings c "
+        "ON q.vec_id < 8 AND q.vec_id != c.vec_id), "
+        "ar AS (SELECT vec_id, centroid, row_number() OVER "
+        "(PARTITION BY vec_id ORDER BY cos DESC, centroid ASC) rn FROM ap), "
+        "assign AS (SELECT vec_id, centroid FROM ar WHERE rn = 1), "
+        "dup AS (SELECT DISTINCT ab.vec_id FROM assign aa "
+        "JOIN assign ab ON aa.centroid = ab.centroid "
+        "AND aa.vec_id < ab.vec_id "
+        "JOIN embeddings a ON a.vec_id = aa.vec_id "
+        "JOIN embeddings b ON b.vec_id = ab.vec_id "
+        f"WHERE {cos_ab} >= 0.45) "
+        "SELECT s.vec_id, s.centroid, (d.vec_id IS NOT NULL) dropped "
+        "FROM assign s LEFT JOIN dup d ON d.vec_id = s.vec_id")
+
+
 # --------------------------------------------------------------------------
 # 2c. similarity search (embeddings)
 # --------------------------------------------------------------------------
@@ -3745,6 +3805,7 @@ UNGATED_QUERIES = {
     "dedup_jaccard": (q_dedup_jaccard, sql_dedup_jaccard),      # exact baseline of dedup_minhash_lsh
     "dedup_jaccard_prefix": (q_dedup_jaccard_prefix, sql_dedup_jaccard),  # PPJoin prefix-filtered scale form, same oracle as dedup_jaccard
     "dedup_embedding": (q_dedup_embedding, sql_dedup_embedding),  # all-pairs baseline of dedup_embedding_lsh
+    "dedup_semantic": (q_dedup_semantic, sql_dedup_semantic),  # composition: ann_ivf's cluster assignment x dedup_embedding's cosine verify (SemDeDup)
 }
 
 assert len(GATED_QUERIES) <= DRIVER_GATE_CAP, (

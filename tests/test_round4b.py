@@ -236,3 +236,32 @@ def test_ann_maxip_norm_term_matters(spark):
     # rank-1 among magnitude-1 candidates — spot-check the plan instead:
     p = mip_df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_dedup_semantic_cluster_restriction(spark):
+    """SemDeDup = dedup_embedding restricted to within-cluster pairs:
+    the dropped set must be a strict SUBSET of the exact all-pairs
+    dropped set (zero false positives), with the measured recall of the
+    K=8 clustering pinned, and the pair join keyed on the cluster id
+    (the one shuffle that replaces the all-pairs product)."""
+    from pdftext_spark.queries import (q_dedup_semantic, q_dedup_embedding,
+                                       unpersist_registered)
+
+    sf = "/root/testdata/sf0.01"
+    sem_df = q_dedup_semantic(spark, sf)
+    rows = sem_df.collect()
+    assert len(rows) == 500 and len({r["vec_id"] for r in rows}) == 500
+    dropped = {r["vec_id"] for r in rows if r["dropped"]}
+    exact = {r["vec_b"] for r in q_dedup_embedding(spark, sf).collect()}
+    assert dropped <= exact              # cluster pass never over-drops
+    assert len(dropped) / len(exact) >= 0.4   # measured 6/14 at K=8
+    # the near-dup join shuffles on the cluster id, not on vector pairs;
+    # the only nested-loop join is the intended broadcast-8-centroid
+    # assignment (the ann_ivf plan), never an unbroadcast cartesian
+    p = sem_df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning(ca#" in p
+    assert "CartesianProduct" not in p
+    # (BroadcastNestedLoopJoin does appear — it is the intended
+    # broadcast-8-centroid assignment join, repeated across AQE's
+    # Initial/Final plan sections, so its count is not asserted)
+    unpersist_registered()
