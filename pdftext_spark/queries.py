@@ -919,6 +919,120 @@ def sql_text_tfidf(sf_dir):
         "SELECT doc_id, rank, term, score FROM r WHERE rank <= 3")
 
 
+# --- BM25 retrieval ---------------------------------------------------------
+# Query term sets are driver literals (the k-means/sample_mix pattern:
+# query-time constants live driver-side in any search engine). Constants
+# k1=1.2, b=0.75 are the standard Robertson defaults. Cross-engine float
+# discipline: idf uses the RAW Robertson ratio (2(N-df)+1)/(2df+1) — the
+# ln() of classic BM25 is a per-term monotone the two libms could disagree
+# on in the last ulp, while integer inputs + one IEEE division are
+# bit-identical (same trick as text_tfidf); the per-term contributions are
+# summed in FIXED WRITTEN ORDER (term-sorted) as an explicit a+b+c
+# expression, never a group-aggregate, so the double additions happen in
+# the same order on both engines.
+_BM25_QUERIES = {0: ("hash", "join", "merge"),
+                 1: ("scan", "sort", "window"),
+                 2: ("batch", "stream")}
+_BM25_VOCAB = sorted({t for ts in _BM25_QUERIES.values() for t in ts})
+_BM25_TOPK = 10
+
+
+def q_text_bm25(spark, sf_dir):
+    """BM25 top-10 retrieval per literal query over the documents table —
+    tf saturation (k1=1.2) + doc-length normalization (b=0.75), the
+    ranking function behind every lexical retrieval / RAG-curation stage.
+    Shape at 100 TB: one corpus scan builds per-doc tf for the tiny query
+    vocabulary (filter BEFORE the tf aggregation, so the shuffle carries
+    only query-term hits); df/N/total-token stats for the vocabulary are
+    collected driver-side (search engines store exactly these in the
+    term dictionary) and enter the score as literals; ranking is a
+    per-query window top-k. Scoring math is log-free and
+    fixed-evaluation-order for bit-identical cross-engine results (see
+    block comment)."""
+    d = (_docs(spark, sf_dir).withColumn("toks", F.expr(_TOKS_SPARK))
+         .select("doc_id", F.size("toks").alias("dl"),
+                 F.explode_outer(F.expr(
+                     f"filter(toks, t -> t IN {_sql_strset(_BM25_VOCAB)})"))
+                 .alias("term")))
+    tf = (d.groupBy("doc_id", "dl", "term")
+          .agg(F.count(F.col("term")).alias("tf")).persist())
+    _register_persisted(tf)
+    base = _docs(spark, sf_dir).withColumn("toks", F.expr(_TOKS_SPARK))
+    n_docs = base.count()
+    total_toks = base.agg(F.sum(F.size("toks"))).collect()[0][0]
+    dfs = {r["term"]: r["df"] for r in
+           tf.where(F.col("term").isNotNull())
+           .groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+           .collect()}
+    piv = (tf.groupBy("doc_id", "dl")
+           .agg(*[F.max(F.when(F.col("term") == t, F.col("tf")))
+                  .alias(f"tf_{i}") for i, t in enumerate(_BM25_VOCAB)]))
+    out = []
+    for qid, terms in sorted(_BM25_QUERIES.items()):
+        contribs = []
+        for t in sorted(terms):
+            i = _BM25_VOCAB.index(t)
+            df = dfs.get(t, 0)
+            idf = f"(cast({2 * (n_docs - df) + 1} as double) / {2 * df + 1})"
+            sat = (f"(tf_{i} * 2.2) / (tf_{i} + 1.2 * (0.25 + 0.75 * "
+                   f"((cast(dl as bigint) * {n_docs}) / {total_toks})))")
+            contribs.append(
+                f"(CASE WHEN tf_{i} IS NOT NULL THEN {idf} * {sat} "
+                f"ELSE cast(0.0 as double) END)")
+        out.append(piv.select(
+            F.lit(qid).cast("long").alias("qid"), "doc_id",
+            F.round(F.expr(" + ".join(contribs)), 6).alias("score")))
+    scored = out[0]
+    for o in out[1:]:
+        scored = scored.unionAll(o)
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= _BM25_TOPK)
+            .select("qid", "rank", "doc_id", "score"))
+
+
+def _sql_strset(terms):
+    return "(" + ", ".join(f"'{t}'" for t in terms) + ")"
+
+
+def sql_text_bm25(sf_dir):
+    vocab_in = _sql_strset(_BM25_VOCAB)
+    pivots = ", ".join(
+        f"max(CASE WHEN term = '{t}' THEN tf END) tf_{i}"
+        for i, t in enumerate(_BM25_VOCAB))
+    branches = []
+    for qid, terms in sorted(_BM25_QUERIES.items()):
+        contribs = []
+        for t in sorted(terms):
+            i = _BM25_VOCAB.index(t)
+            idf = (f"((2 * ((SELECT n FROM nn) - (SELECT df FROM dfs "
+                   f"WHERE term = '{t}')) + 1)::DOUBLE / "
+                   f"(2 * (SELECT df FROM dfs WHERE term = '{t}') + 1))")
+            sat = (f"(tf_{i} * 2.2) / (tf_{i} + 1.2 * (0.25 + 0.75 * "
+                   f"((dl * (SELECT n FROM nn)) / (SELECT tt FROM tot))))")
+            contribs.append(
+                f"(CASE WHEN tf_{i} IS NOT NULL THEN {idf} * {sat} "
+                f"ELSE 0.0::DOUBLE END)")
+        branches.append(
+            f"SELECT {qid}::BIGINT qid, doc_id, "
+            f"round({' + '.join(contribs)}, 6) score FROM piv")
+    return (
+        "WITH base AS (SELECT doc_id, len(" + _TOKS_DUCK + ") dl, "
+        + _TOKS_DUCK + " toks FROM documents), "
+        "nn AS (SELECT count(*) n FROM base), "
+        "tot AS (SELECT sum(dl) tt FROM base), "
+        "tk AS (SELECT doc_id, dl, unnest(toks) term FROM base), "
+        f"tf AS (SELECT doc_id, dl, term, count(*) tf FROM tk "
+        f"WHERE term IN {vocab_in} GROUP BY 1, 2, 3), "
+        "dfs AS (SELECT term, count(DISTINCT doc_id) df FROM tf GROUP BY 1), "
+        f"piv AS (SELECT b.doc_id, b.dl, {pivots} FROM base b "
+        "LEFT JOIN tf USING (doc_id) GROUP BY 1, 2), "
+        "u AS (" + " UNION ALL ".join(branches) + "), "
+        "r AS (SELECT qid, doc_id, score, row_number() OVER "
+        "(PARTITION BY qid ORDER BY score DESC, doc_id ASC) rank FROM u) "
+        f"SELECT qid, rank, doc_id, score FROM r WHERE rank <= {_BM25_TOPK}")
+
+
 _SURPRISAL_SCALE = 1_000_000
 
 
@@ -3806,6 +3920,7 @@ UNGATED_QUERIES = {
     "dedup_jaccard_prefix": (q_dedup_jaccard_prefix, sql_dedup_jaccard),  # PPJoin prefix-filtered scale form, same oracle as dedup_jaccard
     "dedup_embedding": (q_dedup_embedding, sql_dedup_embedding),  # all-pairs baseline of dedup_embedding_lsh
     "dedup_semantic": (q_dedup_semantic, sql_dedup_semantic),  # composition: ann_ivf's cluster assignment x dedup_embedding's cosine verify (SemDeDup)
+    "text_bm25": (q_text_bm25, sql_text_bm25),  # composition: text_tfidf's tf/df stats x ann's window top-k, saturation weights as driver literals
 }
 
 assert len(GATED_QUERIES) <= DRIVER_GATE_CAP, (

@@ -265,3 +265,54 @@ def test_dedup_semantic_cluster_restriction(spark):
     # broadcast-8-centroid assignment join, repeated across AQE's
     # Initial/Final plan sections, so its count is not asserted)
     unpersist_registered()
+
+
+def test_text_bm25_ranking_semantics(spark, tmp_path):
+    """BM25's two levers must actually shape the ranking: (1) tf
+    SATURATION — 20 repetitions of a term beat 1 but score sublinearly
+    (k1 bounds the gain), so a doc matching TWO query terms once each
+    outranks a doc stuffing ONE term 20 times; (2) LENGTH NORMALIZATION
+    — the same tf in a longer doc scores lower. Also pins that the
+    vocabulary filter runs BEFORE the tf aggregation (the shuffle
+    carries only query-term hits)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdftext_spark.queries import (_BM25_QUERIES, q_text_bm25,
+                                       unpersist_registered)
+
+    pad = " ".join(["zz"] * 40)
+    rows = [
+        # qid 0 terms: hash join merge
+        {"doc_id": 1, "source": "web", "lang": "en",
+         "text": "hash join " + pad},                   # 2 distinct terms
+        {"doc_id": 2, "source": "web", "lang": "en",
+         "text": " ".join(["hash"] * 20) + " " + pad},  # 1 term stuffed
+        {"doc_id": 3, "source": "web", "lang": "en",
+         "text": "hash join " + pad + " " + pad},       # doc 1, 2x longer
+        {"doc_id": 4, "source": "web", "lang": "en", "text": pad},
+    ]
+    pq.write_table(pa.Table.from_pylist(rows, schema=pa.schema(
+        [("doc_id", pa.int64()), ("source", pa.string()),
+         ("lang", pa.string()), ("text", pa.string())])),
+        f"{tmp_path}/documents.parquet")
+
+    assert _BM25_QUERIES[0] == ("hash", "join", "merge")
+    df = q_text_bm25(spark, str(tmp_path))
+    got = {(r["qid"], r["doc_id"]): (r["rank"], r["score"])
+           for r in df.collect()}
+    s = {d: got[(0, d)][1] for d in (1, 2, 3, 4)}
+    # length normalization: identical tf profile, doc 3 twice as long
+    assert s[1] > s[3]
+    # coverage beats stuffing: two terms once each (even in the longer
+    # doc 3) outscore one term repeated 20 times
+    assert s[1] > s[2] and s[3] > s[2] > s[4] == 0.0
+    # saturation ceiling: sat = (k1+1)tf/(tf+c) < k1+1, so 20
+    # repetitions stay under idf_hash * 2.2 (idf_hash = 3/7 here:
+    # df=3 of N=4) — tf grew 20x, the score provably could not
+    assert 0.8 < s[2] < (3 / 7) * 2.2
+    # the exploded token stream is vocab-filtered before aggregation:
+    # the filter() lambda sits inside the project feeding the explode
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "filter(toks" in p or "filter(filter(split" in p
+    unpersist_registered()
