@@ -131,6 +131,21 @@ def _h(col):
 
 _H_SQL = "('0x'||substr(md5({c}),1,8))::BIGINT"
 
+
+def _let(value_expr: str, var: str, body: str) -> str:
+    """SQL let-binding: evaluate ``value_expr`` ONCE per row, bind it as
+    ``var`` inside ``body`` (a single-element ``transform`` lambda —
+    lambda variables hold the already-computed value). Higher-order
+    array functions run INTERPRETED (outside whole-stage codegen, so no
+    common-subexpression elimination), and chained withColumn steps
+    collapse into one Project where each reference to a prior step
+    re-inlines its full expression — step k+1's lambda indexing step
+    k's array then re-evaluates the entire step-k array per element,
+    which compounds exponentially across steps (measured: mm_phash went
+    from minutes per 500 tiny docs to milliseconds with the bindings).
+    Nested lambdas may reference outer let variables."""
+    return f"element_at(transform(array({value_expr}), {var} -> {body}), 1)"
+
 _TOKS_SPARK = "filter(split(text, ' '), t -> t != '')"
 _TOKS_DUCK = "list_filter(str_split(text, ' '), t -> t != '')"
 
@@ -878,6 +893,116 @@ def sql_text_chunks(sf_dir):
         "md5(array_to_string(u.chunk, ' ')) chunk_md5 FROM c")
 
 
+_WINNOW_W = 4          # winnowing window (shingle hashes per window)
+_CDC_DIV = 16          # CDC divisor: ~1/16 boundary rate => ~16-token chunks
+
+
+def q_text_winnow(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS scheme): hash every 3-token shingle, slide a
+    W=4 window over the hash sequence, keep each window's minimum; the
+    distinct selected minima are the document's fingerprint set. The
+    guarantee winnowing adds over plain minhash (text_fingerprint) is
+    positional density: every W consecutive shingles contribute at
+    least one fingerprint, so any sufficiently long shared substring is
+    detected regardless of where it sits. Entirely row-wise
+    higher-order array expressions — one corpus scan, zero shuffle
+    (plan-asserted); the fingerprint set is emitted as (count, min,
+    order-canonical md5 digest) so the gate hashes the full set without
+    a per-fingerprint explode. Each intermediate array is _let-bound so
+    it evaluates once per row; the final struct materializes through an
+    inline() Generate (still no Exchange)."""
+    # one window when there are fewer than W hashes (the paper's
+    # short-document degenerate case: fingerprint = global min)
+    fps = _let(_TOKS_SPARK, "toks",
+          _let(_SHINGLES_SPARK, "sh",
+          _let("transform(sh, s -> "
+               "cast(conv(substring(md5(s),1,8),16,10) as bigint))", "hs",
+               "array_sort(array_distinct(transform("
+               f"sequence(1, greatest(size(hs) - {_WINNOW_W - 1}, 1)), "
+               f"i -> array_min(slice(hs, i, {_WINNOW_W})))))")))
+    out = _let(fps, "fps",
+               "named_struct("
+               "'n_fingerprints', cast(size(fps) as bigint), "
+               "'fp_min', element_at(fps, 1), "
+               "'fp_digest', md5(concat_ws(',', "
+               "transform(fps, x -> cast(x as string)))))")
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.inline(F.array(F.expr(out))))
+
+
+def sql_text_winnow(sf_dir):
+    h = _H_SQL.format(c="s")
+    return (
+        "WITH t AS (SELECT doc_id, " + _TOKS_DUCK + " toks FROM documents), "
+        "s AS (SELECT doc_id, " + _SHINGLES_DUCK + " sh FROM t), "
+        f"hh AS (SELECT doc_id, list_transform(sh, s -> {h}) hs FROM s), "
+        "m AS (SELECT doc_id, list_transform("
+        f"range(1, greatest(len(hs) - {_WINNOW_W - 2}, 2)), "
+        f"i -> list_min(list_slice(hs, i, i + {_WINNOW_W - 1}))) mins FROM hh), "
+        "f AS (SELECT doc_id, list_sort(list_distinct(mins)) fps FROM m) "
+        "SELECT doc_id, len(fps)::BIGINT n_fingerprints, fps[1] fp_min, "
+        "md5(array_to_string(list_transform(fps, x -> x::VARCHAR), ',')) fp_digest "
+        "FROM f")
+
+
+def q_text_chunks_cdc(spark, sf_dir):
+    """Content-defined chunking (the LBFS/rsync boundary rule applied
+    to token streams): a chunk boundary falls after token i whenever
+    the hash of the 3-token shingle ending at i is ≡ 0 mod 16, giving
+    ~16-token average chunks whose boundaries depend only on local
+    content. The property fixed-size chunking (text_chunks) lacks:
+    inserting one token near the head shifts every downstream
+    fixed-size chunk, but CDC boundaries resynchronize after one
+    shingle width, so chunk-level dedup across near-identical docs
+    still hits (pinned in test). Boundary detection, cut positions and
+    slicing are all row-wise array expressions (_let-bound so each
+    stage evaluates once per row); the posexplode multiplies rows
+    without shuffling (plan-asserted)."""
+    # guard: sequence(3, n-1) DESCENDS when n < 4 (and would probe hs
+    # out of bounds under ANSI) — short docs are one chunk by
+    # construction
+    chunks = _let(_TOKS_SPARK, "toks",
+             _let("CASE WHEN size(toks) < 4 THEN "
+                  "cast(array() as array<bigint>) ELSE "
+                  "transform(sequence(3, size(toks) - 1), i -> "
+                  "cast(conv(substring(md5(concat(element_at(toks, i-2), "
+                  "' ', element_at(toks, i-1), ' ', element_at(toks, i)))"
+                  ",1,8),16,10) as bigint)) END", "hs",
+             _let(f"CASE WHEN size(toks) < 4 THEN array(0, size(toks)) "
+                  f"ELSE concat(array(0), filter(sequence(3, size(toks) - 1), "
+                  f"i -> element_at(hs, i - 2) % {_CDC_DIV} = 0), "
+                  "array(size(toks))) END", "cuts",
+                  "transform(sequence(1, size(cuts) - 1), j -> "
+                  "slice(toks, element_at(cuts, j) + 1, "
+                  "element_at(cuts, j + 1) - element_at(cuts, j)))")))
+    d = (_docs(spark, sf_dir)
+         .where(F.expr(f"size({_TOKS_SPARK}) > 0")))
+    c = d.select("doc_id",
+                 F.posexplode(F.expr(chunks)).alias("chunk_idx", "chunk"))
+    return c.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size("chunk").cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", "chunk")).alias("chunk_md5"),
+    )
+
+
+def sql_text_chunks_cdc(sf_dir):
+    g = _H_SQL.format(c="toks[i-2] || ' ' || toks[i-1] || ' ' || toks[i]")
+    return (
+        "WITH t AS (SELECT doc_id, " + _TOKS_DUCK + " toks FROM documents), "
+        "b AS (SELECT doc_id, toks, [0] || "
+        f"list_filter(range(3, len(toks)), i -> ({g}) % {_CDC_DIV} = 0) "
+        "|| [len(toks)] cuts FROM t WHERE len(toks) > 0), "
+        "c AS (SELECT doc_id, unnest(list_transform(range(1, len(cuts)), "
+        "j -> {'chunk_idx': j - 1, "
+        "'chunk': list_slice(toks, cuts[j] + 1, cuts[j + 1])})) u FROM b) "
+        "SELECT doc_id, u.chunk_idx::BIGINT chunk_idx, "
+        "len(u.chunk)::BIGINT n_tokens, "
+        "md5(array_to_string(u.chunk, ' ')) chunk_md5 FROM c")
+
+
 def q_text_tfidf(spark, sf_dir):
     """Per-document top-3 salient terms by tf·(N/df) — the corpus-stats-
     broadcast-back pattern: term document frequencies are aggregated once
@@ -1592,18 +1717,89 @@ def min_label_components(pairs: DataFrame, max_rounds: int = 64) -> DataFrame:
     return labels
 
 
-def q_dedup_clusters(spark, sf_dir):
+def star_components(pairs: DataFrame, max_rounds: int = 64) -> DataFrame:
+    """Connected components by the alternating LARGE-STAR / SMALL-STAR
+    edge-rewriting algorithm (Kiveris et al., 'Connected Components in
+    MapReduce and Beyond', SoCC 2014): same (doc_id, lbl=component min)
+    contract as min_label_components, different scale mechanics. Where
+    label propagation keeps the edge set fixed and moves labels across
+    it, each star round REWRITES the edges themselves toward stars —
+    large-star points every greater neighbor at the group min, small-star
+    collapses every lesser neighbor onto it — so the working set shrinks
+    monotonically toward one (node, root) edge per non-root node, rounds
+    are O(log n), and per-round cost is bounded by the CURRENT edge
+    count rather than the original graph. Each phase is one groupBy-min
+    + re-emit (two key shuffles per round on a shrinking frame); the
+    group min is computed with an aggregate, never a collect, so a
+    celebrity node with 10^9 neighbors partial-aggregates map-side
+    instead of serializing one task. Convergence = small-star fixed
+    point (guaranteed terminal star form); raises rather than returning
+    wrong clusters, mirroring min_label_components."""
+    # canonical larger-first orientation; self-loops drop
+    e = (pairs.select(F.greatest("doc_a", "doc_b").alias("u"),
+                      F.least("doc_a", "doc_b").alias("v"))
+         .where(F.col("u") != F.col("v")).distinct().localCheckpoint())
+    for _ in range(max_rounds):
+        before = e
+        # LARGE-STAR on the symmetric view: for each center u, point
+        # every strictly greater neighbor at min(N(u) ∪ {u}); since
+        # m <= u < v the larger-first orientation is preserved
+        sym = e.unionAll(e.select(F.col("v").alias("u"),
+                                  F.col("u").alias("v")))
+        m = sym.groupBy("u").agg(F.min(F.least("u", "v")).alias("m"))
+        e = (sym.join(m, "u")
+             .where(F.col("v") > F.col("u"))
+             .select(F.col("v").alias("u"), F.col("m").alias("v"))
+             .distinct().localCheckpoint())
+        # SMALL-STAR on the larger-first orientation: collapse each
+        # center's (all lesser) neighbors onto their min, keep (u, min)
+        m2 = e.groupBy("u").agg(F.min("v").alias("m"))
+        e = (e.join(m2, "u")
+             .select(F.explode(F.array(
+                 F.struct(F.col("u").alias("u"), F.col("m").alias("v")),
+                 F.struct(F.col("v").alias("u"), F.col("m").alias("v"))
+             )).alias("s"))
+             .select("s.u", "s.v")
+             .where(F.col("u") != F.col("v")).distinct().localCheckpoint())
+        # fixed point over the FULL round: the round potential strictly
+        # decreases until the terminal star form, so start == end only
+        # there (checking one phase alone could alias a mid-state)
+        if (e.exceptAll(before).limit(1).count() == 0
+                and before.exceptAll(e).limit(1).count() == 0):
+            break
+    else:
+        raise RuntimeError(
+            f"star_components: no fixed point in {max_rounds} rounds — "
+            "refusing to return possibly-wrong clusters")
+    # terminal star form: every edge is (node, component root)
+    return (e.select(F.col("u").alias("doc_id"), F.col("v").alias("lbl"))
+            .unionAll(e.select(F.col("v").alias("doc_id"),
+                               F.col("v").alias("lbl")))
+            .distinct())
+
+
+def q_dedup_clusters(spark, sf_dir, star: bool = False):
     """Near-dup CLUSTERS from the verified minhash-LSH pairs: connected
     components by min-label propagation with pointer doubling
     (min_label_components), canonical doc = smallest doc_id in the
     component. This is the step that turns pairwise near-dups into a
     keep/drop decision at corpus scale; every superstep runs on the
     (small) pair graph — the 100 TB corpus itself is never touched
-    again."""
+    again. ``star=True`` runs the same contract through the alternating
+    large-star/small-star edge-rewriting algorithm (star_components) —
+    the variant to reach for when the pair graph itself is huge, since
+    its per-round cost tracks the shrinking edge set (label-identical
+    by test on path/star/real graphs)."""
     pairs = q_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    labels = min_label_components(pairs)
+    labels = (star_components if star else min_label_components)(pairs)
     return (labels.select("doc_id", F.col("lbl").alias("cluster_id"))
             .withColumn("is_keeper", F.col("doc_id") == F.col("cluster_id")))
+
+
+def q_dedup_clusters_star(spark, sf_dir):
+    """dedup_clusters through the large-star/small-star edge-rewriting
+    scale path (see star_components)."""
+    return q_dedup_clusters(spark, sf_dir, star=True)
 
 
 def sql_dedup_clusters(sf_dir):
@@ -2368,6 +2564,115 @@ def sql_mm_frame_sample(sf_dir):
         "WITH m AS (SELECT doc_id, (1 + doc_id % 30)::BIGINT n_frames FROM documents) "
         "SELECT doc_id, slot::BIGINT slot, (slot * n_frames // 4)::BIGINT frame_idx "
         "FROM m, range(4) r(slot)")
+
+
+_PHASH_HAM_MAX = 6       # near-dup when hamming(phash_a, phash_b) <= 6
+_PHASH_BANDS = 8         # 8 bands x 8 bits: collision guaranteed at d<=7
+
+
+def q_mm_phash(spark, sf_dir):
+    """Perceptual AVERAGE-HASH over the media payload's decoded body
+    bytes: split the body into 64 contiguous cells, bit k set iff cell
+    k's mean byte exceeds the global mean — the standard aHash, with the
+    image-resample step standing on the synthetic IMG1 container's byte
+    stream (decode seam; on real images the same 64-cell pipeline runs
+    on downsampled luma). Everything is exact integer arithmetic — cell
+    comparisons are cross-multiplied (cell_sum * n > total * cell_len),
+    never a float mean — so both engines agree bit-for-bit. The Spark
+    path parses the opaque binary column for real: payload -> hex ->
+    per-byte ints in ONE linear regexp_extract_all scan (never a
+    per-byte substring — UTF8String.substring walks codepoints from the
+    string head, so indexed extraction is quadratic in the body size),
+    header stripped by its regexp length (ASCII header => char offset
+    == byte offset); every intermediate is _let-bound to one evaluation
+    per row; zero shuffle, one corpus scan."""
+    out = _let(
+        f"cast(concat({_MM_HEADER_SPARK}, text) as binary)", "media",
+        _let("substring(hex(media), length(regexp_extract("
+             r"cast(media as string), '^IMG1;W=\\d+;H=\\d+;F=\\d+;', 0))"
+             " * 2 + 1)", "bh",
+        _let("named_struct("
+             "'bs', transform(regexp_extract_all(bh, '..', 0), "
+             "h -> cast(conv(h, 16, 10) as bigint)), "
+             "'n', cast(length(bh) div 2 as bigint))", "w",
+        _let("aggregate(w.bs, 0L, (acc, b) -> acc + b)", "tot",
+             "named_struct("
+             "'n_body_bytes', w.n, "
+             "'phash', aggregate(sequence(0, 63), 0L, (acc, k) -> acc + "
+             "IF(aggregate(slice(w.bs, cast(w.n * k div 64 as int) + 1, "
+             "cast(w.n * (k + 1) div 64 - w.n * k div 64 as int)), "
+             "0L, (a2, b) -> a2 + b) * w.n "
+             "> tot * (w.n * (k + 1) div 64 - w.n * k div 64), "
+             "shiftleft(1L, k), 0L)))"))))
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.inline(F.array(F.expr(out))))
+
+
+def sql_mm_phash(sf_dir):
+    # the oracle skips the container round-trip: body bytes ARE the
+    # doc's utf-8 text bytes by construction
+    return (
+        "WITH b AS (SELECT doc_id, hex(text::BLOB) bh FROM documents), "
+        "n_ AS (SELECT doc_id, bh, (length(bh) // 2)::BIGINT n FROM b), "
+        "v AS (SELECT doc_id, n, list_transform(range(1, n::INT + 1), "
+        "i -> ('0x' || substr(bh, (2 * i - 1)::INT, 2))::BIGINT) bs "
+        "FROM n_), "
+        "s AS (SELECT doc_id, n, list_sum(bs) tot, "
+        "list_transform(range(0, 64), k -> coalesce(list_sum(list_slice(bs, "
+        "(n * k // 64 + 1)::INT, (n * (k + 1) // 64)::INT)), 0)) cs, "
+        "list_transform(range(0, 64), k -> "
+        "n * (k + 1) // 64 - n * k // 64) cl FROM v) "
+        "SELECT doc_id, n n_body_bytes, "
+        # bit 63 is int64's sign bit: DuckDB raises on 1::BIGINT << 63
+        # (Spark's shiftleft wraps to long-min), so add long-min directly
+        "coalesce(list_sum(list_transform(range(0, 64), k -> "
+        "CASE WHEN cs[k + 1] * n > tot * cl[k + 1] THEN "
+        "(CASE WHEN k = 63 THEN -9223372036854775808 "
+        "ELSE (1::BIGINT << k) END) ELSE 0 END)), 0)::BIGINT phash FROM s")
+
+
+def q_mm_neardup(spark, sf_dir):
+    """Multimodal near-duplicate pairs by banded Hamming LSH over the
+    perceptual hash: 8 bands x 8 bits — two hashes within Hamming
+    distance 7 MUST share at least one intact band (pigeonhole), so
+    band-equality candidates are exact-complete for the <=6 threshold,
+    then candidates verify by bit_count(xor). The image twin of
+    dedup_minhash_lsh's band-join shape: candidate volume is set by
+    near-dup density, never all-pairs; one explode to 8 band rows per
+    doc, equi-join on (band, value), verify in the join projection."""
+    ph = q_mm_phash(spark, sf_dir).select("doc_id", "phash")
+    bands = ph.select(
+        "doc_id", "phash",
+        F.explode(F.expr(
+            f"transform(sequence(0, {_PHASH_BANDS - 1}), b -> "
+            "named_struct('band', b, 'val', "
+            "shiftright(phash, b * 8) & 255))")).alias("bv"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b, (F.col("a.bv.band") == F.col("b.bv.band"))
+                   & (F.col("a.bv.val") == F.col("b.bv.val"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    F.col("a.phash").alias("pa"),
+                    F.col("b.phash").alias("pb"))
+            .distinct())
+    return (cand.withColumn("hamming", F.expr(
+                "cast(bit_count(pa ^ pb) as bigint)"))
+            .where(F.col("hamming") <= _PHASH_HAM_MAX)
+            .select("doc_a", "doc_b", "hamming"))
+
+
+def sql_mm_neardup(sf_dir):
+    return (
+        "WITH ph AS (SELECT doc_id, phash FROM (" + sql_mm_phash(sf_dir)
+        + ") q), "
+        f"bands AS (SELECT doc_id, phash, b, (phash >> (b * 8)) & 255 val "
+        f"FROM ph, range({_PHASH_BANDS}) r(b)), "
+        "cand AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b, "
+        "a.phash pa, b.phash pb FROM bands a JOIN bands b "
+        "ON a.b = b.b AND a.val = b.val AND a.doc_id < b.doc_id) "
+        "SELECT doc_a, doc_b, bit_count(xor(pa, pb))::BIGINT hamming "
+        f"FROM cand WHERE bit_count(xor(pa, pb)) <= {_PHASH_HAM_MAX}")
 
 
 # --------------------------------------------------------------------------
@@ -3807,6 +4112,227 @@ def sql_pipeline_pack(sf_dir):
                     + ") cur))"))
 
 
+def q_events_scd2(spark, sf_dir):
+    """SCD Type-2 history build (gaps-and-islands): collapse each user's
+    event stream into runs of consecutive identical event_type and emit
+    one validity-interval row per run — (user_id, version_idx, state,
+    valid_from_us, valid_to_us, n_events), valid_to NULL for the open
+    current version. This is the slowly-changing-dimension table every
+    warehouse derives from a changelog. Shape: the lag-compare flag and
+    running sum assign run ids in ONE user-keyed window pass; the
+    per-run aggregate groups on (user_id, run_id), which hashpartitioning
+    (user_id) already co-locates, and the closing lead() rides the same
+    partitioning — so the whole history build costs ONE shuffle
+    (plan-asserted), the same user_id exchange sessionize/as-of key on.
+    A bot user serializing one task is bounded by the same (user, chunk)
+    segmentation events_asof(chunked=True) demonstrates; this form keys
+    plain user_id like the reference-shape sessionize."""
+    ev = _with_us(spark.read.parquet(os.path.join(sf_dir, "events.parquet")))
+    wo = Window.partitionBy("user_id").orderBy("us", "event_id")
+    run = (ev.select("user_id", "event_type", "us", "event_id")
+           .withColumn("prev", F.lag("event_type").over(wo))
+           .withColumn("chg", F.when(
+               F.col("prev").isNull()
+               | (F.col("prev") != F.col("event_type")), 1).otherwise(0))
+           .withColumn("run_id", F.sum("chg").over(
+               wo.rowsBetween(Window.unboundedPreceding, 0))))
+    runs = (run.groupBy("user_id", "run_id")
+            .agg(F.min("event_type").alias("state"),
+                 F.min("us").alias("valid_from_us"),
+                 F.count(F.lit(1)).alias("n_events")))
+    wr = Window.partitionBy("user_id").orderBy("run_id")
+    return runs.select(
+        "user_id",
+        (F.col("run_id") - 1).cast("long").alias("version_idx"),
+        "state", "valid_from_us",
+        F.lead("valid_from_us").over(wr).alias("valid_to_us"),
+        F.col("n_events").cast("long").alias("n_events"))
+
+
+def sql_events_scd2(sf_dir):
+    return (
+        "WITH e AS (SELECT user_id, event_type, epoch_us(ts) us, event_id "
+        "FROM events), "
+        "c AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL "
+        "OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END chg "
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)), "
+        "r AS (SELECT *, sum(chg) OVER (PARTITION BY user_id "
+        "ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) run_id FROM c), "
+        "g AS (SELECT user_id, run_id, min(event_type) state, "
+        "min(us) valid_from_us, count(*) n_events "
+        "FROM r GROUP BY user_id, run_id) "
+        "SELECT user_id, (run_id - 1)::BIGINT version_idx, state, "
+        "valid_from_us, lead(valid_from_us) OVER (PARTITION BY user_id "
+        "ORDER BY run_id) valid_to_us, n_events::BIGINT n_events FROM g")
+
+
+# deterministic changelog derivation over the snapshot key space: disjoint
+# update/delete residues mod 7, a seq-2 override on the mod-21 subset of
+# the updates, inserts at keys offset past the snapshot id range
+_MERGE_INS_OFFSET = 100_000_000
+
+
+def q_snapshot_merge(spark, sf_dir):
+    """CDC MERGE (the lakehouse upsert/compaction primitive): apply a
+    keyed changelog of upserts/deletes/inserts to a snapshot with
+    latest-wins precedence — MERGE INTO re-expressed as latest-per-key
+    argmax + ONE full-outer sort-merge join on the merge key, the exact
+    shape Delta/Iceberg MERGE compiles to. The changelog here is derived
+    deterministically from the documents snapshot itself (updates at
+    doc_id%7=3 with a seq-2 override at doc_id%21=3, deletes at
+    doc_id%7=5, inserts at offset keys for doc_id%31=0) so both engines
+    construct bit-identical inputs; in production the changelog is its
+    own stream/table and the plan below is unchanged. Scale: the
+    latest-wins struct-max groups the changelog in one key shuffle
+    (partial-aggregated map-side), then snapshot and compacted changelog
+    meet in one doc_id-keyed full-outer SortMergeJoin (plan-asserted) —
+    no broadcast assumption, so it survives a changelog proportional to
+    the snapshot; deletes filter in the join projection, never a second
+    pass. Output: surviving rows as (doc_id, action, text_md5)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    ch = (
+        d.where(F.col("doc_id") % 7 == 3)
+        .select("doc_id", F.lit(1).alias("seq"), F.lit("U").alias("op"),
+                F.concat(F.lit("u:"), "text").alias("new_text"))
+        .unionAll(
+            d.where(F.col("doc_id") % 21 == 3)
+            .select("doc_id", F.lit(2).alias("seq"), F.lit("U").alias("op"),
+                    F.concat(F.lit("u2:"), "text").alias("new_text")))
+        .unionAll(
+            d.where(F.col("doc_id") % 7 == 5)
+            .select("doc_id", F.lit(1).alias("seq"), F.lit("D").alias("op"),
+                    F.lit(None).cast("string").alias("new_text")))
+        .unionAll(
+            d.where(F.col("doc_id") % 31 == 0)
+            .select((F.col("doc_id") + _MERGE_INS_OFFSET).alias("doc_id"),
+                    F.lit(1).alias("seq"), F.lit("I").alias("op"),
+                    F.concat(F.lit("ins:"), "text").alias("new_text"))))
+    latest = (ch.groupBy("doc_id")
+              .agg(F.max(F.struct("seq", "op", "new_text")).alias("m"))
+              .select("doc_id", F.col("m.op").alias("op"),
+                      F.col("m.new_text").alias("new_text")))
+    merged = d.join(latest, "doc_id", "full_outer")
+    return (merged
+            .where(~F.col("op").eqNullSafe("D"))
+            .select(
+                "doc_id",
+                F.when(F.col("op").isNull(), F.lit("kept"))
+                .when(F.col("op") == "I", F.lit("inserted"))
+                .otherwise(F.lit("updated")).alias("merge_action"),
+                F.md5(F.coalesce("new_text", "text")).alias("text_md5")))
+
+
+def sql_snapshot_merge(sf_dir):
+    return (
+        "WITH d AS (SELECT doc_id, text FROM documents), "
+        "ch AS ("
+        "SELECT doc_id, 1 seq, 'U' op, 'u:' || text new_text FROM d "
+        "WHERE doc_id % 7 = 3 "
+        "UNION ALL SELECT doc_id, 2, 'U', 'u2:' || text FROM d "
+        "WHERE doc_id % 21 = 3 "
+        "UNION ALL SELECT doc_id, 1, 'D', NULL FROM d WHERE doc_id % 7 = 5 "
+        f"UNION ALL SELECT doc_id + {_MERGE_INS_OFFSET}, 1, 'I', "
+        "'ins:' || text FROM d WHERE doc_id % 31 = 0), "
+        # no seq ties by construction (residue classes are disjoint;
+        # only the mod-21 updates carry a second, higher seq)
+        "latest AS (SELECT doc_id, op, new_text FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC"
+        ") rn FROM ch) WHERE rn = 1) "
+        "SELECT COALESCE(d.doc_id, l.doc_id) doc_id, "
+        "CASE WHEN l.doc_id IS NULL THEN 'kept' "
+        "WHEN d.doc_id IS NULL THEN 'inserted' "
+        "ELSE 'updated' END merge_action, "
+        "md5(COALESCE(l.new_text, d.text)) text_md5 "
+        "FROM d FULL OUTER JOIN latest l ON d.doc_id = l.doc_id "
+        "WHERE l.op IS NULL OR l.op <> 'D'")
+
+
+_Z_BITS = 16             # bits interleaved per axis
+_Z_FILE_SHIFT = 24       # z >> 24 => 256 target files
+_Z_MUL_LIMIT = 1 << 46   # spans below this keep (span+1)*2^16 in int64
+
+
+def _z_expr(u, t, shr, shl):
+    """32-term bit-interleave of two 16-bit axes, rendered with the
+    engine's shift syntax (Spark shiftright/shiftleft vs DuckDB >>/<<)."""
+    terms = [shl.format(x=f"({shr.format(x=u, k=k)} & 1)", n=2 * k + 1)
+             + " + "
+             + shl.format(x=f"({shr.format(x=t, k=k)} & 1)", n=2 * k)
+             for k in range(_Z_BITS)]
+    return " + ".join(terms)
+
+
+def q_layout_zorder(spark, sf_dir):
+    """Z-ORDER data layout (the OPTIMIZE ZORDER BY primitive): interleave
+    the bits of two query axes — user_id and event time — into one
+    Morton code, assign rows to 256 target files by z-range, and report
+    each file's min/max extents on BOTH axes. The point at 100 TB: a
+    z-clustered layout bounds every file's (user, time) box (top-8-bits-
+    of-z fixed => top 4 bits of each 16-bit axis fixed), so min/max
+    file statistics prune scans for filters on EITHER axis — the
+    multi-dimensional generalization of sort-by-one-key layout, and the
+    extents this query emits are exactly the stats a writer would store.
+    Axes are quantized onto 16 bits by exact integer range-scaling from
+    a one-row global min/max stats pass collected driver-side (the
+    k-means/sample_mix side-input pattern; a lakehouse writer already
+    holds these stats in table metadata) — rank-free, exact in both
+    engines, and never degenerate however the axis domains sit. Shape:
+    the Morton code is a pure 32-term integer expression in the
+    projection (zero-shuffle row-wise compute), and the per-file extent
+    report partial-aggregates map-side into ONE tiny shuffle of ≤256
+    pre-aggregated rows per task (plan-asserted)."""
+    ev = _with_us(spark.read.parquet(os.path.join(sf_dir, "events.parquet")))
+    st = ev.agg(F.min("user_id").alias("ul"), F.max("user_id").alias("uh"),
+                F.min("us").alias("tl"), F.max("us").alias("th")).first()
+
+    # exact 16-bit range quantization, overflow-branched: multiply-first
+    # ((x-lo)*2^16 div (span+1), fills all 16 bits even on narrow
+    # domains) while (span+1)*2^16 fits int64; divide-first granules
+    # ((x-lo) div (span div 2^16 + 1)) past that — same branch rule in
+    # the SQL twin, so both engines compute identical axis values
+    def axis(col, lo, hi):
+        span = hi - lo
+        if span < _Z_MUL_LIMIT:
+            return f"(({col} - {lo}) * 65536) div {span + 1}"
+        return f"({col} - {lo}) div {span // 65536 + 1}"
+
+    z = _z_expr("u16", "t16", "shiftright({x}, {k})", "shiftleft({x}, {n})")
+    d = (ev.select("user_id", "us")
+         .withColumn("u16", F.expr(axis("user_id", st["ul"], st["uh"])))
+         .withColumn("t16", F.expr(axis("us", st["tl"], st["th"])))
+         .withColumn("z", F.expr(z))
+         .withColumn("file_id", F.expr(f"shiftright(z, {_Z_FILE_SHIFT})")))
+    return (d.groupBy("file_id")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.min("user_id").alias("u_min"),
+                 F.max("user_id").alias("u_max"),
+                 F.min("us").alias("t_min_us"),
+                 F.max("us").alias("t_max_us"))
+            .select(F.col("file_id").cast("long").alias("file_id"),
+                    F.col("n_rows").cast("long").alias("n_rows"),
+                    "u_min", "u_max", "t_min_us", "t_max_us"))
+
+
+def sql_layout_zorder(sf_dir):
+    z = _z_expr("u16", "t16", "({x} >> {k})", "({x} << {n})")
+    return (
+        "WITH e AS (SELECT user_id, epoch_us(ts) us FROM events), "
+        "s AS (SELECT min(user_id) ul, max(user_id) uh, min(us) tl, "
+        "max(us) th FROM e), "
+        "q AS (SELECT user_id, us, "
+        f"CASE WHEN s.uh - s.ul < {_Z_MUL_LIMIT} THEN "
+        "((user_id - s.ul) * 65536) // (s.uh - s.ul + 1) "
+        "ELSE (user_id - s.ul) // ((s.uh - s.ul) // 65536 + 1) END u16, "
+        f"CASE WHEN s.th - s.tl < {_Z_MUL_LIMIT} THEN "
+        "((us - s.tl) * 65536) // (s.th - s.tl + 1) "
+        "ELSE (us - s.tl) // ((s.th - s.tl) // 65536 + 1) END t16 "
+        "FROM e, s), "
+        f"z AS (SELECT user_id, us, ({z}) z FROM q) "
+        f"SELECT (z >> {_Z_FILE_SHIFT})::BIGINT file_id, "
+        "count(*)::BIGINT n_rows, min(user_id) u_min, max(user_id) u_max, "
+        "min(us) t_min_us, max(us) t_max_us FROM z GROUP BY 1")
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3921,6 +4447,14 @@ UNGATED_QUERIES = {
     "dedup_embedding": (q_dedup_embedding, sql_dedup_embedding),  # all-pairs baseline of dedup_embedding_lsh
     "dedup_semantic": (q_dedup_semantic, sql_dedup_semantic),  # composition: ann_ivf's cluster assignment x dedup_embedding's cosine verify (SemDeDup)
     "text_bm25": (q_text_bm25, sql_text_bm25),  # composition: text_tfidf's tf/df stats x ann's window top-k, saturation weights as driver literals
+    "text_winnow": (q_text_winnow, sql_text_winnow),  # positional-density variant of text_fingerprint (MOSS winnowing, window-min selection)
+    "text_chunks_cdc": (q_text_chunks_cdc, sql_text_chunks_cdc),  # content-defined boundary variant of text_chunks (LBFS rule, shift-robust)
+    "events_scd2": (q_events_scd2, sql_events_scd2),  # gaps-and-islands interval form of events_asof's ordered-window family (SCD2 history)
+    "snapshot_merge": (q_snapshot_merge, sql_snapshot_merge),  # composition: dedup_exact's latest-wins argmax x dedup_apply's materialization (CDC MERGE)
+    "layout_zorder": (q_layout_zorder, sql_layout_zorder),  # composition: emb_quantize's integer quantization x events_window's bucket rollup (Z-order layout extents)
+    "dedup_clusters_star": (q_dedup_clusters_star, sql_dedup_clusters),  # large-star/small-star edge-rewriting scale path, same oracle as dedup_clusters
+    "mm_phash": (q_mm_phash, sql_mm_phash),  # composition: mm_metadata's container parse x emb_quantize's exact integer reduce (perceptual aHash)
+    "mm_neardup": (q_mm_neardup, sql_mm_neardup),  # composition: mm_phash x dedup_minhash_lsh's band-join (Hamming LSH, exact-complete at d<=7)
 }
 
 assert len(GATED_QUERIES) <= DRIVER_GATE_CAP, (
