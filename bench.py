@@ -102,9 +102,14 @@ def main():
                  "ann_bruteforce_np", "text_quality", "rel_pricing_summary"):
         fn, _sql = QUERIES[name]
 
+        # noop sink, NOT .count(): count() lets Catalyst prune the whole
+        # projection of row-wise queries (simhash, text_quality), timing
+        # a bare scan as if it were the query. The noop writer consumes
+        # every row fully materialized — what a production sink costs —
+        # without touching disk.
         def _run(f=fn):
             unpersist_registered()
-            return f(spark, SF_DIR).count()
+            f(spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
         t, med = _timed_reps(_run, 3)
         results[name] = round(t, 3)

@@ -1003,6 +1003,294 @@ def sql_text_chunks_cdc(sf_dir):
         "md5(array_to_string(u.chunk, ' ')) chunk_md5 FROM c")
 
 
+_HLL_BUCKETS = 64        # p=6: 64 registers
+_HLL_RMAX = 27           # 26-bit remainder => rho in [1, 27]
+
+
+def q_text_hll(spark, sf_dir):
+    """HyperLogLog register state for distinct-token cardinality per
+    source (Flajolet et al. 2007) — the mergeable sketch every
+    planet-scale distinct-count runs on, built EXACTLY the same in both
+    engines: 32-bit md5 token hash, bucket = h mod 64, rho = leading-
+    zero rank of the 26-bit remainder computed via binary-string length
+    (integer-exact; no engine-specific HLL implementations involved).
+    Registers are max-merged, so duplicate tokens need no distinct pass.
+    Emitted per source: the harmonic-sum NUMERATOR sum(2^(27-reg))
+    (exact integer — the float estimate alpha*m^2*2^27/harm_num is one
+    driver-side division away), nonzero register count, and the
+    order-canonical register digest. Scale shape: tokens partial-
+    aggregate map-side to <=64 (source, bucket) rows per task, ONE key
+    shuffle of pre-aggregated rows, then a per-source assembly — the
+    standard distributed HLL merge; register arrays are _let-bound and
+    materialized through inline()."""
+    d = _docs(spark, sf_dir)
+    pairs = d.select(
+        "source",
+        F.explode(F.expr(
+            f"transform(transform({_TOKS_SPARK}, t -> "
+            "CAST(conv(substring(md5(t),1,8),16,10) AS BIGINT)), h -> "
+            f"named_struct('bucket', h % {_HLL_BUCKETS}, "
+            f"'rho', IF(h div {_HLL_BUCKETS} = 0, {_HLL_RMAX}, "
+            f"{_HLL_RMAX} - length(conv(h div {_HLL_BUCKETS}, 10, 2)))))"
+        )).alias("br"))
+    mx = (pairs.groupBy("source", F.col("br.bucket").alias("bucket"))
+          .agg(F.max("br.rho").alias("mr")))
+    m = (mx.groupBy("source")
+         .agg(F.map_from_entries(
+             F.collect_list(F.struct("bucket", "mr"))).alias("m")))
+    out = _let(
+        f"transform(sequence(0, {_HLL_BUCKETS - 1}), "
+        "b -> coalesce(element_at(m, cast(b as bigint)), 0))", "regs",
+        "named_struct("
+        "'harm_num', aggregate(regs, 0L, (acc, g) -> "
+        f"acc + shiftleft(1L, {_HLL_RMAX} - g)), "
+        "'nonzero_regs', cast(size(filter(regs, g -> g > 0)) as bigint), "
+        "'reg_digest', md5(concat_ws(',', "
+        "transform(regs, x -> cast(x as string)))))")
+    return m.select("source", F.inline(F.array(F.expr(out))))
+
+
+def sql_text_hll(sf_dir):
+    B, R = _HLL_BUCKETS, _HLL_RMAX
+    return (
+        "WITH tk AS (SELECT source, unnest(" + _TOKS_DUCK
+        + ") t FROM documents), "
+        "hh AS (SELECT source, ('0x'||substr(md5(t),1,8))::BIGINT h FROM tk), "
+        f"br AS (SELECT source, h % {B} bucket, "
+        f"CASE WHEN h // {B} = 0 THEN {R} "
+        f"ELSE {R} - length(bin(h // {B})) END rho FROM hh), "
+        "mx AS (SELECT source, bucket, max(rho) mr FROM br GROUP BY 1, 2), "
+        "srcs AS (SELECT DISTINCT source FROM tk), "
+        f"grid AS (SELECT s.source, r.b FROM srcs s, range({B}) r(b)), "
+        "rg AS (SELECT g.source, g.b, coalesce(mx.mr, 0) reg FROM grid g "
+        "LEFT JOIN mx ON mx.source = g.source AND mx.bucket = g.b), "
+        "ag AS (SELECT source, list(reg ORDER BY b) regs FROM rg "
+        "GROUP BY source) "
+        "SELECT source, "
+        f"list_sum(list_transform(regs, g -> 1::BIGINT << ({R} - g)))"
+        "::BIGINT harm_num, "
+        "len(list_filter(regs, g -> g > 0))::BIGINT nonzero_regs, "
+        "md5(array_to_string(list_transform(regs, x -> x::VARCHAR), ',')) "
+        "reg_digest FROM ag")
+
+
+_BLOOM_BITS = 256        # 4 int64 words, k=2 md5-derived positions
+_BLOOM_PROBES = ("hash", "join", "merge", "quantum", "zebra")
+
+
+def _bloom_positions(term: str) -> tuple:
+    """The two bit positions of a term — same 32-bit md5 hash as both
+    engines, h1 = h mod 256, h2 = (h div 256) mod 256 (python replica of
+    the in-engine expressions; used to bake probe-term constants into
+    the SQL so membership tests are static expressions)."""
+    import hashlib
+    h = int(hashlib.md5(term.encode()).hexdigest()[:8], 16)
+    return h % _BLOOM_BITS, (h // _BLOOM_BITS) % _BLOOM_BITS
+
+
+def _bloom_hit_term(words: tuple) -> str:
+    """SQL fragment counting probe terms whose both bits are set in the
+    4-word bloom (words = the four column names); identical text works
+    in Spark SQL and DuckDB except the shift operator, handled by the
+    caller via .format-style substitution already applied here."""
+    terms = []
+    for t in _BLOOM_PROBES:
+        checks = []
+        for pos in _bloom_positions(t):
+            w, b = divmod(pos, 64)
+            checks.append(
+                f"(({words[w]} & shiftleft(1L, {b})) != 0)")
+        terms.append(f"IF({' AND '.join(checks)}, 1L, 0L)")
+    return " + ".join(terms)
+
+
+def q_text_bloom(spark, sf_dir):
+    """Per-source BLOOM FILTER over the token vocabulary — 256 bits as
+    four int64 words, k=2 positions from one md5 hash, built with exact
+    integer ops so both engines emit identical words. The scan-pruning
+    primitive: a reader holding these 4 words skips any source whose
+    bloom misses every probe term (no false negatives; false-positive
+    rate (1-e^(-2n/256))^2, reported via n_set_bits). Per doc the word
+    quad is a row-wise fold over the _let-bound token-hash array; per
+    source the quads merge with bit_or — partial-aggregated map-side,
+    ONE shuffle of 4-word rows, the same mergeable-sketch shape as
+    text_hll. probe_hits evaluates a static membership expression for
+    five fixed probe terms (constants baked from the python md5 replica
+    — three present in every corpus, two absent)."""
+    contrib = []
+    for k in range(2):
+        pos = f"(h div {_BLOOM_BITS ** k}) % {_BLOOM_BITS}"
+        contrib.append(f"IF(({pos}) div 64 = w, "
+                       f"shiftleft(1L, ({pos}) % 64), 0L)")
+    words = _let(
+        f"transform({_TOKS_SPARK}, t -> "
+        "CAST(conv(substring(md5(t),1,8),16,10) AS BIGINT))", "hs",
+        "transform(sequence(0, 3), w -> aggregate(hs, 0L, "
+        f"(acc, h) -> acc | {' | '.join(contrib)}))")
+    q = _let(words, "ws",
+             "named_struct('w0', element_at(ws, 1), "
+             "'w1', element_at(ws, 2), 'w2', element_at(ws, 3), "
+             "'w3', element_at(ws, 4))")
+    per_doc = _docs(spark, sf_dir).select(
+        "source", F.inline(F.array(F.expr(q))))
+    merged = per_doc.groupBy("source").agg(
+        F.expr("bit_or(w0)").alias("w0"), F.expr("bit_or(w1)").alias("w1"),
+        F.expr("bit_or(w2)").alias("w2"), F.expr("bit_or(w3)").alias("w3"))
+    hits = _bloom_hit_term(("w0", "w1", "w2", "w3"))
+    return merged.select(
+        "source", "w0", "w1", "w2", "w3",
+        F.expr("cast(bit_count(w0) + bit_count(w1) + bit_count(w2) "
+               "+ bit_count(w3) as bigint)").alias("n_set_bits"),
+        F.expr(f"cast({hits} as bigint)").alias("probe_hits"))
+
+
+def sql_text_bloom(sf_dir):
+    # bit 63 is int64's sign bit: DuckDB raises on 1::BIGINT << 63
+    # (Spark's shiftleft wraps to long-min), so branch to the literal
+    lmin = "-9223372036854775808"
+    contrib = []
+    for k in range(2):
+        pos = f"(h // {_BLOOM_BITS ** k}) % {_BLOOM_BITS}"
+        contrib.append(
+            f"CASE WHEN ({pos}) // 64 = w THEN "
+            f"(CASE WHEN ({pos}) % 64 = 63 THEN {lmin} "
+            f"ELSE 1::BIGINT << (({pos}) % 64) END) ELSE 0 END")
+    terms = []
+    for t in _BLOOM_PROBES:
+        checks = []
+        for pos in _bloom_positions(t):
+            w, b = divmod(pos, 64)
+            mask = lmin if b == 63 else f"(1::BIGINT << {b})"
+            checks.append(f"((w{w} & {mask}) != 0)")
+        terms.append(
+            f"CASE WHEN {' AND '.join(checks)} THEN 1 ELSE 0 END")
+    hits = " + ".join(terms)
+    return (
+        "WITH tk AS (SELECT source, unnest(" + _TOKS_DUCK
+        + ") t FROM documents), "
+        "hh AS (SELECT source, ('0x'||substr(md5(t),1,8))::BIGINT h FROM tk), "
+        "pw AS (SELECT source, w, bit_or("
+        + " + ".join(f"({c})" for c in contrib)
+        + ") wv FROM hh, range(4) r(w) GROUP BY source, w), "
+        "m AS (SELECT source, "
+        "max(CASE WHEN w = 0 THEN wv END) w0, "
+        "max(CASE WHEN w = 1 THEN wv END) w1, "
+        "max(CASE WHEN w = 2 THEN wv END) w2, "
+        "max(CASE WHEN w = 3 THEN wv END) w3 FROM pw GROUP BY source) "
+        "SELECT source, w0, w1, w2, w3, "
+        "(bit_count(w0) + bit_count(w1) + bit_count(w2) + bit_count(w3))"
+        "::BIGINT n_set_bits, "
+        f"({hits})::BIGINT probe_hits FROM m")
+
+
+_PMI_MIN_COUNT = 3       # bigram support floor
+_PMI_SCALE = 1_000_000   # integer PMI-ratio scale
+_PMI_TOPK = 10
+
+
+def q_text_pmi(spark, sf_dir):
+    """Top collocations by pointwise mutual information — the word-
+    association statistic (Church & Hanks 1990) ranked in EXACT integer
+    arithmetic: PMI = log(c_xy*T/(c_x*c_y)) is monotone in its ratio
+    argument, so ranking by score_q = c_xy*T*10^6 div (c_x*c_y) is
+    ranking by PMI with no cross-engine log/float drift (products stay
+    under 2^62 up to ~10^9-token corpora at this support floor; past
+    that the production form ranks per-shard on the same ratio). Shape:
+    adjacent-pair explode partial-aggregates to bigram counts, unigram
+    counts join back on each side (vocabulary-keyed equi-joins AQE is
+    free to broadcast), the corpus total rides a one-row broadcast
+    cross join, and top-k is a global orderBy-limit with a full
+    (score, tok_a, tok_b) tiebreak."""
+    d = (_docs(spark, sf_dir)
+         .select(F.explode(F.expr(_let(
+             _TOKS_SPARK, "toks",
+             "CASE WHEN size(toks) < 2 THEN "
+             "cast(array() as array<struct<x:string, y:string>>) "
+             "ELSE transform(sequence(1, size(toks) - 1), i -> "
+             "named_struct('x', element_at(toks, i), "
+             "'y', element_at(toks, i + 1))) END"))).alias("bg")))
+    big = (d.groupBy(F.col("bg.x").alias("x"), F.col("bg.y").alias("y"))
+           .agg(F.count(F.lit(1)).alias("c_xy"))
+           .where(F.col("c_xy") >= _PMI_MIN_COUNT))
+    uni = (_docs(spark, sf_dir)
+           .select(F.explode(F.expr(_TOKS_SPARK)).alias("t"))
+           .groupBy("t").agg(F.count(F.lit(1)).alias("c")))
+    tot = uni.agg(F.sum("c").alias("T"))
+    j = (big.join(uni.select(F.col("t").alias("x"),
+                             F.col("c").alias("c_x")), "x")
+         .join(uni.select(F.col("t").alias("y"),
+                          F.col("c").alias("c_y")), "y")
+         .crossJoin(F.broadcast(tot)))
+    scored = j.select(
+        F.col("x").alias("tok_a"), F.col("y").alias("tok_b"),
+        F.col("c_xy").cast("long").alias("c_ab"),
+        F.expr(f"c_xy * T * {_PMI_SCALE} div (c_x * c_y)")
+        .alias("score_q"))
+    return (scored.orderBy(F.desc("score_q"), "tok_a", "tok_b")
+            .limit(_PMI_TOPK))
+
+
+def sql_text_pmi(sf_dir):
+    return (
+        "WITH t AS (SELECT " + _TOKS_DUCK + " toks FROM documents), "
+        "bg AS (SELECT unnest(list_transform(range(1, len(toks)), i -> "
+        "{'x': toks[i], 'y': toks[i+1]})) u FROM t WHERE len(toks) >= 2), "
+        "big AS (SELECT u.x x, u.y y, count(*) c_xy FROM bg GROUP BY 1, 2 "
+        f"HAVING count(*) >= {_PMI_MIN_COUNT}), "
+        "tk AS (SELECT unnest(toks) tok FROM t), "
+        "uni AS (SELECT tok, count(*) c FROM tk GROUP BY tok), "
+        "tt AS (SELECT sum(c)::BIGINT T FROM uni) "
+        "SELECT big.x tok_a, big.y tok_b, c_xy::BIGINT c_ab, "
+        f"(c_xy * T * {_PMI_SCALE}) // (ux.c * uy.c) score_q "
+        "FROM big JOIN uni ux ON ux.tok = big.x "
+        "JOIN uni uy ON uy.tok = big.y, tt "
+        f"ORDER BY score_q DESC, tok_a, tok_b LIMIT {_PMI_TOPK}")
+
+
+_POSTINGS_MIN_DF = 10
+
+
+def q_text_postings(spark, sf_dir):
+    """Inverted-index POSTINGS build — the search-infra primitive: per
+    term above a document-frequency floor emit df, total term frequency,
+    doc-id extent, and the md5 digest of the doc_id-ordered 'doc:tf'
+    posting list. Shape: token explode partial-aggregates to (term,
+    doc) tf rows, then one term-keyed shuffle assembles postings. The
+    per-term collect_list is bounded by df — a production writer shards
+    stopword-grade terms by (term, doc-range) before the digest, the
+    same segmentation events_sessionize_chunked demonstrates; the df
+    floor here keeps the gate output vocabulary-sized."""
+    tf = (_docs(spark, sf_dir)
+          .select("doc_id", F.explode(F.expr(_TOKS_SPARK)).alias("term"))
+          .groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf")))
+    return (tf.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"),
+                 F.sum("tf").alias("tf_total"),
+                 F.min("doc_id").alias("doc_min"),
+                 F.max("doc_id").alias("doc_max"),
+                 F.md5(F.concat_ws(",", F.expr(
+                     "transform(array_sort(collect_list("
+                     "named_struct('d', doc_id, 'tf', tf))), "
+                     "e -> concat(cast(e.d as string), ':', "
+                     "cast(e.tf as string)))"))).alias("postings_md5"))
+            .where(F.col("df") >= _POSTINGS_MIN_DF)
+            .select("term", F.col("df").cast("long").alias("df"),
+                    F.col("tf_total").cast("long").alias("tf_total"),
+                    "doc_min", "doc_max", "postings_md5"))
+
+
+def sql_text_postings(sf_dir):
+    return (
+        "WITH tk AS (SELECT doc_id, unnest(" + _TOKS_DUCK
+        + ") term FROM documents), "
+        "tf AS (SELECT term, doc_id, count(*) tf FROM tk GROUP BY 1, 2) "
+        "SELECT term, count(*)::BIGINT df, sum(tf)::BIGINT tf_total, "
+        "min(doc_id) doc_min, max(doc_id) doc_max, "
+        "md5(string_agg(doc_id::VARCHAR || ':' || tf::VARCHAR, ',' "
+        "ORDER BY doc_id)) postings_md5 "
+        f"FROM tf GROUP BY term HAVING count(*) >= {_POSTINGS_MIN_DF}")
+
+
 def q_text_tfidf(spark, sf_dir):
     """Per-document top-3 salient terms by tf·(N/df) — the corpus-stats-
     broadcast-back pattern: term document frequencies are aggregated once
@@ -4168,6 +4456,53 @@ def sql_events_scd2(sf_dir):
         "ORDER BY run_id) valid_to_us, n_events::BIGINT n_events FROM g")
 
 
+_QUANTILES = ((50, "p50"), (90, "p90"), (99, "p99"))
+
+
+def q_events_quantiles(spark, sf_dir):
+    """EXACT per-group quantiles of the event value by distributed rank
+    selection — no percentile_approx, no per-group sort of raw rows: the
+    corpus partial-aggregates to (event_type, value) COUNT rows map-side
+    first, the cumulative rank then runs over that pre-aggregated frame
+    (bounded by value cardinality, not event count), and quantile q is
+    the smallest value whose cumulative count reaches the integer rank
+    k_q = (n-1)*q div 100 + 1 (lower-value discrete quantile; rank
+    arithmetic is all-integer so both engines pick the identical row
+    even where float q*n would straddle a ulp). Shape: one groupBy
+    shuffle + windows riding the same event_type partitioning over
+    pre-aggregated rows — a hot group costs its distinct VALUES on one
+    task, never its events, which is the piece a naive
+    sort-each-group-and-index quantile gets wrong at scale."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    vals = (ev.groupBy("event_type", "value")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+    wc = (Window.partitionBy("event_type").orderBy("value")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    wt = Window.partitionBy("event_type")
+    c = (vals.withColumn("cum", F.sum("cnt").over(wc))
+         .withColumn("n", F.sum("cnt").over(wt)))
+    aggs = [F.min(F.when(
+        F.col("cum") >= F.expr(f"(n - 1) * {p} div 100 + 1"),
+        F.col("value"))).alias(name) for p, name in _QUANTILES]
+    return (c.groupBy("event_type")
+            .agg(F.max("n").cast("long").alias("n_events"), *aggs))
+
+
+def sql_events_quantiles(sf_dir):
+    picks = ", ".join(
+        f"min(CASE WHEN cum >= (n - 1) * {p} // 100 + 1 "
+        f"THEN value END) {name}" for p, name in _QUANTILES)
+    return (
+        "WITH v AS (SELECT event_type, value, count(*) cnt FROM events "
+        "GROUP BY 1, 2), "
+        "c AS (SELECT event_type, value, "
+        "sum(cnt) OVER (PARTITION BY event_type ORDER BY value "
+        "ROWS UNBOUNDED PRECEDING) cum, "
+        "sum(cnt) OVER (PARTITION BY event_type) n FROM v) "
+        "SELECT event_type, max(n)::BIGINT n_events, "
+        + picks + " FROM c GROUP BY event_type")
+
+
 # deterministic changelog derivation over the snapshot key space: disjoint
 # update/delete residues mod 7, a seq-2 override on the mod-21 subset of
 # the updates, inserts at keys offset past the snapshot id range
@@ -4457,6 +4792,11 @@ UNGATED_QUERIES = {
     "dedup_clusters_star": (q_dedup_clusters_star, sql_dedup_clusters),  # large-star/small-star edge-rewriting scale path, same oracle as dedup_clusters
     "mm_phash": (q_mm_phash, sql_mm_phash),  # composition: mm_metadata's container parse x emb_quantize's exact integer reduce (perceptual aHash)
     "mm_neardup": (q_mm_neardup, sql_mm_neardup),  # composition: mm_phash x dedup_minhash_lsh's band-join (Hamming LSH, exact-complete at d<=7)
+    "text_hll": (q_text_hll, sql_text_hll),  # HyperLogLog register merge, md5-exact in both engines (mergeable-sketch family)
+    "text_bloom": (q_text_bloom, sql_text_bloom),  # per-source Bloom filter words + static probe membership (scan-pruning primitive)
+    "text_pmi": (q_text_pmi, sql_text_pmi),  # PMI collocations ranked by exact integer ratio (log-free, like text_bm25's weights)
+    "text_postings": (q_text_postings, sql_text_postings),  # inverted-index postings digest (search-infra primitive; df-floored)
+    "events_quantiles": (q_events_quantiles, sql_events_quantiles),  # exact rank-selection quantiles over pre-aggregated value counts
 }
 
 assert len(GATED_QUERIES) <= DRIVER_GATE_CAP, (
