@@ -1291,6 +1291,197 @@ def sql_text_postings(sf_dir):
         f"FROM tf GROUP BY term HAVING count(*) >= {_POSTINGS_MIN_DF}")
 
 
+_CMS_D = 4               # count-min sketch hash rows
+_CMS_W = 64              # counters per row
+
+
+def _cms_slot(i: int, term: str) -> int:
+    """Python replica of the in-engine CMS slot hash (row-major index);
+    used to bake the probe-term counter positions into both SQL texts."""
+    import hashlib
+    h = int(hashlib.md5(f"{i}:{term}".encode()).hexdigest()[:8], 16)
+    return i * _CMS_W + h % _CMS_W
+
+
+def q_text_cms(spark, sf_dir):
+    """COUNT-MIN SKETCH of per-source token frequencies (Cormode &
+    Muthukrishnan 2005) — the third mergeable sketch alongside text_hll
+    and text_bloom: 4 hash rows x 64 counters, slot hashes derived from
+    md5('row:token') so both engines build bit-identical state, counters
+    merge by plain addition (what lets every executor sketch its split
+    and a reducer sum them). Emits the row-major counter digest, the
+    exact token total (row 0's sum — every token lands once per row),
+    and the CMS frequency ESTIMATE for the five fixed probe terms
+    (min over rows of the term's counter — ALWAYS >= the true count,
+    the sketch's one-sided error contract, pinned in test). Scale
+    shape: token explode partial-aggregates to <=256 (source, slot)
+    rows per task, ONE key shuffle, per-source assembly."""
+    slots = (_docs(spark, sf_dir)
+             .select("source", F.explode(F.expr(_TOKS_SPARK)).alias("t"))
+             .select("source", F.explode(F.expr(
+                 f"transform(sequence(0, {_CMS_D - 1}), i -> "
+                 f"i * {_CMS_W} + CAST(conv(substring(md5(concat("
+                 "cast(i as string), ':', t)),1,8),16,10) AS BIGINT) "
+                 f"% {_CMS_W})")).alias("slot")))
+    cnt = (slots.groupBy("source", "slot")
+           .agg(F.count(F.lit(1)).alias("c")))
+    m = (cnt.groupBy("source")
+         .agg(F.map_from_entries(
+             F.collect_list(F.struct("slot", "c"))).alias("m")))
+    ests = ", ".join(
+        f"'est_{t}', least(" + ", ".join(
+            f"element_at(cnts, {_cms_slot(i, t) + 1})"
+            for i in range(_CMS_D)) + ")"
+        for t in _BLOOM_PROBES)
+    out = _let(
+        f"transform(sequence(0, {_CMS_D * _CMS_W - 1}), "
+        "s -> coalesce(element_at(m, cast(s as bigint)), 0L))", "cnts",
+        "named_struct("
+        f"'n_tokens', aggregate(slice(cnts, 1, {_CMS_W}), 0L, "
+        "(acc, c) -> acc + c), "
+        "'cms_digest', md5(concat_ws(',', "
+        f"transform(cnts, x -> cast(x as string)))), {ests})")
+    return m.select("source", F.inline(F.array(F.expr(out))))
+
+
+def sql_text_cms(sf_dir):
+    D, W = _CMS_D, _CMS_W
+    ests = ", ".join(
+        "least(" + ", ".join(
+            f"cnts[{_cms_slot(i, t) + 1}]" for i in range(D))
+        + f") est_{t}" for t in _BLOOM_PROBES)
+    return (
+        "WITH tk AS (SELECT source, unnest(" + _TOKS_DUCK
+        + ") t FROM documents), "
+        f"sl AS (SELECT source, i * {W} + "
+        "('0x'||substr(md5(i::VARCHAR || ':' || t),1,8))::BIGINT "
+        f"% {W} slot FROM tk, range({D}) r(i)), "
+        "ct AS (SELECT source, slot, count(*) c FROM sl GROUP BY 1, 2), "
+        "srcs AS (SELECT DISTINCT source FROM tk), "
+        f"grid AS (SELECT s.source, g.s FROM srcs s, range({D * W}) g(s)), "
+        "rg AS (SELECT g.source, g.s, coalesce(ct.c, 0)::BIGINT c "
+        "FROM grid g LEFT JOIN ct ON ct.source = g.source "
+        "AND ct.slot = g.s), "
+        "ag AS (SELECT source, list(c ORDER BY s) cnts FROM rg "
+        "GROUP BY source) "
+        "SELECT source, "
+        f"list_sum(list_slice(cnts, 1, {W}))::BIGINT n_tokens, "
+        "md5(array_to_string(list_transform(cnts, x -> x::VARCHAR), ',')) "
+        f"cms_digest, {ests} FROM ag")
+
+
+def q_graph_triangles(spark, sf_dir):
+    """TRIANGLE enumeration over the verified near-dup pair graph — the
+    densest-cluster signal (a triangle means three mutually-near-dup
+    docs, i.e. a clique seed the pairwise view understates). Implemented
+    as the compact-forward algorithm's join form: edges oriented
+    low->high (the LSH pairs already are), wedge join on the middle
+    node, closing-edge semi-check — each triangle (a<b<c) is emitted
+    exactly once, and the wedge fan-out is bounded by the oriented
+    out-degree, the property that keeps compact-forward subquadratic on
+    power-law graphs where a naive 3-way symmetric join explodes on the
+    hub. Runs on the (tiny) pair graph only; the corpus is never
+    re-read — the dedup_clusters scale contract."""
+    e = q_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    ab = e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    bc = e.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+    ac = e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
+    tri = ab.join(bc, "b").join(ac, ["a", "c"])
+    return tri.select(F.col("a").alias("doc_a"),
+                      F.col("b").alias("doc_b"),
+                      F.col("c").alias("doc_c"))
+
+
+def sql_graph_triangles(sf_dir):
+    return (
+        "WITH p AS (SELECT doc_a, doc_b FROM ("
+        + sql_dedup_minhash_lsh(sf_dir) + ") q) "
+        "SELECT e1.doc_a doc_a, e1.doc_b doc_b, e2.doc_b doc_c "
+        "FROM p e1 JOIN p e2 ON e2.doc_a = e1.doc_b "
+        "JOIN p e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b")
+
+
+_SPLIT_BOUNDS = (("train", 0, 80), ("val", 80, 90), ("test", 90, 100))
+
+
+def q_dataset_split(spark, sf_dir):
+    """Deterministic TRAIN/VAL/TEST split report — the release step of
+    every corpus build: md5(doc_id) mod 100 buckets 80/10/10 (the same
+    hash-mod family as sample_hash, so splits are stable across reruns,
+    engines and corpus growth — a doc's split never changes when
+    neighbors are added), with per-split doc count, token mass, and the
+    order-canonical md5 digest of member doc_ids as the manifest a
+    release would pin. One scan, one tiny key shuffle of pre-aggregated
+    rows; the digest's collect_list is per-split — the production
+    manifest writes ids to files instead, same plan."""
+    b = F.when(
+        (_h(F.col("doc_id").cast("string")) % 100) < 80, "train").when(
+        (_h(F.col("doc_id").cast("string")) % 100) < 90, "val").otherwise(
+        "test")
+    d = (_docs(spark, sf_dir)
+         .select(b.alias("split"), "doc_id",
+                 F.expr(f"size({_TOKS_SPARK})").alias("ntok")))
+    return (d.groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("ntok").cast("long").alias("n_tokens"),
+                 F.md5(F.concat_ws(",", F.expr(
+                     "transform(array_sort(collect_list(doc_id)), "
+                     "x -> cast(x as string))"))).alias("ids_md5")))
+
+
+def sql_dataset_split(sf_dir):
+    h = _H_SQL.format(c="doc_id::VARCHAR")
+    return (
+        f"WITH d AS (SELECT CASE WHEN {h} % 100 < 80 THEN 'train' "
+        f"WHEN {h} % 100 < 90 THEN 'val' ELSE 'test' END split, doc_id, "
+        "len(" + _TOKS_DUCK + ") ntok FROM documents) "
+        "SELECT split, count(*)::BIGINT n_docs, sum(ntok)::BIGINT n_tokens, "
+        "md5(string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)) ids_md5 "
+        "FROM d GROUP BY split")
+
+
+_PROFILE_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+
+
+def q_doc_profile(spark, sf_dir):
+    """ANALYZE-TABLE-style data profile of the documents table: per
+    column, row count, null count, EXACT distinct count, and min/max
+    (computed in the column's own type, then rendered as strings so the
+    report is one homogeneous frame — int64/string columns only here,
+    so the rendering is drift-free). Shape: one branch per column,
+    UNIONed — each branch's scan prunes to a single parquet column
+    (the columnar win: profiling 5 of 500 columns reads 1% of the
+    bytes), each is a full-column aggregate with map-side partials.
+    Production profilers swap the exact distinct for text_hll's sketch
+    once cardinality outgrows the agg hash table; the exact form IS the
+    oracle here."""
+    d = _docs(spark, sf_dir)
+    parts = []
+    for c in _PROFILE_COLS:
+        parts.append(d.agg(
+            F.lit(c).alias("column"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long").alias("n_nulls"),
+            F.countDistinct(c).alias("n_distinct"),
+            F.min(c).cast("string").alias("min_val"),
+            F.max(c).cast("string").alias("max_val")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def sql_doc_profile(sf_dir):
+    parts = [
+        f"SELECT '{c}' \"column\", count(*)::BIGINT n_rows, "
+        f"sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT n_nulls, "
+        f"count(DISTINCT {c})::BIGINT n_distinct, "
+        f"min({c})::VARCHAR min_val, max({c})::VARCHAR max_val "
+        "FROM documents" for c in _PROFILE_COLS]
+    return " UNION ALL ".join(parts)
+
+
 def q_text_tfidf(spark, sf_dir):
     """Per-document top-3 salient terms by tf·(N/df) — the corpus-stats-
     broadcast-back pattern: term document frequencies are aggregated once
@@ -4797,6 +4988,10 @@ UNGATED_QUERIES = {
     "text_pmi": (q_text_pmi, sql_text_pmi),  # PMI collocations ranked by exact integer ratio (log-free, like text_bm25's weights)
     "text_postings": (q_text_postings, sql_text_postings),  # inverted-index postings digest (search-infra primitive; df-floored)
     "events_quantiles": (q_events_quantiles, sql_events_quantiles),  # exact rank-selection quantiles over pre-aggregated value counts
+    "text_cms": (q_text_cms, sql_text_cms),  # count-min sketch, third mergeable sketch (one-sided-error frequency estimates)
+    "graph_triangles": (q_graph_triangles, sql_graph_triangles),  # compact-forward triangle enumeration on the near-dup pair graph
+    "dataset_split": (q_dataset_split, sql_dataset_split),  # deterministic 80/10/10 release split with manifest digests (sample_hash family)
+    "doc_profile": (q_doc_profile, sql_doc_profile),  # ANALYZE-style per-column profile; column-pruned scan branches
 }
 
 assert len(GATED_QUERIES) <= DRIVER_GATE_CAP, (

