@@ -313,3 +313,47 @@ def test_aqe_skew_join_splits_hot_key(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_sketch_trio_preaggregated_shuffles(spark):
+    """hll/cms: token mass collapses map-side (partial agg) before the
+    two tiny key shuffles (<=64 / <=256 pre-aggregated rows per task);
+    bloom's bit_or merge costs exactly one shuffle. None of the three
+    reads the corpus twice."""
+    for name, max_sh in (("text_hll", 2), ("text_cms", 2),
+                         ("text_bloom", 1)):
+        p = _plan(spark, name)
+        assert _shuffles(p) <= max_sh, name
+        assert "partial_" in p, name
+        assert p.count("FileScan") == 1, name
+
+
+def test_doc_profile_prunes_each_branch_to_one_column(spark):
+    """The columnar-win claim holds for real: every UNION branch's
+    parquet scan reads EXACTLY its one profiled column (profiling 5 of
+    500 columns must read 1% of the bytes, not all of them)."""
+    import re
+    p = _plan(spark, "doc_profile")
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    assert sorted(schemas) == sorted(
+        ["doc_id:bigint", "text:string", "lang:string",
+         "source:string", "n_chars:bigint"])
+
+
+def test_dataset_split_single_shuffle(spark):
+    p = _plan(spark, "dataset_split")
+    assert _shuffles(p) == 1 and "partial_" in p
+
+
+def test_postings_two_stage_aggregation(spark):
+    # (term, doc) tf partial-aggregates before the term-keyed assembly
+    p = _plan(spark, "text_postings")
+    assert _shuffles(p) <= 2 and "partial_count" in p
+
+
+def test_pmi_no_cartesian_blowup(spark):
+    # the one-row total rides a broadcast; unigram joins are equi-joins
+    p = _plan(spark, "text_pmi")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p  # top-k never global-sorts
