@@ -4694,6 +4694,47 @@ def sql_events_quantiles(sf_dir):
         + picks + " FROM c GROUP BY event_type")
 
 
+_Z_CUT = 3.0             # |z| threshold for outlier emission
+
+
+def q_events_outliers(spark, sf_dir):
+    """Z-score anomaly detection per event type — the monitoring
+    primitive: per-type mean/std from one tiny aggregate (moment sums),
+    broadcast back onto a second corpus scan that emits only the
+    |z| >= 3 rows. The broadcast-back shape is the point at 100 TB: the
+    5-row stats table rides a BroadcastExchange, the event stream is
+    scanned without any key shuffle, and no per-type window ever
+    materializes (a window formulation would shuffle every event by
+    type — the skew trap). std uses the population moment identity with
+    a max(...,0) guard; both engines evaluate the identical expression
+    order and z is rounded to 6 dp, the established float-tolerance
+    pattern (events_value_stats)."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    st = (ev.groupBy("event_type")
+          .agg(F.count(F.lit(1)).alias("n"),
+               F.sum("value").alias("s"),
+               F.sum(F.col("value") * F.col("value")).alias("sq")))
+    j = ev.join(F.broadcast(st), "event_type")
+    z = F.expr("(value - s / n) / "
+               "sqrt(greatest(sq / n - (s / n) * (s / n), 1e-12))")
+    return (j.select("event_type", "event_id", "value",
+                     F.round(z, 6).alias("z"))
+            .where(F.abs(F.round(z, 6)) >= _Z_CUT))
+
+
+def sql_events_outliers(sf_dir):
+    return (
+        "WITH st AS (SELECT event_type, count(*) n, sum(value) s, "
+        "sum(value * value) sq FROM events GROUP BY 1) "
+        "SELECT e.event_type, e.event_id, e.value, "
+        "round((e.value - s / n) / "
+        "sqrt(greatest(sq / n - (s / n) * (s / n), 1e-12)), 6) z "
+        "FROM events e JOIN st ON st.event_type = e.event_type "
+        "WHERE abs(round((e.value - s / n) / "
+        "sqrt(greatest(sq / n - (s / n) * (s / n), 1e-12)), 6)) "
+        f">= {_Z_CUT}")
+
+
 # deterministic changelog derivation over the snapshot key space: disjoint
 # update/delete residues mod 7, a seq-2 override on the mod-21 subset of
 # the updates, inserts at keys offset past the snapshot id range
@@ -4992,6 +5033,7 @@ UNGATED_QUERIES = {
     "graph_triangles": (q_graph_triangles, sql_graph_triangles),  # compact-forward triangle enumeration on the near-dup pair graph
     "dataset_split": (q_dataset_split, sql_dataset_split),  # deterministic 80/10/10 release split with manifest digests (sample_hash family)
     "doc_profile": (q_doc_profile, sql_doc_profile),  # ANALYZE-style per-column profile; column-pruned scan branches
+    "events_outliers": (q_events_outliers, sql_events_outliers),  # z-score anomalies via broadcast-back stats (no per-type window shuffle)
 }
 
 assert len(GATED_QUERIES) <= DRIVER_GATE_CAP, (

@@ -143,3 +143,41 @@ def test_doc_profile_nulls_and_extents(spark, tmp_path):
         == ("7", "84")
     assert (got["doc_id"]["min_val"], got["doc_id"]["max_val"]) \
         == ("1", "12")
+
+
+def test_events_outliers_zscore_and_broadcast(spark, tmp_path):
+    """A planted spike must be the only |z|>=3 row (z exact vs the
+    replica formula), and the plan must broadcast the 5-row stats table
+    back — the event stream never shuffles by type (the skew trap a
+    window formulation would hit)."""
+    import datetime as dt
+    import math
+
+    from pdftext_spark.queries import q_events_outliers
+
+    t0 = dt.datetime(2024, 3, 1)
+    vals = [10.0, 11.0, 9.0, 10.5, 9.5] * 8 + [1000.0]
+    pl = [{"event_id": i + 1, "ts": t0 + dt.timedelta(minutes=i),
+           "user_id": 1, "event_type": "buy", "value": v, "props": "{}"}
+          for i, v in enumerate(vals)]
+    pq.write_table(pa.Table.from_pylist(pl, schema=pa.schema(
+        [("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+         ("user_id", pa.int64()), ("event_type", pa.string()),
+         ("value", pa.float64()), ("props", pa.string())])),
+        f"{tmp_path}/events.parquet")
+    rows = q_events_outliers(spark, str(tmp_path)).collect()
+    assert [r["event_id"] for r in rows] == [41]
+    n = len(vals)
+    s, sq = sum(vals), sum(v * v for v in vals)
+    z = (1000.0 - s / n) / math.sqrt(max(sq / n - (s / n) ** 2, 1e-12))
+    assert rows[0]["z"] == round(z, 6)
+
+    df = q_events_outliers(spark, "/root/testdata/sf0.001")
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p
+    # exactly ONE data shuffle — the 5-row stats aggregation, which
+    # partial-aggregates map-side before its exchange; the event stream
+    # itself reaches the join via broadcast, never a key shuffle
+    assert p.count("Exchange") - p.count("BroadcastExchange") == 1
+    assert "partial_sum" in p.split("Exchange hashpartitioning")[0] or \
+        "partial_sum" in p
