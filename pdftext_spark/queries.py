@@ -1169,8 +1169,12 @@ def sql_text_bloom(sf_dir):
         "WITH tk AS (SELECT source, unnest(" + _TOKS_DUCK
         + ") t FROM documents), "
         "hh AS (SELECT source, ('0x'||substr(md5(t),1,8))::BIGINT h FROM tk), "
+        # OR the two per-position contributions, never add: a token
+        # whose two bloom positions coincide (~1/256 of vocabulary)
+        # must set its bit once — '+' doubles it into the wrong bit
+        # (or overflows at bit 63), as Spark's 'acc | c0 | c1' does not
         "pw AS (SELECT source, w, bit_or("
-        + " + ".join(f"({c})" for c in contrib)
+        + " | ".join(f"({c})" for c in contrib)
         + ") wv FROM hh, range(4) r(w) GROUP BY source, w), "
         "m AS (SELECT source, "
         "max(CASE WHEN w = 0 THEN wv END) w0, "
@@ -1192,10 +1196,14 @@ def q_text_pmi(spark, sf_dir):
     """Top collocations by pointwise mutual information — the word-
     association statistic (Church & Hanks 1990) ranked in EXACT integer
     arithmetic: PMI = log(c_xy*T/(c_x*c_y)) is monotone in its ratio
-    argument, so ranking by score_q = c_xy*T*10^6 div (c_x*c_y) is
-    ranking by PMI with no cross-engine log/float drift (products stay
-    under 2^62 up to ~10^9-token corpora at this support floor; past
-    that the production form ranks per-shard on the same ratio). Shape:
+    argument, so the rank key is that ratio in fixed point, computed
+    division-first as ((c_xy*10^6 div c_x) * T) div c_y — c_xy <= c_x
+    bounds the first quotient by 10^6, so the largest intermediate is
+    T*10^6, safe in int64 to T ~ 9*10^12 tokens (the naive
+    c_xy*T*10^6 product overflows at corpus sizes the support floor
+    does nothing to prevent — review finding). The 10^-6 quantization
+    of p(y|x) is part of the rank-key definition; both engines evaluate
+    the identical division sequence, so scores are bit-equal. Shape:
     adjacent-pair explode partial-aggregates to bigram counts, unigram
     counts join back on each side (vocabulary-keyed equi-joins AQE is
     free to broadcast), the corpus total rides a one-row broadcast
@@ -1224,7 +1232,7 @@ def q_text_pmi(spark, sf_dir):
     scored = j.select(
         F.col("x").alias("tok_a"), F.col("y").alias("tok_b"),
         F.col("c_xy").cast("long").alias("c_ab"),
-        F.expr(f"c_xy * T * {_PMI_SCALE} div (c_x * c_y)")
+        F.expr(f"((c_xy * {_PMI_SCALE} div c_x) * T) div c_y")
         .alias("score_q"))
     return (scored.orderBy(F.desc("score_q"), "tok_a", "tok_b")
             .limit(_PMI_TOPK))
@@ -1241,7 +1249,7 @@ def sql_text_pmi(sf_dir):
         "uni AS (SELECT tok, count(*) c FROM tk GROUP BY tok), "
         "tt AS (SELECT sum(c)::BIGINT T FROM uni) "
         "SELECT big.x tok_a, big.y tok_b, c_xy::BIGINT c_ab, "
-        f"(c_xy * T * {_PMI_SCALE}) // (ux.c * uy.c) score_q "
+        f"(((c_xy * {_PMI_SCALE}) // ux.c) * T) // uy.c score_q "
         "FROM big JOIN uni ux ON ux.tok = big.x "
         "JOIN uni uy ON uy.tok = big.y, tt "
         f"ORDER BY score_q DESC, tok_a, tok_b LIMIT {_PMI_TOPK}")
@@ -1381,8 +1389,13 @@ def q_graph_triangles(spark, sf_dir):
     out-degree, the property that keeps compact-forward subquadratic on
     power-law graphs where a naive 3-way symmetric join explodes on the
     hub. Runs on the (tiny) pair graph only; the corpus is never
-    re-read — the dedup_clusters scale contract."""
-    e = q_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    re-read — the dedup_clusters scale contract. The edge frame is
+    localCheckpoint'd before the triple self-join: without it each of
+    the three branches re-derives the whole LSH pipeline from the raw
+    parquet (12 FileScans measured — review finding), tripling the
+    job's most expensive stage."""
+    e = (q_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+         .localCheckpoint())
     ab = e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     bc = e.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
     ac = e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
@@ -4853,6 +4866,13 @@ def q_layout_zorder(spark, sf_dir):
     ev = _with_us(spark.read.parquet(os.path.join(sf_dir, "events.parquet")))
     st = ev.agg(F.min("user_id").alias("ul"), F.max("user_id").alias("uh"),
                 F.min("us").alias("tl"), F.max("us").alias("th")).first()
+    if st["ul"] is None:
+        # empty input: the stats row is all-NULL and the quantizer
+        # expressions below would interpolate Python None into SQL text
+        # (review finding); the oracle returns an empty frame — match it
+        return spark.createDataFrame(
+            [], "file_id long, n_rows long, u_min long, u_max long, "
+                "t_min_us long, t_max_us long")
 
     # exact 16-bit range quantization, overflow-branched: multiply-first
     # ((x-lo)*2^16 div (span+1), fills all 16 bits even on narrow

@@ -131,7 +131,9 @@ def test_text_pmi_ranking(spark, tmp_path):
     toks = [t for d in docs for t in d.split()]
     T = len(toks)
     c = {t: toks.count(t) for t in set(toks)}
-    assert top["score_q"] == 3 * T * 1_000_000 // (c["rare"] * c["pair"])
+    # division-first fixed point — the overflow-safe rank key both
+    # engines compute (largest intermediate bounded by T * 10^6)
+    assert top["score_q"] == (3 * 1_000_000 // c["rare"]) * T // c["pair"]
     the_cat = [r for r in rows
                if (r["tok_a"], r["tok_b"]) == ("the", "cat")]
     assert the_cat and the_cat[0]["score_q"] < top["score_q"]
@@ -193,3 +195,62 @@ def test_events_quantiles_exact_ranks(spark, tmp_path):
     p = df._jdf.queryExecution().executedPlan().toString()
     # pre-aggregation before the window: a partial_count on (type, value)
     assert "partial_count" in p or "partial_" in p
+
+
+def test_text_bloom_coincident_positions_cross_engine(spark, tmp_path):
+    """Regression (review finding): tokens whose TWO bloom positions
+    coincide — 'ur' (bit 43 of w3) and 'ctx' (bit 63 of w3, the int64
+    sign bit) — must set their single bit identically in Spark, the
+    python replica, AND the DuckDB oracle (whose old '+'-composed form
+    doubled the bit into the wrong position, or overflowed at 63)."""
+    import duckdb
+
+    from pdftext_spark.queries import (_bloom_positions, q_text_bloom,
+                                       sql_text_bloom)
+
+    for t in ("ur", "ctx"):
+        p1, p2 = _bloom_positions(t)
+        assert p1 == p2, t  # the collision precondition still holds
+    sf = _write_docs(tmp_path, [("w", "ur ctx plainword")])
+    srow = q_text_bloom(spark, sf).collect()[0]
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')")
+    drow = con.sql(sql_text_bloom(sf)).fetchall()[0]
+    dcols = [d[0] for d in con.sql(sql_text_bloom(sf)).description]
+    d = dict(zip(dcols, drow))
+    for c in ("w0", "w1", "w2", "w3", "n_set_bits", "probe_hits"):
+        assert srow[c] == d[c], c
+    # 'ctx' sets exactly the sign bit of w3 alongside 'ur''s bit 43
+    assert srow["w3"] & (1 << 43)
+    assert srow["w3"] < 0  # bit 63 set => negative int64
+
+
+def test_graph_triangles_edge_frame_materialized_once(spark):
+    """Regression (review finding): the triple self-join must run on the
+    checkpointed edge frame — zero parquet scans in the executed plan
+    (previously 12: each branch re-derived the LSH pipeline)."""
+    from pdftext_spark.queries import q_graph_triangles
+    df = q_graph_triangles(spark, "/root/testdata/sf0.001")
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan" not in p
+    assert "Scan ExistingRDD" in p
+
+
+def test_layout_zorder_empty_input(spark, tmp_path):
+    """Regression (review finding): an empty events table must yield an
+    empty frame with the full schema, not a driver-side TypeError from
+    NULL stats interpolated into the quantizer SQL."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdftext_spark.queries import q_layout_zorder
+    pq.write_table(pa.Table.from_pylist([], schema=pa.schema(
+        [("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+         ("user_id", pa.int64()), ("event_type", pa.string()),
+         ("value", pa.float64()), ("props", pa.string())])),
+        f"{tmp_path}/events.parquet")
+    df = q_layout_zorder(spark, str(tmp_path))
+    assert df.columns == ["file_id", "n_rows", "u_min", "u_max",
+                          "t_min_us", "t_max_us"]
+    assert df.count() == 0
