@@ -2955,6 +2955,156 @@ def sql_ann_ivf_kmeans(sf_dir):
     return ", ".join(parts[:1]) + ", " + ", ".join(parts[1:])
 
 
+_PQ_M = 8         # subspaces (64 dims -> 8 x 8)
+_PQ_D = 8         # dims per subspace
+_PQ_K = 4         # centroids per subspace codebook
+_PQ_ITERS = 2     # Lloyd rounds per subspace
+
+
+def _pq_cos_spark(j, cv):
+    """Rounded cosine of subvector j of the int64-quantized vector
+    against a literal centroid — the per-subspace twin of
+    _km_cos_sql_spark (columns qe + ns2 in scope)."""
+    arr = ", ".join(f"{int(v)}L" for v in cv)
+    nc2 = sum(int(v) * int(v) for v in cv)
+    nc = "1.0" if nc2 == 0 else f"sqrt({nc2})"
+    ns = f"element_at(ns2, {j + 1})"
+    return (f"round(aggregate(zip_with(slice(qe, {j * _PQ_D + 1}, {_PQ_D}), "
+            f"array({arr}), (x, y) -> x * y), 0L, (a, v) -> a + v) / "
+            f"((CASE WHEN {ns} = 0 THEN 1.0 ELSE sqrt({ns}) END) * {nc})"
+            ", 6)")
+
+
+def _pq_codes_expr(cents):
+    """array of 8 per-subspace argmax codes (ties -> smaller k, via the
+    (cos, -k) struct max) from driver-resident centroid literals."""
+    subs = []
+    for j in range(_PQ_M):
+        structs = ", ".join(
+            f"struct({_pq_cos_spark(j, cents[(j, k)])} AS cos, "
+            f"{-k} AS negk)" for k in range(_PQ_K))
+        subs.append(f"-array_max(array({structs})).negk")
+    return "array(" + ", ".join(subs) + ")"
+
+
+def _pq_recon_expr(cents):
+    """Sum over subspaces of the chosen (max) per-subspace cosine —
+    the reconstruction-similarity score of the encoded vector."""
+    subs = []
+    for j in range(_PQ_M):
+        structs = ", ".join(
+            f"struct({_pq_cos_spark(j, cents[(j, k)])} AS cos, "
+            f"{-k} AS negk)" for k in range(_PQ_K))
+        subs.append(f"array_max(array({structs})).cos")
+    return "round(" + " + ".join(subs) + ", 6)"
+
+
+def q_ann_pq(spark, sf_dir):
+    """PRODUCT QUANTIZATION codebook training + encoding (Jégou et al.
+    2011) — the memory-side ANN lever emb_quantize's int8 report is the
+    warm-up for: the 64-dim space splits into 8 subspaces of 8 dims,
+    each learns a K=4 spherical k-means codebook (cosine assignment —
+    the angular-metric PQ variant matching this repo's cosine ANN
+    stack), and every vector compresses to 8 code ids (3 orders of
+    magnitude smaller than float32; ADC search scans codes against
+    per-query lookup tables). Mechanics are ann_ivf_kmeans's exactly,
+    once per subspace in the SAME pass: int64-quantized subvectors,
+    sum-vector centroids (scale-invariant cosine => exact integer
+    state, no float accumulation), driver-literal codebooks in the
+    expression tree, one corpus scan + one tiny (j, k, dim) sum shuffle
+    per Lloyd round, empty clusters keep their centroid. Emits
+    (vec_id, pq_code, recon_sim); the unrolled-CTE DuckDB oracle
+    reproduces every assignment, so the gate is a full value-hash."""
+    e = (_emb(spark, sf_dir)
+         .select("vec_id", "embedding")
+         .withColumn("qe", F.expr(
+             "transform(embedding, x -> "
+             "cast(round(cast(x as double) * 1000) as bigint))"))
+         .withColumn("ns2", F.expr(
+             f"transform(sequence(0, {_PQ_M - 1}), j -> "
+             f"aggregate(slice(qe, j * {_PQ_D} + 1, {_PQ_D}), 0L, "
+             "(a, x) -> a + x * x))"))
+         .persist())
+    _register_persisted(e)
+    seeds = {int(r["vec_id"]): list(r["qe"])
+             for r in e.where(F.col("vec_id") < _PQ_K)
+             .select("vec_id", "qe").collect()}
+    dim = len(next(iter(seeds.values())))
+    assert dim == _PQ_M * _PQ_D, "codebook layout assumes 64 dims"
+    cents = {(j, k): seeds[k][j * _PQ_D:(j + 1) * _PQ_D]
+             for j in range(_PQ_M) for k in range(_PQ_K)}
+    for _ in range(_PQ_ITERS):
+        rows = (e.select(F.expr(_pq_codes_expr(cents)).alias("codes"),
+                         F.posexplode("qe").alias("i", "v"))
+                .select(F.expr("i div 8").alias("j"),
+                        F.expr("i % 8").alias("d"),
+                        F.expr("element_at(codes, "
+                               "cast(i div 8 as int) + 1)").alias("k"),
+                        "v")
+                .groupBy("j", "k", "d").agg(F.sum("v").alias("s"))
+                .collect())
+        sums: dict = {}
+        for r in rows:
+            sums.setdefault((int(r["j"]), int(r["k"])),
+                            [0] * _PQ_D)[int(r["d"])] = int(r["s"])
+        cents = {jk: sums.get(jk, cv) for jk, cv in cents.items()}
+    return e.select(
+        "vec_id",
+        F.expr("concat_ws(',', transform("
+               + _pq_codes_expr(cents)
+               + ", x -> cast(x as string)))").alias("pq_code"),
+        F.expr(_pq_recon_expr(cents)).alias("recon_sim"))
+
+
+def sql_ann_pq(sf_dir):
+    # relational unroll, ann_ivf_kmeans's oracle shape with a subspace
+    # axis: sv = (vec, subspace) subvector rows, cN = codebook table
+    # keyed (j, k) after round N, assignments by the identical rounded
+    # cosine with ties -> smaller k
+    D, K, M = _PQ_D, _PQ_K, _PQ_M
+    cos = (f"round(list_sum(list_transform(range(1, {D} + 1), "
+           "i -> s.x[i] * c.cv[i])) / "
+           "((CASE WHEN s.nx = 0 THEN 1.0 ELSE sqrt(s.nx) END) * "
+           "(CASE WHEN list_sum(list_transform(c.cv, v -> v * v)) = 0 "
+           "THEN 1.0 ELSE "
+           "sqrt(list_sum(list_transform(c.cv, v -> v * v))) END)), 6)")
+    parts = [
+        "WITH q AS (SELECT vec_id, "
+        "list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) "
+        "qe FROM embeddings), "
+        f"sv AS (SELECT vec_id, j, "
+        f"list_slice(qe, j * {D} + 1, j * {D} + {D}) x, "
+        f"list_sum(list_transform(list_slice(qe, j * {D} + 1, "
+        f"j * {D} + {D}), v -> v * v)) nx FROM q, range({M}) r(j)), "
+        f"c0 AS (SELECT j, vec_id k, list_slice(qe, j * {D} + 1, "
+        f"j * {D} + {D}) cv FROM q, range({M}) r(j) WHERE vec_id < {K})",
+    ]
+    prev = "c0"
+    for it in range(1, _PQ_ITERS + 1):
+        parts.append(
+            f"r{it} AS (SELECT s.vec_id, s.j, c.k, {cos} cos, "
+            f"row_number() OVER (PARTITION BY s.vec_id, s.j "
+            f"ORDER BY {cos} DESC, c.k ASC) rn "
+            f"FROM sv s JOIN {prev} c ON c.j = s.j), "
+            f"a{it} AS (SELECT vec_id, j, k FROM r{it} WHERE rn = 1), "
+            f"s{it} AS (SELECT a.j, a.k, i, sum(s.x[i]) sm "
+            f"FROM a{it} a JOIN sv s ON s.vec_id = a.vec_id "
+            f"AND s.j = a.j, range(1, {D} + 1) t(i) GROUP BY a.j, a.k, i), "
+            f"n{it} AS (SELECT j, k, list(sm ORDER BY i) cv FROM s{it} "
+            "GROUP BY j, k), "
+            f"c{it} AS (SELECT p.j, p.k, COALESCE(n.cv, p.cv) cv "
+            f"FROM {prev} p LEFT JOIN n{it} n ON n.j = p.j AND n.k = p.k)")
+        prev = f"c{it}"
+    parts.append(
+        f"fa AS (SELECT vec_id, j, k, cos FROM (SELECT s.vec_id, s.j, "
+        f"c.k, {cos} cos, row_number() OVER (PARTITION BY s.vec_id, s.j "
+        f"ORDER BY {cos} DESC, c.k ASC) rn FROM sv s "
+        f"JOIN {prev} c ON c.j = s.j) WHERE rn = 1) "
+        "SELECT vec_id, string_agg(k::VARCHAR, ',' ORDER BY j) pq_code, "
+        "round(sum(cos), 6) recon_sim FROM fa GROUP BY vec_id")
+    return ", ".join(parts)
+
+
 def q_emb_quantize(spark, sf_dir):
     """Symmetric int8 quantization report per vector (the 4x memory /
     bandwidth lever for ANN at scale: a 100 TB float32 embedding store is
@@ -5054,6 +5204,7 @@ UNGATED_QUERIES = {
     "dataset_split": (q_dataset_split, sql_dataset_split),  # deterministic 80/10/10 release split with manifest digests (sample_hash family)
     "doc_profile": (q_doc_profile, sql_doc_profile),  # ANALYZE-style per-column profile; column-pruned scan branches
     "events_outliers": (q_events_outliers, sql_events_outliers),  # z-score anomalies via broadcast-back stats (no per-type window shuffle)
+    "ann_pq": (q_ann_pq, sql_ann_pq),  # product-quantization codebooks + codes; ann_ivf_kmeans machinery per subspace (spherical/angular PQ)
 }
 
 assert len(GATED_QUERIES) <= DRIVER_GATE_CAP, (
