@@ -1495,6 +1495,87 @@ def sql_doc_profile(sf_dir):
     return " UNION ALL ".join(parts)
 
 
+_BPE_ROUNDS = 3
+
+
+def q_text_bpe(spark, sf_dir):
+    """BPE MERGE-TABLE TRAINING (Sennrich et al. 2016) — the tokenizer-
+    construction step of every LLM data pipeline: start from character
+    symbols, repeatedly count adjacent symbol pairs across the corpus
+    and merge the most frequent one; emit the learned merge table
+    (rank, lhs, rhs, pair_count). Three design moves make this exact,
+    distributed, and cross-engine: (1) training runs on the DISTINCT
+    word table weighted by occurrence counts (vocabulary-sized, the
+    standard BPE trick — the corpus explodes once, ever); (2) the
+    symbol state is a chr(1)-separated string and applying a merge is
+    one `replace` — SQL replace is LEFTMOST NON-OVERLAPPING in both
+    engines, which is exactly BPE's greedy merge semantics (assumes
+    chr(1) never appears in corpus tokens); (3) the winning pair per
+    round is a total order (count desc, lhs, rhs), collected
+    driver-side like the k-means centroids, so the next round's replace
+    is a literal in the expression tree. Each round costs one
+    vocabulary scan + one partial-aggregated pair-count shuffle +
+    a driver top-1; the oracle unrolls the rounds as CTEs."""
+    toks = (_docs(spark, sf_dir)
+            .select(F.explode(F.expr(_TOKS_SPARK)).alias("t"))
+            .groupBy("t").agg(F.count(F.lit(1)).alias("wc")))
+    df = toks.withColumn("sym", F.expr(
+        "array_join(transform(sequence(1, length(t)), "
+        "i -> substring(t, i, 1)), chr(1))")).persist()
+    _register_persisted(df)
+    merges = []
+    for rank in range(1, _BPE_ROUNDS + 1):
+        top = (df.select("wc", F.expr("split(sym, chr(1))").alias("s"))
+               .where(F.expr("size(s) >= 2"))
+               .select("wc", F.explode(F.expr(
+                   "transform(sequence(1, size(s) - 1), i -> "
+                   "named_struct('lhs', element_at(s, i), "
+                   "'rhs', element_at(s, i + 1)))")).alias("p"))
+               .groupBy(F.col("p.lhs").alias("lhs"),
+                        F.col("p.rhs").alias("rhs"))
+               .agg(F.sum("wc").alias("cnt"))
+               .orderBy(F.desc("cnt"), "lhs", "rhs").limit(1).collect())
+        if not top:  # degenerate corpus of single-char words
+            break
+        lhs, rhs, cnt = top[0]["lhs"], top[0]["rhs"], int(top[0]["cnt"])
+        merges.append((rank, lhs, rhs, cnt))
+        df = df.withColumn("sym", F.replace(
+            F.col("sym"),
+            F.concat(F.lit(lhs), F.expr("chr(1)"), F.lit(rhs)),
+            F.lit(lhs + rhs)))
+    return spark.createDataFrame(
+        merges, "rank long, lhs string, rhs string, pair_count long")
+
+
+def sql_text_bpe(sf_dir):
+    parts = [
+        "WITH w AS (SELECT t, count(*) wc FROM (SELECT unnest("
+        + _TOKS_DUCK + ") t FROM documents) GROUP BY t), "
+        "s0 AS (SELECT t, wc, array_to_string(list_transform("
+        "range(1, length(t) + 1), i -> t[i]), chr(1)) sym FROM w)"]
+    prev = "s0"
+    outs = []
+    for rank in range(1, _BPE_ROUNDS + 1):
+        # DuckDB range() is end-exclusive: single-symbol words yield an
+        # empty pair list with no guard needed
+        parts.append(
+            f"p{rank} AS (SELECT u.lhs, u.rhs, sum(wc) cnt FROM ("
+            f"SELECT wc, unnest(list_transform(range(1, len(s)), i -> "
+            "{'lhs': s[i], 'rhs': s[i+1]})) u FROM ("
+            f"SELECT wc, string_split(sym, chr(1)) s FROM {prev})) "
+            "GROUP BY 1, 2), "
+            f"m{rank} AS (SELECT lhs, rhs, cnt FROM p{rank} "
+            "ORDER BY cnt DESC, lhs, rhs LIMIT 1), "
+            f"s{rank} AS (SELECT t, wc, replace(sym, "
+            f"(SELECT lhs FROM m{rank}) || chr(1) || "
+            f"(SELECT rhs FROM m{rank}), (SELECT lhs FROM m{rank}) || "
+            f"(SELECT rhs FROM m{rank})) sym FROM {prev})")
+        outs.append(f"SELECT {rank}::BIGINT rank, lhs, rhs, "
+                    f"cnt::BIGINT pair_count FROM m{rank}")
+        prev = f"s{rank}"
+    return ", ".join(parts) + " " + " UNION ALL ".join(outs)
+
+
 def q_text_tfidf(spark, sf_dir):
     """Per-document top-3 salient terms by tf·(N/df) — the corpus-stats-
     broadcast-back pattern: term document frequencies are aggregated once
@@ -5205,6 +5286,7 @@ UNGATED_QUERIES = {
     "doc_profile": (q_doc_profile, sql_doc_profile),  # ANALYZE-style per-column profile; column-pruned scan branches
     "events_outliers": (q_events_outliers, sql_events_outliers),  # z-score anomalies via broadcast-back stats (no per-type window shuffle)
     "ann_pq": (q_ann_pq, sql_ann_pq),  # product-quantization codebooks + codes; ann_ivf_kmeans machinery per subspace (spherical/angular PQ)
+    "text_bpe": (q_text_bpe, sql_text_bpe),  # BPE merge-table training on the weighted distinct-word table; greedy merge via leftmost-replace
 }
 
 assert len(GATED_QUERIES) <= DRIVER_GATE_CAP, (

@@ -247,3 +247,51 @@ def test_ann_pq_replica_and_refinement(spark):
     # the codebook is genuinely multi-code, and refinement helped
     assert any(len(set(codes[:, j])) > 1 for j in range(_PQ_M))
     assert sims.sum(axis=1).mean() >= s0.sum(axis=1).mean() - 1e-9
+
+
+def test_text_bpe_merge_table_replica(spark, tmp_path):
+    """The learned merge table must equal an independent python BPE
+    (occurrence-weighted distinct words, total-order tie break, greedy
+    LEFTMOST non-overlapping merge application) — including the overlap
+    case: 'aaaa' under merge (a,a) becomes [aa, aa], never [aa, a, a],
+    which is what makes SQL replace() the correct merge operator."""
+    from pdftext_spark.queries import _BPE_ROUNDS, q_text_bpe
+
+    docs = (["low low low low low"] * 2
+            + ["lower lower", "newest newest newest",
+               "widest widest", "aaaa aaaa aaaa aaaa aaaa aaaa"])
+    sf = _write_docs(tmp_path, [("w", t) for t in docs])
+
+    words = {}
+    for d in docs:
+        for t in d.split():
+            words[t] = words.get(t, 0) + 1
+    syms = {t: list(t) for t in words}
+    merges = []
+    for rank in range(1, _BPE_ROUNDS + 1):
+        cnt = {}
+        for t, wc in words.items():
+            s = syms[t]
+            for i in range(len(s) - 1):
+                cnt[(s[i], s[i + 1])] = cnt.get((s[i], s[i + 1]), 0) + wc
+        (lhs, rhs), c = min(cnt.items(),
+                            key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((rank, lhs, rhs, c))
+        for t in syms:
+            s, out, i = syms[t], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == lhs and s[i + 1] == rhs:
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[t] = out
+
+    got = sorted((r["rank"], r["lhs"], r["rhs"], r["pair_count"])
+                 for r in q_text_bpe(spark, sf).collect())
+    assert got == merges
+    # the overlap pin: 'aaaa' (count 6) drives merge (a, a); after the
+    # greedy leftmost application its symbols are exactly [aa, aa]
+    assert ("a", "a") in [(l, r) for _, l, r, _ in merges]
+    assert syms["aaaa"] == ["aa", "aa"]
