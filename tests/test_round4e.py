@@ -295,3 +295,78 @@ def test_text_bpe_merge_table_replica(spark, tmp_path):
     # greedy leftmost application its symbols are exactly [aa, aa]
     assert ("a", "a") in [(l, r) for _, l, r, _ in merges]
     assert syms["aaaa"] == ["aa", "aa"]
+
+
+def test_ann_pq_adc_exactness_and_recall(spark):
+    """Every emitted ADC score must equal the numpy replica's
+    lookup-table sum over the replica's trained codebooks and codes
+    (bit-exact int64), ranks must be contiguous per query, and the
+    coarse 8x4 codebook must still retrieve a measurable fraction of
+    the exact cosine top-5 — measured recall@5 = 0.175 on this fixture
+    (floor pinned at 0.15; production PQ uses K=256 per subspace, this
+    K=4 demo trades recall for a 2-bit code)."""
+    import numpy as np
+
+    from pdftext_spark.queries import (_PQ_D, _PQ_ITERS, _PQ_K, _PQ_M,
+                                       q_ann_bruteforce, q_ann_pq_adc)
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/embeddings.parquet")
+    vids = t["vec_id"].to_pylist()
+    embs = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    qe = np.round(embs * 1000).astype(np.int64)
+    order = np.argsort(vids)
+    vids = [vids[i] for i in order]
+    qe = qe[order]
+
+    def cos6(x, cv):
+        nx, nc, d = (float(np.dot(x, x)), float(np.dot(cv, cv)),
+                     float(np.dot(x, cv)))
+        return round(d / ((1.0 if nx == 0 else np.sqrt(nx))
+                          * (1.0 if nc == 0 else np.sqrt(nc))), 6)
+
+    def encode(cents):
+        codes = np.empty((len(qe), _PQ_M), dtype=np.int64)
+        for r, x in enumerate(qe):
+            for j in range(_PQ_M):
+                xs = x[j * _PQ_D:(j + 1) * _PQ_D]
+                cs = [cos6(xs, cents[(j, k)]) for k in range(_PQ_K)]
+                codes[r, j] = max(range(_PQ_K),
+                                  key=lambda k: (cs[k], -k))
+        return codes
+
+    seed_idx = {v: i for i, v in enumerate(vids)}
+    cents = {(j, k): qe[seed_idx[k]][j * _PQ_D:(j + 1) * _PQ_D].copy()
+             for j in range(_PQ_M) for k in range(_PQ_K)}
+    for _ in range(_PQ_ITERS):
+        codes = encode(cents)
+        for j in range(_PQ_M):
+            for k in range(_PQ_K):
+                mask = codes[:, j] == k
+                if mask.any():
+                    cents[(j, k)] = \
+                        qe[mask][:, j * _PQ_D:(j + 1) * _PQ_D].sum(axis=0)
+    codes = encode(cents)
+    idx = {v: i for i, v in enumerate(vids)}
+
+    got = q_ann_pq_adc(spark, sf).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["qid"], []).append(
+            (r["rank"], r["neighbor_id"], r["adc_num"]))
+        x = qe[idx[r["qid"]]]
+        want = sum(int(np.dot(x[j * _PQ_D:(j + 1) * _PQ_D],
+                              cents[(j, codes[idx[r["neighbor_id"]], j])]))
+                   for j in range(_PQ_M))
+        assert r["adc_num"] == want, (r["qid"], r["neighbor_id"])
+    for qid, rows in by_q.items():
+        rows.sort()
+        assert [rk for rk, _, _ in rows] == [1, 2, 3, 4, 5]
+
+    exact = {}
+    for r in q_ann_bruteforce(spark, sf).collect():
+        exact.setdefault(r["qid"], set()).add(r["neighbor_id"])
+    hits = sum(len({n for _, n, _ in by_q[q]} & exact[q])
+               for q in exact)
+    recall = hits / sum(len(v) for v in exact.values())
+    assert recall >= 0.15, recall
