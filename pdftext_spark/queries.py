@@ -5018,6 +5018,46 @@ def sql_events_quantiles(sf_dir):
         + picks + " FROM c GROUP BY event_type")
 
 
+_SKEW_TOPN = 10
+_SKEW_PAR = 32           # reference parallelism for the salt hint
+
+
+def q_events_skew_report(spark, sf_dir):
+    """KEY-SKEW DIAGNOSTICS for the user_id shuffle key — the planner
+    utility run before any big keyed job (sessionize, as-of, funnel):
+    the top-{n} hottest keys with their exact corpus share (ppm, integer
+    cross-multiplied) and the salt factor that would level each one,
+    salt_k = ceil(share × parallelism) — exactly the K a (user, chunk)
+    segmentation (events_sessionize_chunked) or salted repartition
+    needs. Shape: one partial-aggregated count shuffle + a partial
+    top-k (TakeOrderedAndProject — never a global sort), so diagnosing
+    a 10^12-row shuffle costs one pre-aggregated pass; the report is
+    rows, not a driver decision, so it feeds both humans and automated
+    salting."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    tot = ev.groupBy().agg(F.count(F.lit(1)).alias("total"))
+    per = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    j = per.crossJoin(F.broadcast(tot))
+    return (j.select(
+                "user_id",
+                F.col("n_events").cast("long").alias("n_events"),
+                F.expr("n_events * 1000000 div total").alias("share_ppm"),
+                F.expr(f"(n_events * {_SKEW_PAR} + total - 1) div total")
+                .alias("salt_k"))
+            .orderBy(F.desc("n_events"), "user_id").limit(_SKEW_TOPN))
+
+
+def sql_events_skew_report(sf_dir):
+    return (
+        "WITH t AS (SELECT count(*) total FROM events), "
+        "p AS (SELECT user_id, count(*) n_events FROM events GROUP BY 1) "
+        "SELECT user_id, n_events::BIGINT n_events, "
+        "(n_events * 1000000) // total share_ppm, "
+        f"(n_events * {_SKEW_PAR} + total - 1) // total salt_k "
+        "FROM p, t ORDER BY n_events DESC, user_id "
+        f"LIMIT {_SKEW_TOPN}")
+
+
 _Z_CUT = 3.0             # |z| threshold for outlier emission
 
 
@@ -5368,6 +5408,7 @@ UNGATED_QUERIES = {
     "ann_pq": (q_ann_pq, sql_ann_pq),  # product-quantization codebooks + codes; ann_ivf_kmeans machinery per subspace (spherical/angular PQ)
     "text_bpe": (q_text_bpe, sql_text_bpe),  # BPE merge-table training on the weighted distinct-word table; greedy merge via leftmost-replace
     "ann_pq_adc": (q_ann_pq_adc, sql_ann_pq_adc),  # asymmetric-distance search over PQ codes (8 lookups per candidate, exact int64 rank key)
+    "events_skew_report": (q_events_skew_report, sql_events_skew_report),  # key-skew diagnostics + salt-factor hint (planner utility, partial top-k)
 }
 
 assert len(GATED_QUERIES) <= DRIVER_GATE_CAP, (

@@ -370,3 +370,36 @@ def test_ann_pq_adc_exactness_and_recall(spark):
                for q in exact)
     recall = hits / sum(len(v) for v in exact.values())
     assert recall >= 0.15, recall
+
+
+def test_events_skew_report_salt_math_and_plan(spark, tmp_path):
+    """A planted 50%-share bot key must report exact ppm share and
+    salt_k = ceil(share x 32); the report must cost one pre-aggregated
+    shuffle and use a partial top-k, never a global sort."""
+    import datetime as dt
+
+    from pdftext_spark.queries import q_events_skew_report
+
+    t0 = dt.datetime(2024, 3, 1)
+    rows = [(999, i) for i in range(500)] + \
+           [(u, 500 + u) for u in range(1, 501)]
+    pl = [{"event_id": i + 1, "ts": t0 + dt.timedelta(seconds=i),
+           "user_id": u, "event_type": "view", "value": 1.0, "props": "{}"}
+          for i, (u, _) in enumerate(rows)]
+    pq.write_table(pa.Table.from_pylist(pl, schema=pa.schema(
+        [("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+         ("user_id", pa.int64()), ("event_type", pa.string()),
+         ("value", pa.float64()), ("props", pa.string())])),
+        f"{tmp_path}/events.parquet")
+    out = q_events_skew_report(spark, str(tmp_path)).collect()
+    assert out[0]["user_id"] == 999
+    assert out[0]["n_events"] == 500
+    assert out[0]["share_ppm"] == 500 * 1_000_000 // 1000
+    assert out[0]["salt_k"] == (500 * 32 + 999) // 1000   # ceil = 16
+    assert all(r["salt_k"] == 1 for r in out[1:])          # tail keys
+    assert len(out) == 10
+
+    df = q_events_skew_report(spark, "/root/testdata/sf0.001")
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in p
+    assert "partial_count" in p
