@@ -5018,6 +5018,79 @@ def sql_events_quantiles(sf_dir):
         + picks + " FROM c GROUP BY event_type")
 
 
+_HIST_B = 4              # equi-depth buckets per group
+
+
+def q_events_histogram(spark, sf_dir):
+    """EQUI-DEPTH HISTOGRAM of the value column per event type — the
+    statistic every cost-based optimizer stores (and the selectivity
+    model behind range-filter estimates): B=4 buckets each covering the
+    rank range (n·b div B, n·(b+1) div B], with exact lo/hi boundary
+    values by the same integer rank-selection events_quantiles uses —
+    lo = smallest value whose cumulative count reaches the bucket's
+    first rank, hi = the one reaching its last. Same scale shape: the
+    corpus partial-aggregates to (type, value) counts map-side, the
+    cumulative rank runs over the pre-aggregated distinct-value frame,
+    ONE key shuffle; bucket populations are pure rank arithmetic, so
+    they are exact even when a heavy value spans buckets (the boundary
+    value repeats — exactly how warehouse histograms represent skew)."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    vals = (ev.groupBy("event_type", "value")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+    wc = (Window.partitionBy("event_type").orderBy("value")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    wt = Window.partitionBy("event_type")
+    c = (vals.withColumn("cum", F.sum("cnt").over(wc))
+         .withColumn("n", F.sum("cnt").over(wt)))
+    aggs = []
+    for b in range(_HIST_B):
+        aggs += [
+            F.min(F.when(
+                F.col("cum") >= F.expr(f"n * {b} div {_HIST_B} + 1"),
+                F.col("value"))).alias(f"lo{b}"),
+            F.min(F.when(
+                F.col("cum") >= F.expr(f"n * {b + 1} div {_HIST_B}"),
+                F.col("value"))).alias(f"hi{b}"),
+        ]
+    wide = c.groupBy("event_type").agg(F.max("n").alias("n"), *aggs)
+    rows = F.explode(F.array(*[
+        F.struct(F.lit(b).cast("long").alias("bucket"),
+                 F.col(f"lo{b}").alias("lo"),
+                 F.col(f"hi{b}").alias("hi"),
+                 F.expr(f"n * {b + 1} div {_HIST_B} "
+                        f"- n * {b} div {_HIST_B}")
+                 .cast("long").alias("n_rows"))
+        for b in range(_HIST_B)])).alias("h")
+    return (wide.select("event_type", rows)
+            .select("event_type", "h.bucket", "h.lo", "h.hi", "h.n_rows"))
+
+
+def sql_events_histogram(sf_dir):
+    picks = []
+    for b in range(_HIST_B):
+        picks += [
+            f"min(CASE WHEN cum >= n * {b} // {_HIST_B} + 1 "
+            f"THEN value END) lo{b}",
+            f"min(CASE WHEN cum >= n * {b + 1} // {_HIST_B} "
+            f"THEN value END) hi{b}"]
+    buckets = ", ".join(
+        f"{{'bucket': {b}, 'lo': lo{b}, 'hi': hi{b}, "
+        f"'n_rows': n * {b + 1} // {_HIST_B} - n * {b} // {_HIST_B}}}"
+        for b in range(_HIST_B))
+    return (
+        "WITH v AS (SELECT event_type, value, count(*) cnt FROM events "
+        "GROUP BY 1, 2), "
+        "c AS (SELECT event_type, value, "
+        "sum(cnt) OVER (PARTITION BY event_type ORDER BY value "
+        "ROWS UNBOUNDED PRECEDING) cum, "
+        "sum(cnt) OVER (PARTITION BY event_type) n FROM v), "
+        "w AS (SELECT event_type, max(n) n, " + ", ".join(picks)
+        + " FROM c GROUP BY event_type) "
+        f"SELECT event_type, u.bucket::BIGINT bucket, u.lo, u.hi, "
+        "u.n_rows::BIGINT n_rows FROM ("
+        f"SELECT event_type, unnest([{buckets}]) u FROM w)")
+
+
 _SKEW_TOPN = 10
 _SKEW_PAR = 32           # reference parallelism for the salt hint
 
@@ -5409,6 +5482,7 @@ UNGATED_QUERIES = {
     "text_bpe": (q_text_bpe, sql_text_bpe),  # BPE merge-table training on the weighted distinct-word table; greedy merge via leftmost-replace
     "ann_pq_adc": (q_ann_pq_adc, sql_ann_pq_adc),  # asymmetric-distance search over PQ codes (8 lookups per candidate, exact int64 rank key)
     "events_skew_report": (q_events_skew_report, sql_events_skew_report),  # key-skew diagnostics + salt-factor hint (planner utility, partial top-k)
+    "events_histogram": (q_events_histogram, sql_events_histogram),  # equi-depth optimizer histogram by exact rank selection (events_quantiles family)
 }
 
 assert len(GATED_QUERIES) <= DRIVER_GATE_CAP, (

@@ -403,3 +403,42 @@ def test_events_skew_report_salt_math_and_plan(spark, tmp_path):
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in p
     assert "partial_count" in p
+
+
+def test_events_histogram_equidepth(spark, tmp_path):
+    """Bucket boundaries and populations must hit the exact rank
+    arithmetic: uniform 1..100 splits into four 25-row buckets with
+    contiguous boundaries; a heavy value spanning buckets repeats as
+    the boundary value while populations stay exactly n/B (how
+    warehouse histograms represent skew); populations always sum to n
+    and lo/hi are non-decreasing."""
+    import datetime as dt
+
+    from pdftext_spark.queries import q_events_histogram
+
+    t0 = dt.datetime(2024, 3, 1)
+    rows = [("A", float(v)) for v in range(1, 101)] + \
+           [("B", 5.0)] * 90 + [("B", 1.0)] * 5 + [("B", 9.0)] * 5
+    pl = [{"event_id": i + 1, "ts": t0 + dt.timedelta(seconds=i),
+           "user_id": 1, "event_type": ty, "value": v, "props": "{}"}
+          for i, (ty, v) in enumerate(rows)]
+    pq.write_table(pa.Table.from_pylist(pl, schema=pa.schema(
+        [("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+         ("user_id", pa.int64()), ("event_type", pa.string()),
+         ("value", pa.float64()), ("props", pa.string())])),
+        f"{tmp_path}/events.parquet")
+    got = {(r["event_type"], r["bucket"]):
+           (r["lo"], r["hi"], r["n_rows"])
+           for r in q_events_histogram(spark, str(tmp_path)).collect()}
+    assert got[("A", 0)] == (1.0, 25.0, 25)
+    assert got[("A", 1)] == (26.0, 50.0, 25)
+    assert got[("A", 2)] == (51.0, 75.0, 25)
+    assert got[("A", 3)] == (76.0, 100.0, 25)
+    # heavy value 5.0 (90 of 100 rows) spans buckets 0-3: it closes
+    # buckets 0-2 and the boundary repeats; populations stay 25 each
+    assert got[("B", 0)] == (1.0, 5.0, 25)
+    assert got[("B", 1)] == (5.0, 5.0, 25)
+    assert got[("B", 2)] == (5.0, 5.0, 25)
+    assert got[("B", 3)] == (5.0, 9.0, 25)
+    for ty in ("A", "B"):
+        assert sum(got[(ty, b)][2] for b in range(4)) == 100
