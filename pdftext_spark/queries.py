@@ -913,33 +913,44 @@ def q_text_winnow(spark, sf_dir):
     it evaluates once per row; the final struct materializes through an
     inline() Generate (still no Exchange)."""
     # one window when there are fewer than W hashes (the paper's
-    # short-document degenerate case: fingerprint = global min)
+    # short-document degenerate case: fingerprint = global min).
+    # Zero-token docs are gated out entirely (same policy as
+    # text_chunks_cdc): the engines disagree on the degenerate shingle
+    # of an empty token list (Spark concat_ws = '' vs DuckDB
+    # array_to_string = NULL, whose NULL min Spark's array_distinct
+    # keeps but DuckDB's list_distinct strips), and "fingerprints of an
+    # empty document" is semantically none anyway. The NOT NULL filter
+    # before distinct is belt-and-braces for the same class.
     fps = _let(_TOKS_SPARK, "toks",
           _let(_SHINGLES_SPARK, "sh",
           _let("transform(sh, s -> "
                "cast(conv(substring(md5(s),1,8),16,10) as bigint))", "hs",
-               "array_sort(array_distinct(transform("
+               "array_sort(array_distinct(filter(transform("
                f"sequence(1, greatest(size(hs) - {_WINNOW_W - 1}, 1)), "
-               f"i -> array_min(slice(hs, i, {_WINNOW_W})))))")))
+               f"i -> array_min(slice(hs, i, {_WINNOW_W}))), "
+               "x -> x IS NOT NULL)))")))
     out = _let(fps, "fps",
                "named_struct("
                "'n_fingerprints', cast(size(fps) as bigint), "
                "'fp_min', element_at(fps, 1), "
                "'fp_digest', md5(concat_ws(',', "
                "transform(fps, x -> cast(x as string)))))")
-    return _docs(spark, sf_dir).select(
-        "doc_id", F.inline(F.array(F.expr(out))))
+    return (_docs(spark, sf_dir)
+            .where(F.expr(f"size({_TOKS_SPARK}) > 0"))
+            .select("doc_id", F.inline(F.array(F.expr(out)))))
 
 
 def sql_text_winnow(sf_dir):
     h = _H_SQL.format(c="s")
     return (
-        "WITH t AS (SELECT doc_id, " + _TOKS_DUCK + " toks FROM documents), "
+        "WITH t AS (SELECT doc_id, " + _TOKS_DUCK + " toks FROM documents "
+        "WHERE len(" + _TOKS_DUCK + ") > 0), "
         "s AS (SELECT doc_id, " + _SHINGLES_DUCK + " sh FROM t), "
         f"hh AS (SELECT doc_id, list_transform(sh, s -> {h}) hs FROM s), "
-        "m AS (SELECT doc_id, list_transform("
+        "m AS (SELECT doc_id, list_filter(list_transform("
         f"range(1, greatest(len(hs) - {_WINNOW_W - 2}, 2)), "
-        f"i -> list_min(list_slice(hs, i, i + {_WINNOW_W - 1}))) mins FROM hh), "
+        f"i -> list_min(list_slice(hs, i, i + {_WINNOW_W - 1}))), "
+        "x -> x IS NOT NULL) mins FROM hh), "
         "f AS (SELECT doc_id, list_sort(list_distinct(mins)) fps FROM m) "
         "SELECT doc_id, len(fps)::BIGINT n_fingerprints, fps[1] fp_min, "
         "md5(array_to_string(list_transform(fps, x -> x::VARCHAR), ',')) fp_digest "
@@ -1539,10 +1550,27 @@ def q_text_bpe(spark, sf_dir):
             break
         lhs, rhs, cnt = top[0]["lhs"], top[0]["rhs"], int(top[0]["cnt"])
         merges.append((rank, lhs, rhs, cnt))
-        df = df.withColumn("sym", F.replace(
-            F.col("sym"),
-            F.concat(F.lit(lhs), F.expr("chr(1)"), F.lit(rhs)),
-            F.lit(lhs + rhs)))
+        # Apply the merge as a fold over the SYMBOL LIST, not a string
+        # replace on the joined form: replace(sym, lhs||chr(1)||rhs, ..)
+        # matches across symbol boundaries (symbols ['aa','b'] contain
+        # the substring 'a'||chr(1)||'b', so a learned (a,b) merge would
+        # wrongly fuse (aa,b)). The fold checks the LAST WHOLE SYMBOL:
+        # fuse x onto acc iff x = rhs and acc's trailing symbol = lhs
+        # (acc is exactly lhs, or acc ends with separator||lhs — the
+        # separator anchor makes partial-symbol suffixes like 'aa' vs
+        # 'a' non-matches). Leftmost-greedy non-overlap falls out: a
+        # just-fused tail is lhs||rhs, never lhs again. lhs/rhs travel
+        # as F.lit so no SQL-literal escaping of corpus bytes is needed.
+        syms = F.expr("split(sym, chr(1))")
+        sep = F.lit("\x01")
+        df = df.withColumn("sym", F.aggregate(
+            F.slice(syms, F.lit(2), F.greatest(F.size(syms) - 1, F.lit(0))),
+            F.element_at(syms, 1),
+            lambda acc, x: F.when(
+                (x == F.lit(rhs))
+                & ((acc == F.lit(lhs)) | acc.endswith(F.concat(sep, F.lit(lhs)))),
+                F.concat(acc, x)
+            ).otherwise(F.concat(acc, sep, x))))
     return spark.createDataFrame(
         merges, "rank long, lhs string, rhs string, pair_count long")
 
@@ -1566,10 +1594,15 @@ def sql_text_bpe(sf_dir):
             "GROUP BY 1, 2), "
             f"m{rank} AS (SELECT lhs, rhs, cnt FROM p{rank} "
             "ORDER BY cnt DESC, lhs, rhs LIMIT 1), "
-            f"s{rank} AS (SELECT t, wc, replace(sym, "
-            f"(SELECT lhs FROM m{rank}) || chr(1) || "
-            f"(SELECT rhs FROM m{rank}), (SELECT lhs FROM m{rank}) || "
-            f"(SELECT rhs FROM m{rank})) sym FROM {prev})")
+            # symbol-list fold, mirroring the Spark side: fuse x onto
+            # acc iff x = rhs and acc's trailing WHOLE symbol = lhs —
+            # a plain string replace would match lhs across symbol
+            # boundaries (['aa','b'] contains 'a'||chr(1)||'b')
+            f"s{rank} AS (SELECT t, wc, "
+            "list_reduce(string_split(sym, chr(1)), (acc, x) -> "
+            "CASE WHEN x = m.rhs AND (acc = m.lhs OR "
+            "ends_with(acc, chr(1) || m.lhs)) THEN acc || x "
+            f"ELSE acc || chr(1) || x END) sym FROM {prev}, m{rank} m)")
         outs.append(f"SELECT {rank}::BIGINT rank, lhs, rhs, "
                     f"cnt::BIGINT pair_count FROM m{rank}")
         prev = f"s{rank}"
@@ -3872,51 +3905,62 @@ def q_events_funnel(spark, sf_dir, chunked: bool = False):
     on one task to O(events per user-day)."""
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     n_st = len(_FUNNEL_STAGES)
+    stages_arr = "array(" + ", ".join(
+        f"'{s}'" for s in _FUNNEL_STAGES) + ")"
+    nulls = ", ".join(["CAST(NULL AS TIMESTAMP)"] * n_st)
+
+    def stage_fold(entry: str) -> str:
+        """One aggregate() pass over the time-sorted event array,
+        starting from entry stage `entry` (an int expression): the
+        greedy earliest-transition scan. Equivalent to the chained
+        conditional array-mins (t_i = min stage-i ts strictly after
+        t_{i-1} — in a ts-sorted array the first qualifying event IS
+        that min), but evaluates each event ONCE: the chained form's
+        t{i-1} column references re-inline into interpreted filter()
+        lambdas, re-evaluating the whole prior stage per element
+        (the _let lesson, compounding to ~O(n^4) over 4 stages)."""
+        # CASE arms (guaranteed-ordered evaluation) keep every
+        # element_at index in [1, n_st] under ANSI mode: the stage
+        # lookup only runs when acc.stage < n_st, and the prev-time
+        # read clamps to index 1 when acc.stage = entry (the clamped
+        # value is unused — the = entry arm of the OR already won).
+        return (f"aggregate(evs, "
+                f"named_struct('stage', {entry}, 'ts', array({nulls})), "
+                f"(acc, e) -> CASE WHEN acc.stage >= {n_st} THEN acc "
+                f"WHEN e.event_type = element_at({stages_arr}, acc.stage + 1)"
+                f" AND (acc.stage = {entry} OR e.ts > "
+                f"element_at(acc.ts, greatest(acc.stage, 1))) THEN "
+                f"named_struct('stage', acc.stage + 1, "
+                f"'ts', transform(acc.ts, (t, i) -> "
+                f"IF(i = acc.stage, e.ts, t))) "
+                f"ELSE acc END)")
+
     if not chunked:
         g = (ev.select("user_id", "ts", "event_id", "event_type")
              .groupBy("user_id")
              .agg(F.sort_array(F.collect_list(F.struct(
                  "ts", "event_id", "event_type"))).alias("evs")))
-        prev = None
-        cols = []
-        for i, stage in enumerate(_FUNNEL_STAGES):
-            cond = f"e.event_type = '{stage}'"
-            if prev is not None:
-                cond += f" AND e.ts > t{i - 1}"
-            g = g.withColumn(
-                f"t{i}",
-                F.expr(f"array_min(transform(filter(evs, e -> {cond}), "
-                       f"e -> e.ts))"))
-            cols.append(f"t{i}")
-            prev = stage
-        stage_expr = "CASE " + " ".join(
-            f"WHEN t{i} IS NULL THEN {i}" for i in range(n_st)) \
-            + f" ELSE {n_st} END"
-        return g.select("user_id",
-                        F.expr(stage_expr).cast("int").alias("stage"),
-                        *cols)
+        res = g.select("user_id", F.expr(stage_fold("0")).alias("st"))
+        return res.select("user_id",
+                          F.col("st.stage").cast("int").alias("stage"),
+                          *[F.col("st.ts")[i].alias(f"t{i}")
+                            for i in range(n_st)])
     ev = _with_us(ev).withColumn("chunk", F.expr(f"us div {_ASOF_CHUNK_US}"))
     g = (ev.select("user_id", "chunk", "ts", "event_id", "event_type")
          .groupBy("user_id", "chunk")
          .agg(F.sort_array(F.collect_list(F.struct(
              "ts", "event_id", "event_type"))).alias("evs")))
-    # the transition triangle: v{s}_{i} = chained min for stage i given
-    # entry stage s (entry time is < every event here, so stage s's min
-    # is unconstrained; later stages chain on this chunk's own times)
-    for s in range(n_st):
-        prev = None
-        for i in range(s, n_st):
-            cond = f"e.event_type = '{_FUNNEL_STAGES[i]}'"
-            if prev is not None:
-                cond += f" AND e.ts > {prev}"
-            g = g.withColumn(
-                f"v{s}_{i}",
-                F.expr(f"array_min(transform(filter(evs, e -> {cond}), "
-                       f"e -> e.ts))"))
-            prev = f"v{s}_{i}"
-    mat = F.array(*[F.array(*[F.col(f"v{s}_{i}") for i in range(s, n_st)])
-                    for s in range(n_st)])
-    summ = g.select("user_id", "chunk", mat.alias("mat"))
+    # the transition triangle: mat[s] = chained stage minima for entry
+    # stage s (entry time is < every event here, so stage s's min is
+    # unconstrained; later stages chain on this chunk's own times).
+    # One fold per entry stage — 4 O(n) passes per chunk row, each
+    # _let-bound so the fold result is computed once and then sliced
+    # (a bare column reference would re-inline the fold per element
+    # of the slice, the exact blowup this rewrite removes).
+    mat = ("transform(sequence(0, " + str(n_st - 1) + "), s -> " +
+           _let(stage_fold("s"), "r",
+                f"slice(r.ts, s + 1, {n_st} - s)") + ")")
+    summ = g.select("user_id", "chunk", F.expr(mat).alias("mat"))
     per_user = (summ.groupBy("user_id")
                 .agg(F.sort_array(F.collect_list(F.struct("chunk", "mat")))
                      .alias("chunks")))
@@ -5143,33 +5187,49 @@ def q_events_outliers(spark, sf_dir):
     scanned without any key shuffle, and no per-type window ever
     materializes (a window formulation would shuffle every event by
     type — the skew trap). std uses the population moment identity with
-    a max(...,0) guard; both engines evaluate the identical expression
-    order and z is rounded to 6 dp, the established float-tolerance
-    pattern (events_value_stats)."""
+    a max(...,0) guard. The moments are accumulated in EXACT integer
+    cents (sum of round(value*100) and its square) so the group sums
+    are order-independent — double-sum accumulation order varies across
+    engines and task splits, and rounding z to 6 dp cannot make |z|>=3
+    membership deterministic when the sums themselves drift. Spark
+    widens the square-sum to decimal(38,0) (sum(BIGINT) stays BIGINT
+    and could overflow at corpus scale); DuckDB's sum(BIGINT) widens to
+    HUGEINT natively. Both exact sums then convert once to float64
+    (nearest-even, identical in both engines) and z follows the same
+    IEEE op order everywhere — bit-identical, membership included."""
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     st = (ev.groupBy("event_type")
           .agg(F.count(F.lit(1)).alias("n"),
-               F.sum("value").alias("s"),
-               F.sum(F.col("value") * F.col("value")).alias("sq")))
+               F.sum(F.round(F.col("value") * 100).cast("long")).alias("s"),
+               F.sum(F.expr(
+                   "cast(cast(round(value * 100) as bigint) as decimal(38,0))"
+                   " * cast(round(value * 100) as bigint)")).alias("sq")))
     j = ev.join(F.broadcast(st), "event_type")
-    z = F.expr("(value - s / n) / "
-               "sqrt(greatest(sq / n - (s / n) * (s / n), 1e-12))")
+    z = F.expr(
+        "(cast(round(value * 100) as double) "
+        " - cast(s as double) / cast(n as double)) / "
+        "sqrt(greatest(cast(sq as double) / cast(n as double) "
+        " - (cast(s as double) / cast(n as double)) "
+        " * (cast(s as double) / cast(n as double)), 1e-12))")
     return (j.select("event_type", "event_id", "value",
                      F.round(z, 6).alias("z"))
             .where(F.abs(F.round(z, 6)) >= _Z_CUT))
 
 
 def sql_events_outliers(sf_dir):
+    zd = ("(round(e.value * 100)::BIGINT::DOUBLE "
+          " - s::DOUBLE / n::DOUBLE) / "
+          "sqrt(greatest(sq::DOUBLE / n::DOUBLE "
+          " - (s::DOUBLE / n::DOUBLE) * (s::DOUBLE / n::DOUBLE), 1e-12))")
     return (
-        "WITH st AS (SELECT event_type, count(*) n, sum(value) s, "
-        "sum(value * value) sq FROM events GROUP BY 1) "
+        "WITH st AS (SELECT event_type, count(*) n, "
+        "sum(round(value * 100)::BIGINT) s, "
+        "sum(round(value * 100)::BIGINT * round(value * 100)::BIGINT) sq "
+        "FROM events GROUP BY 1) "
         "SELECT e.event_type, e.event_id, e.value, "
-        "round((e.value - s / n) / "
-        "sqrt(greatest(sq / n - (s / n) * (s / n), 1e-12)), 6) z "
+        f"round({zd}, 6) z "
         "FROM events e JOIN st ON st.event_type = e.event_type "
-        "WHERE abs(round((e.value - s / n) / "
-        "sqrt(greatest(sq / n - (s / n) * (s / n), 1e-12)), 6)) "
-        f">= {_Z_CUT}")
+        f"WHERE abs(round({zd}, 6)) >= {_Z_CUT}")
 
 
 # deterministic changelog derivation over the snapshot key space: disjoint

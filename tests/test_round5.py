@@ -1,0 +1,111 @@
+"""Round-5 pins for the ADVICE-flagged semantics:
+
+- BPE merge application must respect symbol boundaries (a learned (a,b)
+  merge must NOT fuse (aa,b) just because 'aa'||sep||'b' contains
+  'a'||sep||'b') — pinned cross-engine on a corpus crafted so the buggy
+  string-replace form and the correct symbol-fold form diverge at round 3.
+- Winnowing must agree cross-engine on zero-token documents (Spark
+  concat_ws('') vs DuckDB array_to_string(NULL) made them diverge; both
+  engines now gate empty docs out).
+- The funnel fold must reproduce the chained-conditional-min semantics
+  (strictly-after ordering, ties, missing stages) — the rewrite changed
+  the evaluation strategy, not the answer.
+"""
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from pdftext_spark.queries import (q_events_funnel, q_text_bpe,
+                                   q_text_winnow, sql_text_bpe,
+                                   sql_text_winnow)
+
+
+def _write_docs(tmp_path, texts):
+    pl = [{"doc_id": i + 1, "source": "s", "lang": "en", "text": t}
+          for i, t in enumerate(texts)]
+    schema = pa.schema([("doc_id", pa.int64()), ("source", pa.string()),
+                        ("lang", pa.string()), ("text", pa.string())])
+    pq.write_table(pa.Table.from_pylist(pl, schema=schema),
+                   f"{tmp_path}/documents.parquet")
+    return str(tmp_path)
+
+
+def _duck(sf, sql):
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    out = con.execute(sql).fetchall()
+    con.close()
+    return out
+
+
+def test_text_bpe_merge_respects_symbol_boundaries(spark, tmp_path):
+    """Corpus: 'aab' x5, 'ab' x6, 'aa' x8.
+    Round 1 pairs: (a,a)=13 > (a,b)=11 -> merge (a,a); 'aab' becomes
+    ['aa','b']. Round 2: (aa,b)=5 < (a,b)=6 -> merge (a,b). Applying
+    (a,b) must leave ['aa','b'] UNTOUCHED (its pair is (aa,b)); the old
+    string-replace form fused it to ['aab'], erasing round 3's only
+    pair. Round 3 must therefore be (aa,b) with count 5."""
+    sf = _write_docs(tmp_path, ["aab " * 5 + "ab " * 6 + "aa " * 8])
+    got = [(r["rank"], r["lhs"], r["rhs"], r["pair_count"])
+           for r in q_text_bpe(spark, sf).orderBy("rank").collect()]
+    assert got == [(1, "a", "a", 13), (2, "a", "b", 6), (3, "aa", "b", 5)]
+    oracle = sorted(_duck(sf, sql_text_bpe(sf)))
+    assert oracle == got
+
+
+def test_text_winnow_zero_token_docs_cross_engine(spark, tmp_path):
+    """Docs with no tokens (empty / whitespace-only text) are excluded
+    in BOTH engines; short docs (< window) keep the single global-min
+    fingerprint; results match row-for-row."""
+    sf = _write_docs(tmp_path, ["", "   ", "a", "a b", "a b c d e f g"])
+    got = sorted((r["doc_id"], r["n_fingerprints"], r["fp_min"],
+                  r["fp_digest"])
+                 for r in q_text_winnow(spark, sf).collect())
+    assert [g[0] for g in got] == [3, 4, 5]        # docs 1-2 gated out
+    assert got[0][1] == 1 and got[1][1] == 1       # degenerate: one fp
+    oracle = sorted(_duck(sf, sql_text_winnow(sf)))
+    assert oracle == got
+
+
+def _write_events(tmp_path, rows):
+    pl = [{"event_id": i + 1, "ts": ts, "user_id": u, "event_type": et,
+           "value": 1.0, "props": "{}"}
+          for i, (u, ts, et) in enumerate(rows)]
+    schema = pa.schema([("event_id", pa.int64()),
+                        ("ts", pa.timestamp("us")),
+                        ("user_id", pa.int64()),
+                        ("event_type", pa.string()),
+                        ("value", pa.float64()),
+                        ("props", pa.string())])
+    pq.write_table(pa.Table.from_pylist(pl, schema=schema),
+                   f"{tmp_path}/events.parquet")
+    return str(tmp_path)
+
+
+def test_events_funnel_fold_matches_chained_min_semantics(spark, tmp_path):
+    """The single-pass fold must equal the chained conditional minima:
+    each stage time is the MIN ts of that stage strictly AFTER the
+    previous stage's time. u1 regresses then completes; u2 has a view
+    at exactly t0 (strict > excludes it) and a later one; u3 starts
+    mid-funnel (view before any signup does not count)."""
+    from datetime import datetime
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    sf = _write_events(tmp_path, [
+        # u1: signup@1, view@5 (a view@0 precedes signup: ignored),
+        # click@3 (before view: ignored), click@7, purchase@9
+        (1, t(0), "view"), (1, t(1), "signup"), (1, t(5), "view"),
+        (1, t(3), "click"), (1, t(7), "click"), (1, t(9), "purchase"),
+        # u2: signup@2, view@2 (tie, strict > drops it), view@4
+        (2, t(2), "signup"), (2, t(2), "view"), (2, t(4), "view"),
+        # u3: view only, never signs up
+        (3, t(1), "view"), (3, t(2), "click"),
+    ])
+    for chunked in (False, True):
+        got = {r["user_id"]: r
+               for r in q_events_funnel(spark, sf, chunked=chunked).collect()}
+        assert got[1]["stage"] == 4, chunked
+        assert [got[1][f"t{i}"] for i in range(4)] == [
+            t(1), t(5), t(7), t(9)], chunked
+        assert got[2]["stage"] == 2 and got[2]["t1"] == t(4), chunked
+        assert got[3]["stage"] == 0 and got[3]["t0"] is None, chunked
