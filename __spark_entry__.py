@@ -29,9 +29,12 @@ _ORACLE_SF_DIR = "/root/testdata/sf0.01"  # driver's correctness scale
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on the sf0.001 tier; driver checks rows>0."""
+    """Flagship query on the sf0.001 tier; driver checks rows>0. The
+    gated extract_plain row now carries all three render modes; entry's
+    smoke-check schema stays the stable 3-column flagship shape."""
     fn, _ = QUERIES["extract_plain"]
-    return fn(spark, "/root/testdata/sf0.001")
+    return fn(spark, "/root/testdata/sf0.001").select(
+        "conv_id", "turn_idx", "text")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

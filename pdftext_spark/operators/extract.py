@@ -114,6 +114,44 @@ def link_registrations(transcripts: DataFrame, cfg: ExtractConfig) -> DataFrame:
     return cand.mapInArrow(run, schema=schema)
 
 
+def _apply_salt(transcripts: DataFrame, cfg: ExtractConfig, spark) -> DataFrame:
+    """Anti-skew salting of the kernel input, shared by every kernel
+    entry point (extract, plain_text_variants). Salting defeats
+    conversation-clustered inputs (an Iceberg table bucketed by conv_id
+    would put a mega-conversation in one task). When the scan already
+    yields byte-balanced fine-grained splits — file sources split by
+    size, so compute ∝ bytes is balanced by construction — the extra
+    full-payload shuffle buys nothing; skip it."""
+    n_parts = cfg.partitions or spark.sparkContext.defaultParallelism * 2
+    if cfg.salt == "never":
+        return transcripts
+    if cfg.salt == "always":
+        return transcripts.repartition(n_parts, "conv_id", "turn_idx")
+    if _has_shuffle_exchange(
+            transcripts._jdf.queryExecution().executedPlan().toString()):
+        # The input already contains a shuffle (join/aggregate upstream):
+        # its output partitioning is shuffle-partition-wide, so the salt
+        # buys nothing — and probing toRdd() below would EXECUTE those
+        # upstream stages under AQE (AdaptiveSparkPlanExec.doExecute
+        # materializes query stages), doing the heavy work twice.
+        # executedPlan is the post-EnsureRequirements compile: printing it
+        # runs no job (isFinalPlan=false), and unlike sparkPlan it
+        # actually CONTAINS the requirement-inserted exchanges —
+        # sparkPlan shows none, so probing it missed every join/agg
+        # upstream. BroadcastExchange is deliberately not matched: a
+        # broadcast join leaves the probe side's partitioning untouched,
+        # so such inputs still deserve the salt (and their toRdd() probe
+        # below only materializes the small build side).
+        return transcripts
+    # Pure scan pipeline: JVM-side internal-RDD partition count builds
+    # the physical plan once (cached on queryExecution) without the
+    # Python-conversion mapPartitions that df.rdd would bolt on. No
+    # job runs for a scan (no adaptive stages to materialize).
+    n_input = transcripts._jdf.queryExecution().toRdd().getNumPartitions()
+    return (transcripts if n_input >= n_parts
+            else transcripts.repartition(n_parts, "conv_id", "turn_idx"))
+
+
 def extract(transcripts: DataFrame, cfg: ExtractConfig = ExtractConfig(),
             resolve_links: bool = True, links_via: str = "persist",
             broadcast_threshold: "int | None | object" = _USE_DEFAULT) -> DataFrame:
@@ -145,40 +183,7 @@ def extract(transcripts: DataFrame, cfg: ExtractConfig = ExtractConfig(),
     # kernel's contract explicitly — extra input columns (e.g. `tool`)
     # would otherwise be scanned and, worse, shuffled by the salt.
     transcripts = transcripts.select("conv_id", "turn_idx", "role", "text", "ts")
-    n_parts = cfg.partitions or spark.sparkContext.defaultParallelism * 2
-    # Salting defeats conversation-clustered inputs (an Iceberg table
-    # bucketed by conv_id would put a mega-conversation in one task). When
-    # the scan already yields byte-balanced fine-grained splits — file
-    # sources split by size, so compute ∝ bytes is balanced by
-    # construction — the extra full-payload shuffle buys nothing; skip it.
-    if cfg.salt == "never":
-        salted = transcripts
-    elif cfg.salt == "always":
-        salted = transcripts.repartition(n_parts, "conv_id", "turn_idx")
-    elif _has_shuffle_exchange(
-            transcripts._jdf.queryExecution().executedPlan().toString()):
-        # The input already contains a shuffle (join/aggregate upstream):
-        # its output partitioning is shuffle-partition-wide, so the salt
-        # buys nothing — and probing toRdd() below would EXECUTE those
-        # upstream stages under AQE (AdaptiveSparkPlanExec.doExecute
-        # materializes query stages), doing the heavy work twice.
-        # executedPlan is the post-EnsureRequirements compile: printing it
-        # runs no job (isFinalPlan=false), and unlike sparkPlan it
-        # actually CONTAINS the requirement-inserted exchanges —
-        # sparkPlan shows none, so probing it missed every join/agg
-        # upstream. BroadcastExchange is deliberately not matched: a
-        # broadcast join leaves the probe side's partitioning untouched,
-        # so such inputs still deserve the salt (and their toRdd() probe
-        # below only materializes the small build side).
-        salted = transcripts
-    else:
-        # Pure scan pipeline: JVM-side internal-RDD partition count builds
-        # the physical plan once (cached on queryExecution) without the
-        # Python-conversion mapPartitions that df.rdd would bolt on. No
-        # job runs for a scan (no adaptive stages to materialize).
-        n_input = transcripts._jdf.queryExecution().toRdd().getNumPartitions()
-        salted = (transcripts if n_input >= n_parts
-                  else transcripts.repartition(n_parts, "conv_id", "turn_idx"))
+    salted = _apply_salt(transcripts, cfg, spark)
     from pyspark.sql.pandas.types import to_arrow_schema
     target = to_arrow_schema(EXTRACTED)
     out = salted.mapInArrow(_arrow_kernel(cfg, target), schema=EXTRACTED)
@@ -196,6 +201,71 @@ def extract(transcripts: DataFrame, cfg: ExtractConfig = ExtractConfig(),
         else:
             out = resolve_refs(out, persist=True, broadcast_threshold=thr)
     return out
+
+
+def plain_text_variants(transcripts: DataFrame,
+                        cfg: ExtractConfig = ExtractConfig()) -> DataFrame:
+    """All three plain-text render modes from ONE kernel pass:
+    (conv_id, turn_idx, text, text_sorted, text_keephyphens).
+
+    The expensive work — payload decode + char→word→span→line→block
+    segmentation — is shared; the three renders (default, O1
+    reading-order sort, F5 keep-hyphens — reference
+    postprocessing.py:76-92 and :31-53) are cheap per-turn string
+    assemblies over the same Segmentation. One gate row thus verifies
+    three SURVEY §2 behaviors (F7, O1, F5) at the cost of one, and a
+    production export wanting several render flavors pays one decode.
+    HTML/tool turns have no layout, so all three columns agree there."""
+    import dataclasses
+
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    cfg = dataclasses.replace(cfg, emit_struct=False, emit_tables=False,
+                              disable_links=True, emit_plain=True)
+    schema = T.StructType([
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("text_sorted", T.StringType()),
+        T.StructField("text_keephyphens", T.StringType()),
+    ])
+    from pyspark.sql.pandas.types import to_arrow_schema
+    target = to_arrow_schema(schema)
+
+    def run(batches):
+        from pdftext_spark.core.api import route_batch
+        from pdftext_spark.core.assemble import plain_text_batch
+        for batch in batches:
+            def col(name):
+                return batch.column(batch.schema.get_field_index(name))
+            rb = route_batch(col("text").to_pylist(), col("role").to_pylist(),
+                             col("turn_idx").to_pylist(), cfg)
+            plain: list = [None] * rb.n
+            srt: list = [None] * rb.n
+            hyp: list = [None] * rb.n
+            for i, o in enumerate(rb.outputs):
+                if o is not None:
+                    plain[i] = srt[i] = hyp[i] = o.text
+            if rb.seg is not None:
+                srt_l = plain_text_batch(rb.seg, sort=True,
+                                         sort_tolerance=cfg.sort_tolerance)
+                hyp_l = plain_text_batch(rb.seg, hyphens=True)
+                for local, i in enumerate(rb.doc_pos):
+                    plain[i] = rb.plains[local]
+                    srt[i] = srt_l[local]
+                    hyp[i] = hyp_l[local]
+            yield pa.RecordBatch.from_arrays(
+                [col("conv_id"), col("turn_idx"),
+                 pa.array(plain, type=pa.string()),
+                 pa.array(srt, type=pa.string()),
+                 pa.array(hyp, type=pa.string())],
+                schema=target)
+
+    pruned = transcripts.select("conv_id", "turn_idx", "role", "text")
+    salted = _apply_salt(pruned, cfg, transcripts.sparkSession)
+    return salted.mapInArrow(run, schema=schema)
 
 
 def plain_text(transcripts: DataFrame, cfg: ExtractConfig = ExtractConfig()) -> DataFrame:

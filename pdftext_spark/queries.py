@@ -177,14 +177,31 @@ def _sw_list(lang):
 # --------------------------------------------------------------------------
 
 def q_extract_plain(spark, sf_dir):
-    """Flagship: per-turn plain text for every turn (doc turns = F7 render,
-    tool turns = HTML main content)."""
-    return _extracted_df(spark, sf_dir).select("conv_id", "turn_idx", "text")
+    """Flagship: per-turn plain text for every turn (doc turns = F7
+    render, tool turns = HTML main content) — in ALL THREE render modes
+    from one kernel pass: default, O1 reading-order sort (text_sorted),
+    F5 keep-hyphens (text_keephyphens). Folding the flag variants into
+    this gate row means one driver hash externally verifies F7+O1+F5
+    (round 4 had ceded the variants' own rows to the as-of/range joins
+    under the 50-row cap, leaving O1/F5 replica-only); the standalone
+    single-mode twins remain in the registry as extract_plain_sorted /
+    extract_plain_hyphens."""
+    from pdftext_spark.operators.extract import plain_text_variants
+    tier = tier_for_sf_dir(sf_dir)
+    return plain_text_variants(spark.read.parquet(transcripts_path(tier)),
+                               ExtractConfig())
 
 
 def sql_extract_plain(sf_dir):
     p = _fixture_path(sf_dir, "expected_plain.parquet")
-    return f"SELECT conv_id, turn_idx, text FROM read_parquet('{p}')"
+    ps = _fixture_path(sf_dir, "expected_plain_sorted.parquet")
+    ph = _fixture_path(sf_dir, "expected_plain_hyphens.parquet")
+    return (
+        "SELECT a.conv_id, a.turn_idx, a.text, "
+        "b.text AS text_sorted, c.text AS text_keephyphens "
+        f"FROM read_parquet('{p}') a "
+        f"JOIN read_parquet('{ps}') b USING (conv_id, turn_idx) "
+        f"JOIN read_parquet('{ph}') c USING (conv_id, turn_idx)")
 
 
 def _plain_mode_df(spark, sf_dir, **cfg_kwargs):
@@ -5473,8 +5490,13 @@ GATED_QUERIES = {
     # relational / stream analytics
     "rel_pricing_summary": (q_rel_pricing_summary, sql_rel_pricing_summary),
     "rel_top_customers": (q_rel_top_customers, sql_rel_top_customers),
-    "rel_region_volume": (q_rel_region_volume, sql_rel_region_volume),
-    "rel_rollup": (q_rel_rollup, sql_rel_rollup),
+    # Round-5 gate rotation (ADVICE r4): rel_region_volume / rel_rollup
+    # moved to UNGATED (both are broadcast-join/grouping compositions of
+    # the still-gated rel_pricing_summary + rel_top_customers
+    # constituents); their two rows now externally verify the
+    # novel-semantics SCD2 interval builder and the CDC snapshot MERGE.
+    "events_scd2": (q_events_scd2, sql_events_scd2),
+    "snapshot_merge": (q_snapshot_merge, sql_snapshot_merge),
     "events_value_stats": (q_events_value_stats, sql_events_value_stats),
     "events_window": (q_events_window, sql_events_window),
     "events_sessionize": (q_events_sessionize, sql_events_sessionize),
@@ -5483,11 +5505,12 @@ GATED_QUERIES = {
 }
 
 UNGATED_QUERIES = {
-    # flag variants of the gated extract_plain kernel (same extraction
-    # pass, sort/hyphen flags flipped); moved past the cap in round 4 to
-    # gate the novel-semantics as-of/range joins instead — O1/F5 stay
-    # verified by the replica, tests/test_spark_pipeline.py, and the
-    # naive-oracle parquet these twins hash against
+    # single-mode twins of the gated extract_plain row, which since
+    # round 5 emits all three render modes (text/text_sorted/
+    # text_keephyphens) from one kernel pass — O1 and F5 are therefore
+    # externally driver-verified again via extract_plain's hash; these
+    # standalone forms stay as the ergonomic API surface, verified by
+    # the replica + tests/test_spark_pipeline.py
     "extract_plain_sorted": (q_extract_plain_sorted, sql_extract_plain_sorted),
     "extract_plain_hyphens": (q_extract_plain_hyphens, sql_extract_plain_hyphens),
     "refs_policy": (q_refs_policy, sql_refs_policy),            # composition: refs_canonical x blocklist broadcast
@@ -5522,8 +5545,8 @@ UNGATED_QUERIES = {
     "text_bm25": (q_text_bm25, sql_text_bm25),  # composition: text_tfidf's tf/df stats x ann's window top-k, saturation weights as driver literals
     "text_winnow": (q_text_winnow, sql_text_winnow),  # positional-density variant of text_fingerprint (MOSS winnowing, window-min selection)
     "text_chunks_cdc": (q_text_chunks_cdc, sql_text_chunks_cdc),  # content-defined boundary variant of text_chunks (LBFS rule, shift-robust)
-    "events_scd2": (q_events_scd2, sql_events_scd2),  # gaps-and-islands interval form of events_asof's ordered-window family (SCD2 history)
-    "snapshot_merge": (q_snapshot_merge, sql_snapshot_merge),  # composition: dedup_exact's latest-wins argmax x dedup_apply's materialization (CDC MERGE)
+    "rel_region_volume": (q_rel_region_volume, sql_rel_region_volume),  # star-join composition of rel_pricing_summary's cents agg x rel_top_customers' broadcast dims (gated until r5's rotation)
+    "rel_rollup": (q_rel_rollup, sql_rel_rollup),  # grouping-sets composition of the same broadcast-dim join (gated until r5's rotation)
     "layout_zorder": (q_layout_zorder, sql_layout_zorder),  # composition: emb_quantize's integer quantization x events_window's bucket rollup (Z-order layout extents)
     "dedup_clusters_star": (q_dedup_clusters_star, sql_dedup_clusters),  # large-star/small-star edge-rewriting scale path, same oracle as dedup_clusters
     "mm_phash": (q_mm_phash, sql_mm_phash),  # composition: mm_metadata's container parse x emb_quantize's exact integer reduce (perceptual aHash)

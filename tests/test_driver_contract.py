@@ -45,8 +45,22 @@ def test_driver_gate_covers_every_unique_query():
                  "events_range_join", "refs_canonical",
                  "text_perplexity", "text_pii", "text_pack",
                  "dedup_minhash_lsh", "dedup_embedding_lsh",
-                 "ann_bruteforce", "ann_ivf_probe"):
+                 "ann_bruteforce", "ann_ivf_probe",
+                 # round-5 rotation: SCD2 + CDC MERGE gained the rows
+                 # freed by the rel_* compositions
+                 "events_scd2", "snapshot_merge"):
         assert must in gated, must
+
+
+def test_gated_extract_plain_carries_all_render_modes():
+    """The gate row for extract_plain must keep covering SURVEY §2 O1
+    (reading-order sort) and F5 (keep-hyphens) via its folded columns —
+    dropping a column would silently demote those operators to
+    replica-only verification again."""
+    from pdftext_spark.queries import GATED_QUERIES
+    sql = GATED_QUERIES["extract_plain"][1]("/root/testdata/sf0.01")
+    for col in ("text_sorted", "text_keephyphens"):
+        assert col in sql, col
 
 
 def test_oracle_sql_parses_in_duckdb():

@@ -121,7 +121,9 @@ def test_unpersist_tier_releases_extract_cache(spark):
     Q.unpersist_tier(spark, None)
     Q.unpersist_registered()
     base = _n_persistent_rdds(spark)
-    Q.q_extract_plain(spark, SF).count()
+    # q_extract_spans rides the shared _extracted_df kernel cache
+    # (q_extract_plain runs its own variants pass since round 5)
+    Q.q_extract_spans(spark, SF).count()
     assert _n_persistent_rdds(spark) > base
     key_count = len(Q._EXTRACT_CACHE)
     released = Q.unpersist_tier(spark, SF)
@@ -129,7 +131,7 @@ def test_unpersist_tier_releases_extract_cache(spark):
     assert len(Q._EXTRACT_CACHE) == key_count - 1
     assert _n_persistent_rdds(spark) == base
     # the query still works after eviction (re-extracts, fresh cache entry)
-    assert Q.q_extract_plain(spark, SF).count() > 0
+    assert Q.q_extract_spans(spark, SF).count() > 0
     Q.unpersist_tier(spark, None)
     assert _n_persistent_rdds(spark) == base
 

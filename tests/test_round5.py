@@ -109,3 +109,22 @@ def test_events_funnel_fold_matches_chained_min_semantics(spark, tmp_path):
             t(1), t(5), t(7), t(9)], chunked
         assert got[2]["stage"] == 2 and got[2]["t1"] == t(4), chunked
         assert got[3]["stage"] == 0 and got[3]["t0"] is None, chunked
+
+
+def test_plain_text_variants_one_pass_matches_single_mode(spark):
+    """The folded 3-column render must equal the three single-mode
+    runs column-for-column (same kernel, flags applied per render)."""
+    from pdftext_spark.config import ExtractConfig
+    from pdftext_spark.operators.extract import plain_text, plain_text_variants
+    from pdftext_spark.sources.fixture_io import transcripts_path
+
+    src = spark.read.parquet(transcripts_path("sf0.001"))
+    got = {(r["conv_id"], r["turn_idx"]):
+           (r["text"], r["text_sorted"], r["text_keephyphens"])
+           for r in plain_text_variants(src).collect()}
+    for pos, kw in ((0, {}), (1, {"sort": True}), (2, {"hyphens": True})):
+        ref = {(r["conv_id"], r["turn_idx"]): r["text"]
+               for r in plain_text(src, ExtractConfig(**kw)).collect()}
+        assert set(ref) == set(got)
+        for k, v in ref.items():
+            assert got[k][pos] == v, (k, pos)
