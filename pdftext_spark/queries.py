@@ -5167,18 +5167,15 @@ def q_events_skew_report(spark, sf_dir):
     top-k (TakeOrderedAndProject — never a global sort), so diagnosing
     a 10^12-row shuffle costs one pre-aggregated pass; the report is
     rows, not a driver decision, so it feeds both humans and automated
-    salting."""
+    salting (operators/skew.py: recommended_salt -> salted_repartition
+    is the probe->apply pattern this report drives; since round 5 this
+    gate row delegates to that shared implementation, so the numbers
+    feeding production salt decisions are themselves two-engine
+    verified)."""
+    from pdftext_spark.operators.skew import skew_report
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    tot = ev.groupBy().agg(F.count(F.lit(1)).alias("total"))
-    per = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
-    j = per.crossJoin(F.broadcast(tot))
-    return (j.select(
-                "user_id",
-                F.col("n_events").cast("long").alias("n_events"),
-                F.expr("n_events * 1000000 div total").alias("share_ppm"),
-                F.expr(f"(n_events * {_SKEW_PAR} + total - 1) div total")
-                .alias("salt_k"))
-            .orderBy(F.desc("n_events"), "user_id").limit(_SKEW_TOPN))
+    return (skew_report(ev, ["user_id"], _SKEW_PAR, _SKEW_TOPN)
+            .withColumnRenamed("n_rows", "n_events"))
 
 
 def sql_events_skew_report(sf_dir):

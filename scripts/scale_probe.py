@@ -6,7 +6,11 @@ for an N-executor cluster.
 
     taskset -c 0-7 python scripts/scale_probe.py 8 <transcripts.parquet>
 
-Prints one JSON line {"cores": N, "tps": ..., "sec": ..., "n": ...}.
+Prints one JSON line with the best rep plus EVERY rep's wall time,
+steal fraction, and pinned-core busy fraction, so a noise-hit window is
+self-diagnosing from the recorded JSON alone (round-4 lesson: the
+authoritative record showed 0.737 efficiency with no way to tell
+co-tenant noise from a plan regression without local re-runs).
 """
 
 import json
@@ -26,7 +30,11 @@ def _cpu_ticks():
     Hypervisor steal is time the VM wanted these cores but the host gave
     them to another tenant — exactly the noise a dedicated cluster node
     would not have — so the probe reports a steal-corrected figure next to
-    the raw one.
+    the raw one. Busy (user+nice+system) over the same window gives the
+    utilization of the pinned set: busy_frac ≈ 1.0 at high steal means the
+    job kept every granted cycle working and ONLY the stolen ones are
+    missing; busy_frac well under 1.0 with low steal would instead point
+    at a real parallelism gap in the job.
     """
     pinned = {f"cpu{i}" for i in os.sched_getaffinity(0)}
     busy = steal = total = 0
@@ -58,8 +66,8 @@ def main():
     # then best-of-N timed passes (the sandbox host has transient CPU
     # steal; the quietest window is the honest hardware-bound figure)
     plain_text(spark.read.parquet(path)).count()
+    rep_log = []
     best = None
-    best_steal = 0.0
     n = 0
     for _ in range(reps):
         b0, s0, t0j = _cpu_ticks()
@@ -67,15 +75,20 @@ def main():
         n = plain_text(spark.read.parquet(path)).count()
         dt = time.time() - t0
         b1, s1, t1j = _cpu_ticks()
-        steal_frac = (s1 - s0) / max(1, t1j - t0j)
-        if best is None or dt < best:
-            best = dt
-            best_steal = steal_frac
+        denom = max(1, t1j - t0j)
+        rep = {"sec": round(dt, 3),
+               "steal_frac": round((s1 - s0) / denom, 4),
+               "busy_frac": round((b1 - b0) / denom, 4)}
+        rep_log.append(rep)
+        if best is None or dt < best["sec"]:
+            best = rep
     spark.stop()
-    corrected = best * (1.0 - best_steal)
-    print(json.dumps({"cores": cores, "tps": round(n / best, 1),
-                      "sec": round(best, 3), "n": n,
-                      "steal_frac": round(best_steal, 4),
+    corrected = best["sec"] * (1.0 - best["steal_frac"])
+    print(json.dumps({"cores": cores, "tps": round(n / best["sec"], 1),
+                      "sec": best["sec"], "n": n,
+                      "steal_frac": best["steal_frac"],
+                      "busy_frac": best["busy_frac"],
+                      "reps": rep_log,
                       "tps_steal_corrected": round(n / corrected, 1)}))
 
 
