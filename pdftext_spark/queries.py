@@ -4506,6 +4506,75 @@ def sql_dedup_scrub(sf_dir):
         "FROM t LEFT JOIN k USING (doc_id)")
 
 
+def q_dedup_substr_exact(spark, sf_dir):
+    """EXACT substring dedup, corpus-level (Lee et al. 2022 semantics:
+    every maximal token interval all of whose 8-token windows occur MORE
+    THAN ONCE in the corpus — same doc or not; the cross-doc-only
+    windowed-hash form stays dedup_passages). Output: merged (doc_id,
+    start_tok, end_tok, n_windows) intervals, 1-based inclusive.
+
+    The distributed exact shape (operators/substring.py holds the
+    per-partition suffix-array twin): (1) the ONLY corpus-wide shuffle
+    carries (doc_id, pos, xxhash64(window)) — 8-byte hashes, never the
+    ~8x-blowup window text; (2) repeated-hash groups are a
+    boilerplate-sized set that BROADCASTS back onto the position stream;
+    (3) candidates re-derive the TRUE window text via one doc_id join
+    against the corpus and re-group on the text itself, so a hash
+    collision can only waste a candidate, never fabricate a duplicate —
+    the final answer is exact; (4) surviving positions merge to maximal
+    intervals with a per-doc ordered window (islands break at gap > w).
+    At 100 TB stages 2-4 are sized by duplicate density, not the corpus."""
+    w = _PASSAGE_N
+    d = (_docs(spark, sf_dir)
+         .withColumn("toks", F.expr(_TOKS_SPARK))
+         .where(F.expr(f"size(toks) >= {w}")))
+    wins = (d.withColumn("pw", F.explode(F.expr(
+                f"transform(sequence(1, size(toks)-{w-1}), i -> "
+                f"struct(i AS pos, xxhash64(concat_ws(' ', "
+                f"slice(toks, i, {w}))) AS h))")))
+            .select("doc_id", "pw.pos", "pw.h"))
+    cand_h = (wins.groupBy("h").agg(F.count(F.lit(1)).alias("n"))
+              .where("n >= 2").select("h"))
+    cand = wins.join(F.broadcast(cand_h), "h").select("doc_id", "pos")
+    ver = (d.select("doc_id", "toks").join(cand, "doc_id")
+           .withColumn("win",
+                       F.expr(f"concat_ws(' ', slice(toks, pos, {w}))"))
+           .select("doc_id", "pos", "win"))
+    rep = (ver.groupBy("win").agg(F.count(F.lit(1)).alias("n"))
+           .where("n >= 2").select("win"))
+    dup = ver.join(F.broadcast(rep), "win").select("doc_id", "pos")
+    wnd = Window.partitionBy("doc_id").orderBy("pos")
+    isl = (dup.withColumn(
+               "br", F.when(F.col("pos") > F.lag("pos").over(wnd) + w, 1)
+                      .otherwise(0))
+           .withColumn("island", F.sum("br").over(wnd)))
+    return (isl.groupBy("doc_id", "island")
+            .agg(F.min("pos").cast("long").alias("start_tok"),
+                 (F.max("pos") + w - 1).cast("long").alias("end_tok"),
+                 F.count(F.lit(1)).cast("long").alias("n_windows"))
+            .select("doc_id", "start_tok", "end_tok", "n_windows"))
+
+
+def sql_dedup_substr_exact(sf_dir):
+    w = _PASSAGE_N
+    return (
+        "WITH t AS (SELECT doc_id, " + _TOKS_DUCK + " toks FROM documents), "
+        f"p AS (SELECT doc_id, i pos, array_to_string("
+        f"list_slice(toks, i, i+{w-1}), ' ') win "
+        f"FROM t, unnest(range(1, len(toks)-{w-2})) u(i) "
+        f"WHERE len(toks) >= {w}), "
+        "rep AS (SELECT win FROM p GROUP BY win HAVING count(*) >= 2), "
+        "d AS (SELECT p.doc_id, p.pos FROM p JOIN rep USING (win)), "
+        "isl AS (SELECT doc_id, pos, CASE WHEN pos > lag(pos) OVER "
+        f"(PARTITION BY doc_id ORDER BY pos) + {w} THEN 1 ELSE 0 END br "
+        "FROM d), "
+        "g AS (SELECT doc_id, pos, sum(br) OVER (PARTITION BY doc_id "
+        "ORDER BY pos) island FROM isl) "
+        f"SELECT doc_id, min(pos)::BIGINT start_tok, "
+        f"(max(pos)+{w - 1})::BIGINT end_tok, count(*)::BIGINT n_windows "
+        "FROM g GROUP BY doc_id, island")
+
+
 def q_sample_hash(spark, sf_dir):
     """Deterministic 20% corpus sample: md5(doc_id) mod 100 < 20. The
     idiomatic reproducible sample for a 10^12-row corpus — pure scan +
@@ -5546,6 +5615,7 @@ UNGATED_QUERIES = {
     "rel_rollup": (q_rel_rollup, sql_rel_rollup),  # grouping-sets composition of the same broadcast-dim join (gated until r5's rotation)
     "layout_zorder": (q_layout_zorder, sql_layout_zorder),  # composition: emb_quantize's integer quantization x events_window's bucket rollup (Z-order layout extents)
     "dedup_clusters_star": (q_dedup_clusters_star, sql_dedup_clusters),  # large-star/small-star edge-rewriting scale path, same oracle as dedup_clusters
+    "dedup_substr_exact": (q_dedup_substr_exact, sql_dedup_substr_exact),  # EXACT Lee-et-al substring intervals: hash-pruned candidates re-verified on true text, per-doc island merge (SA twin in operators/substring.py)
     "mm_phash": (q_mm_phash, sql_mm_phash),  # composition: mm_metadata's container parse x emb_quantize's exact integer reduce (perceptual aHash)
     "mm_neardup": (q_mm_neardup, sql_mm_neardup),  # composition: mm_phash x dedup_minhash_lsh's band-join (Hamming LSH, exact-complete at d<=7)
     "text_hll": (q_text_hll, sql_text_hll),  # HyperLogLog register merge, md5-exact in both engines (mergeable-sketch family)

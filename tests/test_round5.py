@@ -165,3 +165,84 @@ def test_skew_probe_recommends_salt_and_plan_shows_salted_exchange(spark):
     assert recommended_salt(flat, ["user_id"], 32) == 1
     p1 = salted_repartition(flat, ["user_id"], 1, 8)
     assert "__salt" not in p1.columns
+
+
+def test_suffix_array_kernel_basics():
+    """SA/LCP on a known string: banana's suffix array and Kasai LCP."""
+    import numpy as np
+
+    from pdftext_spark.operators.substring import lcp_array, suffix_array
+
+    s = np.frombuffer(b"banana", dtype=np.uint8).astype(np.int64)
+    sa = suffix_array(s)
+    assert sa.tolist() == [5, 3, 1, 0, 4, 2]
+    assert lcp_array(s, sa).tolist() == [0, 1, 3, 0, 0, 2]
+
+
+def test_exact_substring_dedup_pins_planted_passages(spark, tmp_path):
+    """A planted 10-token passage shared by docs 1 and 3 (and nothing
+    else >= 8 tokens repeated) must come back as exactly the two merged
+    intervals, identically from (a) the suffix-array kernel, (b) the
+    mapInPandas per-partition tool on one partition, (c) the distributed
+    exact query, and (d) the query's DuckDB oracle."""
+    import duckdb
+
+    from pdftext_spark.operators.substring import (partition_repeats,
+                                                   repeated_intervals)
+    from pdftext_spark.queries import (q_dedup_substr_exact,
+                                       sql_dedup_substr_exact)
+
+    passage = ("alpha bravo charlie delta echo foxtrot golf hotel "
+               "india juliett")
+    texts = [
+        "one two three " + passage + " tail1 tail2",
+        "unrelated words only here nothing repeats among these many tokens",
+        passage + " different ending tokens four five",
+        "a short five token repeat q1 q2 q3 q4 q5 q6 q7",
+        "again short five token repeat z1 z2 z3 z4 z5 z6",
+    ]
+    sf = _write_docs(tmp_path, texts)
+    want = {(1, 4, 13, 3), (3, 1, 10, 3)}
+
+    # (a) suffix-array kernel (n_windows not emitted there: 3 covered
+    # window starts merge into one interval per doc)
+    toks = [t.split(" ") for t in texts]
+    assert set(repeated_intervals(toks, 8)) == {(0, 4, 13), (2, 1, 10)}
+
+    # (b) distributed per-partition tool, all docs co-located
+    docs = spark.read.parquet(f"{sf}/documents.parquet").coalesce(1)
+    got_sa = {(r["doc_id"], r["start_tok"], r["end_tok"])
+              for r in partition_repeats(docs, 8).collect()}
+    assert got_sa == {(1, 4, 13), (3, 1, 10)}
+
+    # (c) corpus-level exact query and (d) its oracle
+    got_q = {(r["doc_id"], r["start_tok"], r["end_tok"], r["n_windows"])
+             for r in q_dedup_substr_exact(spark, sf).collect()}
+    assert got_q == want
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    got_o = {tuple(r) for r in
+             con.execute(sql_dedup_substr_exact(sf)).fetchall()}
+    assert got_o == want
+
+
+def test_exact_substring_dedup_intra_doc_and_gap_merge(spark, tmp_path):
+    """Lee-et-al semantics include repeats WITHIN one doc; overlapping
+    planted repeats must merge into one maximal interval."""
+    from pdftext_spark.operators.substring import repeated_intervals
+    from pdftext_spark.queries import q_dedup_substr_exact
+
+    rep8 = "r1 r2 r3 r4 r5 r6 r7 r8"
+    texts = [
+        # the 8-token run appears twice inside doc 1, back to back:
+        # every window of the 16-token span repeats => one interval 3..18
+        "lead1 lead2 " + rep8 + " " + rep8 + " trail",
+        "filler doc with no repeated windows at all here today ok",
+    ]
+    sf = _write_docs(tmp_path, texts)
+    got = {(r["doc_id"], r["start_tok"], r["end_tok"])
+           for r in q_dedup_substr_exact(spark, sf).collect()}
+    assert got == {(1, 3, 18)}
+    toks = [t.split(" ") for t in texts]
+    assert set(repeated_intervals(toks, 8)) == {(0, 3, 18)}
