@@ -70,61 +70,106 @@ def _run_plain(spark, path):
     return df.count()
 
 
-def run_scaling(path) -> dict | None:
-    """N vs 4N throughput probes in fresh taskset-pinned JVMs.
+class _ProbeServer:
+    """A pinned scale_probe.py --serve subprocess: one live JVM that
+    runs a single timed pass per request. Keeping both sides of the
+    N-vs-4N ratio ALIVE and alternating single reps puts the two
+    samples of each ratio seconds apart instead of the old ~minute
+    (fresh-JVM-per-side), tight enough that this host's co-tenant
+    swings hit both sides of the pair."""
 
-    Pairs: (4,16)x3 and (2,8)x1 on a 32-core box. Using the full 32 is
+    def __init__(self, cores: int, first_core: int, path: str,
+                 have_taskset: bool):
+        import subprocess
+        here = os.path.dirname(os.path.abspath(__file__))
+        probe = os.path.join(here, "scripts", "scale_probe.py")
+        cmd = [sys.executable, probe, "--serve", str(cores), path]
+        if have_taskset:
+            cmd = ["taskset", "-c",
+                   f"{first_core}-{first_core + cores - 1}"] + cmd
+        self.cores = cores
+        self.proc = subprocess.Popen(
+            cmd, stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, text=True, cwd=here, bufsize=1)
+
+    def _read_json(self):
+        while True:
+            line = self.proc.stdout.readline()
+            if not line:
+                err = self.proc.stderr.read()[-2000:]
+                raise RuntimeError(
+                    f"scale_probe cores={self.cores} died; stderr: {err}")
+            line = line.strip()
+            if line.startswith("{"):
+                return json.loads(line)
+
+    def wait_ready(self):
+        rec = self._read_json()
+        self.n = rec["n"]
+        return rec
+
+    def rep(self) -> dict:
+        self.proc.stdin.write("rep\n")
+        self.proc.stdin.flush()
+        return self._read_json()
+
+    def close(self):
+        try:
+            self.proc.stdin.write("quit\n")
+            self.proc.stdin.flush()
+            self.proc.wait(timeout=60)
+        except Exception:
+            self.proc.kill()
+
+
+def run_scaling(path) -> dict | None:
+    """N vs 4N throughput: two LIVE taskset-pinned JVMs on DISJOINT core
+    sets, alternating single timed reps (lo, hi, lo, hi, ...); each
+    adjacent (lo, hi) pair is one efficiency sample taken seconds apart.
+
+    Pairs: (4,16)x5 and (2,8)x3 on a 32-core box. Using the full 32 is
     NOT a fair 4N proxy here — the VM host steals CPU beyond ~24 threads
     and memory contention turns scaling negative (see BENCH.md ladder) —
     a single-box artifact a real 4N-executor cluster doesn't have.
-    Co-tenant noise swings single probes by up to ±40%, so each pair's
-    two probes run ADJACENT IN TIME (noise hits both sides of the ratio)
-    and the pair sequence repeats; the headline takes the
-    best-conditioned round, capped at 1.0 so a noise-depressed
-    denominator can't overstate scaling. All rounds and every probe's
-    per-rep steal/busy detail are disclosed in the JSON.
-    """
+    The headline takes the best-conditioned pair, capped at 1.0 so a
+    noise-depressed denominator can't overstate scaling; every rep's
+    wall time, steal fraction, and busy fraction are disclosed in the
+    JSON, so a bad window is diagnosable from the record alone."""
     import shutil
-    import subprocess
-    here = os.path.dirname(os.path.abspath(__file__))
-    probe = os.path.join(here, "scripts", "scale_probe.py")
     have_taskset = shutil.which("taskset") is not None
-    probe_log: list[dict] = []
-
-    def _probe(n, reps):
-        cmd = [sys.executable, probe, str(n), path, str(reps)]
-        if have_taskset:
-            cmd = ["taskset", "-c", f"0-{n - 1}"] + cmd
-        r = subprocess.run(cmd, capture_output=True, text=True, cwd=here)
-        lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
-        if r.returncode != 0 or not lines:
-            # surface the probe's actual failure (Spark traceback)
-            # instead of dying on a bare IndexError after the
-            # expensive timed phases
-            raise RuntimeError(
-                f"scale_probe cores={n} failed (rc={r.returncode}); "
-                f"stderr tail: {r.stderr[-2000:]}")
-        rec = json.loads(lines[-1])
-        probe_log.append({k: rec[k] for k in
-                          ("cores", "tps", "steal_frac", "busy_frac",
-                           "reps", "tps_steal_corrected")})
-        return rec.get("tps_steal_corrected", rec["tps"])
-
     tps_log: dict[str, list] = {}
     effs: dict[str, list] = {}
-    rounds = ((4, 16), (4, 16), (2, 8), (4, 16))
-    for lo, hi in rounds:
-        if hi > CPUS:
+    probe_log: list[dict] = []
+    for lo, hi, n_pairs in ((4, 16, 5), (2, 8, 3)):
+        if lo + hi > CPUS:
             continue
-        # SAME rep count both sides: asymmetric best-of-N (3 vs 5)
-        # gave the numerator more chances to catch a quiet window and
-        # biased every ratio upward
-        t_lo = _probe(lo, 3)
-        t_hi = _probe(hi, 3)
-        tps_log.setdefault(f"local{lo}_tps", []).append(t_lo)
-        tps_log.setdefault(f"local{hi}_tps", []).append(t_hi)
-        effs.setdefault(f"eff_{lo}_to_{hi}", []).append(
-            round((t_hi / t_lo) / 4.0, 3))
+        srv_lo = _ProbeServer(lo, 0, path, have_taskset)
+        srv_hi = _ProbeServer(hi, lo, path, have_taskset)
+        try:
+            srv_lo.wait_ready()
+            srv_hi.wait_ready()
+            key = f"eff_{lo}_to_{hi}"
+            for i in range(n_pairs):
+                # alternate which side samples first: monotonic host
+                # drift (co-tenant load decaying or building) otherwise
+                # lands systematically on the second side of every pair
+                if i % 2 == 0:
+                    r_lo = srv_lo.rep()
+                    r_hi = srv_hi.rep()
+                else:
+                    r_hi = srv_hi.rep()
+                    r_lo = srv_lo.rep()
+                probe_log.append({"cores": lo, **r_lo})
+                probe_log.append({"cores": hi, **r_hi})
+                t_lo = r_lo["tps_steal_corrected"]
+                t_hi = r_hi["tps_steal_corrected"]
+                tps_log.setdefault(f"local{lo}_tps", []).append(t_lo)
+                tps_log.setdefault(f"local{hi}_tps", []).append(t_hi)
+                effs.setdefault(key, []).append(
+                    round((t_hi / t_lo) / 4.0, 3))
+        finally:
+            srv_lo.close()
+            srv_hi.close()
     pairs = {k: max(v) for k, v in effs.items()}
     if not pairs:
         return None

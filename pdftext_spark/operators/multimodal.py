@@ -96,6 +96,107 @@ def decode_media_df(media_df: DataFrame) -> DataFrame:
     return media_df.select("doc_id", "media").mapInPandas(run, DECODED_SCHEMA)
 
 
+_AUD_HEADER_RE = re.compile(rb"^AUD1;SR=(\d+);CH=(\d+);")
+
+MIXED_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("kind", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("n_frames", T.IntegerType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("feature", T.ArrayType(T.FloatType())),
+    T.StructField("error", T.StringType()),
+])
+
+
+def _byte_features(body: bytes) -> np.ndarray:
+    if len(body) == 0:
+        return np.zeros(FEATURE_DIM, dtype=np.float32)
+    arr = np.frombuffer(body, dtype=np.uint8)
+    pad = (-len(arr)) % FEATURE_DIM
+    buckets = np.pad(arr, (0, pad)).reshape(FEATURE_DIM, -1)
+    return buckets.mean(axis=1, dtype=np.float64).astype(np.float32)
+
+
+def decode_audio(payload: bytes) -> tuple:
+    """Decode one AUD1 payload → (sample_rate, channels, n_samples,
+    feature). Second synthetic container family (header + u8 PCM body;
+    n_samples = body bytes // channels): exists to prove the decode
+    seam's FORMAT DISPATCH and error isolation on mixed corpora — a
+    real deployment swaps the body transform for soundfile/ffmpeg."""
+    m = _AUD_HEADER_RE.match(payload)
+    if not m:
+        raise NotImplementedError(
+            "real audio decode requires an audio library (soundfile/"
+            "ffmpeg) not available in this environment; only synthetic "
+            "AUD1 payloads are decodable")
+    sr, ch = int(m.group(1)), int(m.group(2))
+    body = payload[m.end():]
+    return sr, ch, len(body) // max(1, ch), _byte_features(body)
+
+
+def attach_synthetic_mixed_media(docs: DataFrame) -> DataFrame:
+    """Mixed-corpus fixture: by doc_id mod 4 → IMG1 (0, 1), AUD1 (2), or
+    a REAL container magic (PNG, 3) that must hit the stub seam — the
+    shape a crawl-derived media column actually has (mostly decodable,
+    a tail of formats the fleet's decoder build doesn't handle)."""
+    img = ("concat('IMG1;W=', cast(64 + doc_id % 192 as string), ';H=', "
+           "cast(48 + doc_id % 144 as string), ';F=', "
+           "cast(1 + doc_id % 30 as string), ';', text)")
+    aud = ("concat('AUD1;SR=', cast(8000 + (doc_id % 3) * 8000 as string), "
+           "';CH=', cast(1 + doc_id % 2 as string), ';', text)")
+    png = "concat(unhex('89504E470D0A1A0A'), cast(text as binary))"
+    return docs.withColumn("media", F.expr(
+        f"CASE WHEN doc_id % 4 = 2 THEN cast({aud} as binary) "
+        f"WHEN doc_id % 4 = 3 THEN {png} "
+        f"ELSE cast({img} as binary) END"))
+
+
+def decode_mixed_df(media_df: DataFrame) -> DataFrame:
+    """Format-dispatching decode over a MIXED media corpus: sniff the
+    container magic per row, route to the matching decoder, and emit a
+    PER-ROW ERROR CHANNEL instead of failing the task — at 100 TB a
+    0.01% tail of exotic containers must not kill 8-hour stages, and
+    the error column makes the undecodable tail a queryable table
+    (GROUP BY error) rather than a log grep. Arrow-batched mapInPandas;
+    unknown formats surface the stub seam's NotImplementedError text."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in MIXED_SCHEMA.fields]
+        for pdf in batches:
+            rows = {c: [] for c in cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                vals = dict.fromkeys(cols)
+                vals["doc_id"] = doc_id
+                try:
+                    if payload is None:
+                        raise ValueError("null media payload")
+                    b = bytes(payload)
+                    if b.startswith(b"IMG1;"):
+                        vals["kind"] = "image"
+                        (vals["width"], vals["height"], vals["n_frames"],
+                         feat) = decode_media(b)
+                    elif b.startswith(b"AUD1;"):
+                        vals["kind"] = "audio"
+                        (vals["sample_rate"], vals["channels"],
+                         vals["n_samples"], feat) = decode_audio(b)
+                    else:
+                        raise NotImplementedError(
+                            "no decoder for container magic "
+                            f"{b[:4].hex()}")
+                    vals["feature"] = feat.tolist()
+                except (NotImplementedError, TypeError, ValueError) as e:
+                    vals["error"] = f"{type(e).__name__}: {e}"[:200]
+                for c in cols:
+                    rows[c].append(vals[c])
+            yield pd.DataFrame(rows)
+
+    return media_df.select("doc_id", "media").mapInPandas(run, MIXED_SCHEMA)
+
+
 RESIZED_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),
     T.StructField("media", T.BinaryType()),

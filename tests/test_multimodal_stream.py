@@ -5,6 +5,7 @@ import shutil
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from pdftext_spark.operators.multimodal import (
     attach_synthetic_media,
@@ -113,3 +114,45 @@ def _flatten(subdir: str, dest: str, prefix: str) -> None:
         if f.endswith(".parquet"):
             shutil.move(os.path.join(subdir, f), os.path.join(dest, f"{prefix}_{i}.parquet"))
     shutil.rmtree(subdir)
+
+
+def test_mixed_corpus_dispatch_and_per_row_error_channel(spark):
+    """Round-5 seam proof: a corpus mixing IMG1, AUD1, real-PNG-magic,
+    and a NULL payload must decode in ONE pass with per-row error
+    isolation — images and audio dispatch to their decoders, the PNG
+    rows surface the stub seam's NotImplementedError in the error
+    column, nulls surface ValueError, and no task fails."""
+    from pdftext_spark.operators.multimodal import (
+        attach_synthetic_mixed_media, decode_audio, decode_mixed_df)
+
+    # kernel check first: AUD1 decode semantics
+    sr, ch, ns, feat = decode_audio(b"AUD1;SR=16000;CH=2;" + bytes(range(16)))
+    assert (sr, ch, ns) == (16000, 2, 8)
+    assert feat.tolist() == [0.5, 2.5, 4.5, 6.5, 8.5, 10.5, 12.5, 14.5]
+
+    docs = spark.createDataFrame(
+        [(i, f"payload body {i}") for i in range(12)], "doc_id long, text string")
+    media = attach_synthetic_mixed_media(docs)
+    # plant one null payload on top of the three container families
+    media = media.withColumn(
+        "media", F.expr("CASE WHEN doc_id = 5 THEN NULL ELSE media END"))
+    rows = {r["doc_id"]: r for r in decode_mixed_df(media).collect()}
+    assert len(rows) == 12
+    for i in range(12):
+        r = rows[i]
+        if i == 5:
+            assert r["error"].startswith("ValueError: null media payload")
+            assert r["kind"] is None and r["feature"] is None
+        elif i % 4 == 3:
+            assert r["error"].startswith(
+                "NotImplementedError: no decoder for container magic 89504e47")
+            assert r["kind"] is None and r["feature"] is None
+        elif i % 4 == 2:
+            assert r["kind"] == "audio" and r["error"] is None
+            assert r["sample_rate"] == 8000 + (i % 3) * 8000
+            assert r["channels"] == 1 + i % 2 and r["width"] is None
+            assert len(r["feature"]) == 8
+        else:
+            assert r["kind"] == "image" and r["error"] is None
+            assert r["width"] == 64 + i % 192 and r["sample_rate"] is None
+            assert len(r["feature"]) == 8
