@@ -1,0 +1,530 @@
+"""Extraction query family (SURVEY §2 S/P/J/A/W/O/F surfaces
+over the transcripts table) + link/refs graph analytics."""
+# GENERATED-BY-SPLIT (round 5): body moved verbatim from queries.py; see
+# pdftext_spark/queries.py for the registry and module map.
+from __future__ import annotations
+
+from pdftext_spark.registry._shared import (  # noqa: F401
+    ExtractConfig,
+    F,
+    Window,
+    _EXTRACT_CACHE,
+    _extracted_df,
+    _fixture_path,
+    extract,
+    tier_for_sf_dir,
+    transcripts_path,
+)
+
+# --------------------------------------------------------------------------
+# 1. extraction queries (fixture transcripts vs oracle-expected parquet)
+# --------------------------------------------------------------------------
+
+def q_extract_plain(spark, sf_dir):
+    """Flagship: per-turn plain text for every turn (doc turns = F7
+    render, tool turns = HTML main content) — in ALL THREE render modes
+    from one kernel pass: default, O1 reading-order sort (text_sorted),
+    F5 keep-hyphens (text_keephyphens). Folding the flag variants into
+    this gate row means one driver hash externally verifies F7+O1+F5
+    (round 4 had ceded the variants' own rows to the as-of/range joins
+    under the 50-row cap, leaving O1/F5 replica-only); the standalone
+    single-mode twins remain in the registry as extract_plain_sorted /
+    extract_plain_hyphens."""
+    from pdftext_spark.operators.extract import plain_text_variants
+    tier = tier_for_sf_dir(sf_dir)
+    return plain_text_variants(spark.read.parquet(transcripts_path(tier)),
+                               ExtractConfig())
+
+
+def sql_extract_plain(sf_dir):
+    p = _fixture_path(sf_dir, "expected_plain.parquet")
+    ps = _fixture_path(sf_dir, "expected_plain_sorted.parquet")
+    ph = _fixture_path(sf_dir, "expected_plain_hyphens.parquet")
+    return (
+        "SELECT a.conv_id, a.turn_idx, a.text, "
+        "b.text AS text_sorted, c.text AS text_keephyphens "
+        f"FROM read_parquet('{p}') a "
+        f"JOIN read_parquet('{ps}') b USING (conv_id, turn_idx) "
+        f"JOIN read_parquet('{ph}') c USING (conv_id, turn_idx)")
+
+
+def _plain_mode_df(spark, sf_dir, **cfg_kwargs):
+    from pdftext_spark.operators.extract import plain_text
+    tier = tier_for_sf_dir(sf_dir)
+    return plain_text(spark.read.parquet(transcripts_path(tier)),
+                      ExtractConfig(**cfg_kwargs))
+
+
+def q_extract_plain_sorted(spark, sf_dir):
+    """plain_text_output(sort=True): O1 reading-order block sort
+    (reference postprocessing.py:76-92) applied inside the F7 render."""
+    return _plain_mode_df(spark, sf_dir, sort=True)
+
+
+def sql_extract_plain_sorted(sf_dir):
+    p = _fixture_path(sf_dir, "expected_plain_sorted.parquet")
+    return f"SELECT conv_id, turn_idx, text FROM read_parquet('{p}')"
+
+
+def q_extract_plain_hyphens(spark, sf_dir):
+    """plain_text_output(hyphens=True): keep hyphens — F5 `\\x02`→`-\\n`
+    instead of the F6 rejoin scan (reference postprocessing.py:31-53)."""
+    return _plain_mode_df(spark, sf_dir, hyphens=True)
+
+
+def sql_extract_plain_hyphens(sf_dir):
+    p = _fixture_path(sf_dir, "expected_plain_hyphens.parquet")
+    return f"SELECT conv_id, turn_idx, text FROM read_parquet('{p}')"
+
+
+def _flat_spans(spark, sf_dir, extracted=None):
+    """blocks → lines → spans flatten of an extracted frame (default:
+    the cached tier extraction; pass `extracted` to flatten a different
+    pipeline output, e.g. the keep_chars pass)."""
+    df = (extracted if extracted is not None
+          else _extracted_df(spark, sf_dir)).where(F.col("page").isNotNull())
+    b = df.select("conv_id", "turn_idx",
+                  F.posexplode("page.blocks").alias("block_idx", "blk"))
+    ln = b.select("conv_id", "turn_idx", "block_idx",
+                  F.posexplode("blk.lines").alias("line_idx", "ln"))
+    s = ln.select("conv_id", "turn_idx", "block_idx", "line_idx",
+                  F.posexplode("ln.spans").alias("span_idx", "s"))
+    return s
+
+
+def q_extract_spans(spark, sf_dir):
+    s = _flat_spans(spark, sf_dir)
+    return s.select(
+        "conv_id", "turn_idx", "block_idx", "line_idx", "span_idx",
+        F.col("s.text").alias("text"),
+        F.col("s.font.name").alias("font_name"),
+        F.col("s.font.flags").alias("font_flags"),
+        F.col("s.font.size").alias("font_size"),
+        F.col("s.font.weight").alias("font_weight"),
+        F.col("s.char_start_idx").alias("char_start_idx"),
+        F.col("s.char_end_idx").alias("char_end_idx"),
+        F.col("s.rotation").alias("rotation"),
+        F.coalesce(F.col("s.url"), F.lit("")).alias("url"),
+        F.col("s.superscript").alias("superscript"),
+        F.col("s.subscript").alias("subscript"),
+        F.element_at("s.bbox", 1).alias("x1"),
+        F.element_at("s.bbox", 2).alias("y1"),
+        F.element_at("s.bbox", 3).alias("x2"),
+        F.element_at("s.bbox", 4).alias("y2"),
+    )
+
+
+def sql_extract_spans(sf_dir):
+    p = _fixture_path(sf_dir, "expected_spans.parquet")
+    return (f"SELECT conv_id, turn_idx, block_idx, line_idx, span_idx, text, "
+            f"font_name, font_flags, font_size, font_weight, char_start_idx, "
+            f"char_end_idx, rotation, url, superscript, subscript, x1, y1, x2, y2 "
+            f"FROM read_parquet('{p}')")
+
+
+def q_extract_chars(spark, sf_dir):
+    """Char-level output (S3/keep_chars; reference pages.py:87-100 char
+    dicts, Spark side = the arrow_out.py chars child gathered from
+    segmentation offsets). Runs its own kernel pass with keep_chars=True —
+    cached per tier under a separate key; links are skipped (chars carry
+    no urls) so nothing persists beyond the plan."""
+    tier = tier_for_sf_dir(sf_dir)
+    key = (spark.sparkContext.applicationId, tier, "chars")
+    if key not in _EXTRACT_CACHE:
+        _EXTRACT_CACHE[key] = extract(
+            spark.read.parquet(transcripts_path(tier)),
+            ExtractConfig(keep_chars=True), resolve_links=False)
+    s = _flat_spans(spark, sf_dir, extracted=_EXTRACT_CACHE[key])
+    c = s.select("conv_id", "turn_idx", "block_idx", "line_idx", "span_idx",
+                 F.explode("s.chars").alias("c"))
+    return c.select(
+        "conv_id", "turn_idx", "block_idx", "line_idx", "span_idx",
+        F.col("c.char_idx").alias("char_idx"),
+        F.col("c.char").alias("char"),
+        F.col("c.rotation").alias("rotation"),
+        F.element_at("c.bbox", 1).alias("x1"),
+        F.element_at("c.bbox", 2).alias("y1"),
+        F.element_at("c.bbox", 3).alias("x2"),
+        F.element_at("c.bbox", 4).alias("y2"),
+    )
+
+
+def sql_extract_chars(sf_dir):
+    p = _fixture_path(sf_dir, "expected_chars.parquet")
+    return (f"SELECT conv_id, turn_idx, block_idx, line_idx, span_idx, "
+            f"char_idx, char, rotation, x1, y1, x2, y2 "
+            f"FROM read_parquet('{p}')")
+
+
+def q_extract_blocks(spark, sf_dir):
+    df = _extracted_df(spark, sf_dir).where(F.col("page").isNotNull())
+    b = df.select("conv_id", "turn_idx",
+                  F.posexplode("page.blocks").alias("block_idx", "blk"))
+    return b.select(
+        "conv_id", "turn_idx", "block_idx",
+        F.size("blk.lines").alias("n_lines"),
+        F.element_at("blk.bbox", 1).alias("x1"),
+        F.element_at("blk.bbox", 2).alias("y1"),
+        F.element_at("blk.bbox", 3).alias("x2"),
+        F.element_at("blk.bbox", 4).alias("y2"),
+    )
+
+
+def sql_extract_blocks(sf_dir):
+    p = _fixture_path(sf_dir, "expected_blocks.parquet")
+    return (f"SELECT conv_id, turn_idx, block_idx, n_lines, x1, y1, x2, y2 "
+            f"FROM read_parquet('{p}')")
+
+
+def q_extract_refs(spark, sf_dir):
+    df = _extracted_df(spark, sf_dir).where(F.col("page").isNotNull())
+    r = df.select("conv_id", "turn_idx", F.explode("page.refs").alias("r"))
+    return r.select(
+        "conv_id", "turn_idx",
+        F.col("r.idx").alias("idx"),
+        F.col("r.ref").alias("ref"),
+        F.col("r.url").alias("url"),
+        F.element_at("r.coord", 1).alias("x"),
+        F.element_at("r.coord", 2).alias("y"),
+    )
+
+
+def sql_extract_refs(sf_dir):
+    p = _fixture_path(sf_dir, "expected_refs.parquet")
+    return f"SELECT conv_id, turn_idx, idx, ref, url, x, y FROM read_parquet('{p}')"
+
+
+def q_extract_page_meta(spark, sf_dir):
+    df = _extracted_df(spark, sf_dir).where(F.col("page").isNotNull())
+    return df.select(
+        "conv_id", "turn_idx",
+        F.col("page.width").alias("width"),
+        F.col("page.height").alias("height"),
+        F.col("page.rotation").alias("rotation"),
+        F.element_at("page.bbox", 1).alias("b0"),
+        F.element_at("page.bbox", 2).alias("b1"),
+        F.element_at("page.bbox", 3).alias("b2"),
+        F.element_at("page.bbox", 4).alias("b3"),
+    )
+
+
+def sql_extract_page_meta(sf_dir):
+    p = _fixture_path(sf_dir, "expected_pagemeta.parquet")
+    return (f"SELECT conv_id, turn_idx, width, height, rotation, b0, b1, b2, b3 "
+            f"FROM read_parquet('{p}')")
+
+
+def q_extract_table_cells(spark, sf_dir):
+    df = _extracted_df(spark, sf_dir).where(F.size("tables") > 0)
+    t = df.select("conv_id", "turn_idx",
+                  F.posexplode("tables").alias("table_idx", "cells"))
+    c = t.select("conv_id", "turn_idx", "table_idx",
+                 F.posexplode("cells").alias("cell_idx", "c"))
+    return c.select(
+        "conv_id", "turn_idx", "table_idx", "cell_idx",
+        F.col("c.text").alias("text"),
+        F.element_at("c.bbox", 1).alias("x1"),
+        F.element_at("c.bbox", 2).alias("y1"),
+        F.element_at("c.bbox", 3).alias("x2"),
+        F.element_at("c.bbox", 4).alias("y2"),
+    )
+
+
+def sql_extract_table_cells(sf_dir):
+    p = _fixture_path(sf_dir, "expected_tables.parquet")
+    return (f"SELECT conv_id, turn_idx, table_idx, cell_idx, text, x1, y1, x2, y2 "
+            f"FROM read_parquet('{p}')")
+
+
+def q_extract_html_main(spark, sf_dir):
+    tier = tier_for_sf_dir(sf_dir)
+    tr = spark.read.parquet(transcripts_path(tier)).where(F.col("role") == "tool")
+    out = _extracted_df(spark, sf_dir).where(F.col("is_html"))
+    return out.join(tr.select("conv_id", "turn_idx"), ["conv_id", "turn_idx"]) \
+        .select("conv_id", "turn_idx", F.col("text").alias("main_text"))
+
+
+def sql_extract_html_main(sf_dir):
+    p = _fixture_path(sf_dir, "expected_plain.parquet")
+    t = transcripts_path(tier_for_sf_dir(sf_dir))
+    return (f"SELECT p.conv_id, p.turn_idx, p.text AS main_text "
+            f"FROM read_parquet('{p}') p JOIN read_parquet('{t}') t "
+            f"ON p.conv_id = t.conv_id AND p.turn_idx = t.turn_idx "
+            f"WHERE t.role = 'tool'")
+
+
+def q_turn_filter(spark, sf_dir):
+    """P1 — turn-range predicate pushdown (extraction.py:44-47)."""
+    tier = tier_for_sf_dir(sf_dir)
+    tr = spark.read.parquet(transcripts_path(tier))
+    return tr.where(F.col("turn_idx").isin(0, 1, 3)) \
+        .select("conv_id", "turn_idx", "role", "tool")
+
+
+def sql_turn_filter(sf_dir):
+    t = transcripts_path(tier_for_sf_dir(sf_dir))
+    return (f"SELECT conv_id, turn_idx, role, tool FROM read_parquet('{t}') "
+            f"WHERE turn_idx IN (0, 1, 3)")
+
+
+def q_extract_span_counts(spark, sf_dir):
+    """A8-style count metrics per turn, from the nested output."""
+    s = _flat_spans(spark, sf_dir)
+    return s.groupBy("conv_id", "turn_idx").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.length("s.text")).alias("n_text_chars"),
+    )
+
+
+def sql_extract_span_counts(sf_dir):
+    p = _fixture_path(sf_dir, "expected_spans.parquet")
+    return (f"SELECT conv_id, turn_idx, count(*) n_spans, "
+            f"sum(length(text))::BIGINT n_text_chars "
+            f"FROM read_parquet('{p}') GROUP BY conv_id, turn_idx")
+
+
+_DOMAIN_RE = "^https?://([^/]+)"
+
+
+def q_refs_domains(spark, sf_dir):
+    """Per-domain link histogram over the EXTRACTED span urls — the
+    web-curation primitive behind domain allow/deny lists and source-mix
+    reporting. External (http/https) urls only; internal #page anchors are
+    the X1 registry's business. Scale shape: domain cardinality is tiny
+    next to link count, so the plan is scan → filter → partial-aggregate →
+    one domain-keyed shuffle of pre-aggregated rows; the heavy page column
+    is pruned at the cached kernel output (the distinct-conv count rides
+    the same aggregation as a two-phase distinct)."""
+    s = _flat_spans(spark, sf_dir)
+    # rlike the full scheme prefix, not startswith("http"): a prefix test
+    # admits bogus schemes (httpx://, httpfoo) whose failed regex extract
+    # would pile into a silent domain='' bucket
+    u = s.where(F.col("s.url").rlike(_DOMAIN_RE))
+    d = u.select(F.regexp_extract(F.col("s.url"), _DOMAIN_RE, 1).alias("domain"),
+                 "conv_id")
+    return d.groupBy("domain").agg(
+        F.count("*").alias("n_links"),
+        F.countDistinct("conv_id").alias("n_convs"),
+    )
+
+
+def sql_refs_domains(sf_dir):
+    p = _fixture_path(sf_dir, "expected_spans.parquet")
+    return (f"SELECT regexp_extract(url, '{_DOMAIN_RE}', 1) AS domain, "
+            f"count(*) n_links, count(DISTINCT conv_id) n_convs "
+            f"FROM read_parquet('{p}') WHERE regexp_matches(url, '{_DOMAIN_RE}') "
+            f"GROUP BY 1")
+
+
+_PR_SCALE = 10**12     # fixed-point rank unit per node
+_PR_ITERS = 3
+
+
+def q_refs_pagerank(spark, sf_dir):
+    """Domain PageRank over the transcript link graph — the
+    CommonCrawl-style domain-authority score curation pipelines rank
+    sources by. Graph: nodes are the external-link domains; a directed
+    edge src→dst exists when dst's domain FOLLOWS src's in a
+    conversation's reading order (lag over the span order, self-loops
+    and duplicate edges dropped). Rank: damping 0.85, uniform init,
+    _PR_ITERS Jacobi sweeps, dangling mass dropped — every operation is
+    fixed-point int64 (contributions are pr div outdeg, the update is
+    (15*SCALE + 85*csum) div 100), so sums are order-independent and
+    the DuckDB oracle unrolls the iterations CTE-for-CTE with identical
+    arithmetic. Scale shape: the graph tables are domain-cardinality
+    (tiny next to the corpus — the one heavy step is the edge
+    extraction, which rides the already-cached span flatten + ONE
+    conv-keyed window); each sweep is an edges⋈rank join + dst-keyed
+    pre-aggregated sum, the dedup_clusters superstep family — at 1e8+
+    domains the rank side shuffle-joins instead of broadcasting and a
+    localCheckpoint per sweep caps the lineage."""
+    sp = _flat_spans(spark, sf_dir)
+    u = (sp.where(F.col("s.url").rlike(_DOMAIN_RE))
+         .select("conv_id", "turn_idx", "block_idx", "line_idx", "span_idx",
+                 F.regexp_extract(F.col("s.url"), _DOMAIN_RE, 1)
+                 .alias("domain")))
+    w = Window.partitionBy("conv_id").orderBy(
+        "turn_idx", "block_idx", "line_idx", "span_idx")
+    o = u.withColumn("prev", F.lag("domain").over(w))
+    edges = (o.where(F.col("prev").isNotNull()
+                     & (F.col("prev") != F.col("domain")))
+             .select(F.col("prev").alias("src"), F.col("domain").alias("dst"))
+             .distinct())
+    nodes = u.select("domain").distinct()
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    ew = edges.join(outdeg, "src")
+    pr = nodes.withColumn("pr", F.lit(_PR_SCALE).cast("long"))
+    for _ in range(_PR_ITERS):
+        contrib = (ew.join(pr, ew["src"] == pr["domain"])
+                   .select("dst", F.expr("pr div deg").alias("c"))
+                   .groupBy("dst").agg(F.sum("c").alias("cs")))
+        pr = (nodes.join(contrib, nodes["domain"] == contrib["dst"], "left")
+              .select("domain",
+                      F.expr(f"(15 * {_PR_SCALE}L + 85 * coalesce(cs, 0L)) "
+                             "div 100").alias("pr")))
+    return pr.select("domain", F.col("pr").alias("rank_score"))
+
+
+def sql_refs_pagerank(sf_dir):
+    p = _fixture_path(sf_dir, "expected_spans.parquet")
+    S, re_ = _PR_SCALE, _DOMAIN_RE
+    sql = (
+        f"WITH s AS (SELECT conv_id, turn_idx, block_idx, line_idx, "
+        f"span_idx, regexp_extract(url, '{re_}', 1) AS domain "
+        f"FROM read_parquet('{p}') WHERE regexp_matches(url, '{re_}')), "
+        "o AS (SELECT domain, lag(domain) OVER (PARTITION BY conv_id "
+        "ORDER BY turn_idx, block_idx, line_idx, span_idx) prev FROM s), "
+        "e AS (SELECT DISTINCT prev src, domain dst FROM o "
+        "WHERE prev IS NOT NULL AND prev <> domain), "
+        "n AS (SELECT DISTINCT domain FROM s), "
+        "od AS (SELECT src, count(*) deg FROM e GROUP BY src), "
+        f"p0 AS (SELECT domain, {S}::BIGINT pr FROM n)")
+    prev = "p0"
+    for k in range(1, _PR_ITERS + 1):
+        sql += (
+            f", c{k} AS (SELECT e.dst, sum({prev}.pr // od.deg)::BIGINT cs "
+            f"FROM e JOIN {prev} ON e.src = {prev}.domain "
+            "JOIN od USING (src) GROUP BY e.dst)"
+            f", p{k} AS (SELECT n.domain, "
+            f"((15 * {S} + 85 * COALESCE(c{k}.cs, 0)) // 100)::BIGINT pr "
+            f"FROM n LEFT JOIN c{k} ON n.domain = c{k}.dst)")
+        prev = f"p{k}"
+    return sql + f" SELECT domain, pr AS rank_score FROM {prev}"
+
+
+# URL canonicalization (refs_canonical). Normalization subset, applied in
+# this order, each step a single regex both RE2 (DuckDB) and
+# java.util.regex (Spark) read identically — no lookarounds:
+#   1. lowercase scheme://authority (path/query case is significant)
+#   2. drop the #fragment
+#   3. drop default ports (http:80, https:443)
+#   4. drop tracking params (utm_*, fbclid, gclid), fixing up ?/& joins
+#   5. drop trailing path slashes and a left-over bare '?'
+_URL_HTTP = "^(?i)https?://"
+_URL_HEAD = "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)"   # scheme://authority
+_URL_P80 = "^(http://[^/:?#]*):80([/?#].*)?$"
+_URL_P443 = "^(https://[^/:?#]*):443([/?#].*)?$"
+_TRACK = "(?:utm_[^=&#]*|fbclid|gclid)=[^&#]*"
+_TRACK_RUN = f"([?&])(?:{_TRACK}&)+"                  # run followed by more
+_TRACK_TAIL = f"[?&]{_TRACK}$"                        # last param
+
+
+def canonical_url_col(name: str):
+    """The Spark expression chain for the normalization subset above —
+    pure JVM regexp_replace, reusable anywhere a url column needs
+    canonicalizing before policy joins."""
+    head = F.regexp_extract(name, _URL_HEAD, 1)
+    c = F.concat(F.lower(head),
+                 F.expr(f"substring({name}, length(regexp_extract({name}, "
+                        f"'{_URL_HEAD}', 1)) + 1)"))
+    c = F.regexp_replace(c, "#.*", "")
+    c = F.regexp_replace(c, _URL_P80, "$1$2")
+    c = F.regexp_replace(c, _URL_P443, "$1$2")
+    c = F.regexp_replace(c, _TRACK_RUN, "$1")
+    c = F.regexp_replace(c, _TRACK_TAIL, "")
+    # bare-'?' strip BEFORE the slash strip so 'a/?' and 'a/' canonicalize
+    # identically; the slash strip itself only fires on query-free urls
+    # (a trailing '/' inside a query VALUE is data) — '^([^?]*?)/+$' can
+    # only match when the whole url is '?'-free (review round 4)
+    c = F.regexp_replace(c, "\\?$", "")
+    return F.regexp_replace(c, "^([^?]*?)/+$", "$1")
+
+
+# Domain deny-list for refs_policy — in production this is a side table
+# folded into the expression tree exactly like this literal (the
+# text_blocklist pattern: driver-resident, never a corpus-shuffling join)
+_DENY_DOMAINS = ("example.org",)
+
+
+def q_refs_policy(spark, sf_dir):
+    """Domain policy application — the consumer of refs_canonical: every
+    span url is canonicalized, its domain checked against a deny-list,
+    and each turn reports its allowed/blocked link counts plus a hash of
+    the ordered allowed-url list (what a crawl pipeline writes next to
+    the document for downstream filtering). Composition of two gated
+    operators (refs_canonical normalization x the blocklist broadcast
+    pattern); same plan shape as refs_domains — everything lives in the
+    projection until one turn-keyed aggregation of pre-aggregated rows."""
+    s = _flat_spans(spark, sf_dir)
+    u = (s.where(F.col("s.url").rlike(_URL_HTTP))
+         .select("conv_id", "turn_idx",
+                 canonical_url_col("s.url").alias("curl")))
+    deny = ", ".join(f"'{d}'" for d in _DENY_DOMAINS)
+    d = u.withColumn("domain", F.regexp_extract("curl", _DOMAIN_RE, 1)) \
+         .withColumn("blocked", F.expr(f"domain IN ({deny})"))
+    return d.groupBy("conv_id", "turn_idx").agg(
+        F.sum(F.when(F.col("blocked"), 1).otherwise(0)).cast("long")
+        .alias("n_blocked"),
+        F.sum(F.when(~F.col("blocked"), 1).otherwise(0)).cast("long")
+        .alias("n_allowed"),
+        # collect_list skips the when()'s nulls; sort for determinism
+        F.md5(F.concat_ws("|", F.sort_array(
+            F.collect_list(F.when(~F.col("blocked"), F.col("curl"))))))
+        .alias("allowed_md5"))
+
+
+def sql_refs_policy(sf_dir):
+    p = _fixture_path(sf_dir, "expected_spans.parquet")
+    c = canonical_url_sql("url")
+    deny = ", ".join(f"'{d}'" for d in _DENY_DOMAINS)
+    return (
+        f"WITH u AS (SELECT conv_id, turn_idx, {c} curl "
+        f"FROM read_parquet('{p}') WHERE regexp_matches(url, '{_URL_HTTP}')), "
+        f"d AS (SELECT conv_id, turn_idx, curl, "
+        f"regexp_extract(curl, '{_DOMAIN_RE}', 1) IN ({deny}) blocked FROM u) "
+        f"SELECT conv_id, turn_idx, "
+        f"sum(CASE WHEN blocked THEN 1 ELSE 0 END)::BIGINT n_blocked, "
+        f"sum(CASE WHEN NOT blocked THEN 1 ELSE 0 END)::BIGINT n_allowed, "
+        # coalesce: an all-blocked turn gives NULL from the FILTERed
+        # list() where Spark's collect_list gives [], md5('') on both
+        f"md5(coalesce(array_to_string(list_sort(list(curl) "
+        f"FILTER (WHERE NOT blocked)), '|'), '')) allowed_md5 "
+        f"FROM d GROUP BY conv_id, turn_idx")
+
+
+def q_refs_canonical(spark, sf_dir):
+    """URL canonicalization + dedup over the extracted span urls — the
+    allow/deny-list prep every crawl pipeline runs before domain policy
+    (pairs with refs_domains). Different surface forms of one target
+    (case-varied host, :443, utm_* params, fragments, trailing slash)
+    collapse to a single canonical_url with occurrence counts. Scale
+    shape: identical to refs_domains — the whole normalization is a
+    chain of JVM regexp_replace expressions inside the projection
+    (zero UDFs), then one canonical-url-keyed shuffle of map-side
+    partially aggregated rows; canonical-url cardinality is bounded by
+    distinct-target count, orders below link count."""
+    s = _flat_spans(spark, sf_dir)
+    u = s.where(F.col("s.url").rlike(_URL_HTTP)).select(
+        F.col("s.url").alias("url"), "conv_id")
+    return (u.select(canonical_url_col("url").alias("canonical_url"),
+                     "conv_id")
+            .groupBy("canonical_url")
+            .agg(F.count("*").alias("n_links"),
+                 F.countDistinct("conv_id").alias("n_convs")))
+
+
+def canonical_url_sql(col: str = "url") -> str:
+    """DuckDB twin of canonical_url_col — same steps, same order."""
+    head = f"regexp_extract({col}, '{_URL_HEAD}', 1)"
+    c = f"lower({head}) || substring({col}, length({head}) + 1)"
+    c = f"regexp_replace({c}, '#.*', '')"
+    c = f"regexp_replace({c}, '{_URL_P80}', '\\1\\2')"
+    c = f"regexp_replace({c}, '{_URL_P443}', '\\1\\2')"
+    # 'g': DuckDB replaces only the FIRST match by default (Spark replaces
+    # all); the run pattern is the only one that can match more than once
+    c = f"regexp_replace({c}, '{_TRACK_RUN}', '\\1', 'g')"
+    c = f"regexp_replace({c}, '{_TRACK_TAIL}', '')"
+    # same order note as canonical_url_col: '?'-strip first, slash strip
+    # anchored to '?'-free urls so query-value slashes survive
+    c = f"regexp_replace({c}, '\\?$', '')"
+    return f"regexp_replace({c}, '^([^?]*?)/+$', '\\1')"
+
+
+def sql_refs_canonical(sf_dir):
+    p = _fixture_path(sf_dir, "expected_spans.parquet")
+    c = canonical_url_sql("url")
+    return (f"SELECT {c} AS canonical_url, count(*) n_links, "
+            f"count(DISTINCT conv_id) n_convs FROM read_parquet('{p}') "
+            f"WHERE regexp_matches(url, '{_URL_HTTP}') GROUP BY 1")
+
+
