@@ -339,10 +339,17 @@ def q_refs_pagerank(spark, sf_dir):
     domains the rank side shuffle-joins instead of broadcasting and a
     localCheckpoint per sweep caps the lineage."""
     sp = _flat_spans(spark, sf_dir)
+    # materialize the domain-projected span list ONCE (o(#links) rows,
+    # tiny next to the page structs): without this checkpoint, nodes,
+    # edges, outdeg, and every Jacobi sweep re-derived the pages→spans
+    # flatten from the cached extraction — measured 50.3 s at sf0.1 in
+    # the round-5 tail sweep, ~29 s after (the graph_triangles lesson;
+    # the remaining cost is the shared extraction cache itself)
     u = (sp.where(F.col("s.url").rlike(_DOMAIN_RE))
          .select("conv_id", "turn_idx", "block_idx", "line_idx", "span_idx",
                  F.regexp_extract(F.col("s.url"), _DOMAIN_RE, 1)
-                 .alias("domain")))
+                 .alias("domain"))
+         .localCheckpoint())
     w = Window.partitionBy("conv_id").orderBy(
         "turn_idx", "block_idx", "line_idx", "span_idx")
     o = u.withColumn("prev", F.lag("domain").over(w))
@@ -350,9 +357,11 @@ def q_refs_pagerank(spark, sf_dir):
                      & (F.col("prev") != F.col("domain")))
              .select(F.col("prev").alias("src"), F.col("domain").alias("dst"))
              .distinct())
-    nodes = u.select("domain").distinct()
+    nodes = u.select("domain").distinct().localCheckpoint()
     outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    ew = edges.join(outdeg, "src")
+    # graph tables are domain-cardinality: checkpoint so each sweep's
+    # join starts from materialized rows, not the edge-derivation plan
+    ew = edges.join(outdeg, "src").localCheckpoint()
     pr = nodes.withColumn("pr", F.lit(_PR_SCALE).cast("long"))
     for _ in range(_PR_ITERS):
         contrib = (ew.join(pr, ew["src"] == pr["domain"])

@@ -246,3 +246,16 @@ def test_exact_substring_dedup_intra_doc_and_gap_merge(spark, tmp_path):
     assert got == {(1, 3, 18)}
     toks = [t.split(" ") for t in texts]
     assert set(repeated_intervals(toks, 8)) == {(0, 3, 18)}
+
+
+def test_refs_pagerank_sweeps_scan_no_files(spark):
+    """Regression bound for the round-5 tail-sweep finding (50.3 s at
+    sf0.1): the Jacobi sweeps must run over the localCheckpoint'd graph
+    tables — the final plan may contain NO FileScan (every one would be
+    a re-derivation of the span flatten) and must read checkpointed
+    RDDs instead."""
+    from pdftext_spark.queries import QUERIES
+    df = QUERIES["refs_pagerank"][0](spark, "/root/testdata/sf0.001")
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan" not in p and "ExistingRDD" in p
+    assert df.count() > 0
