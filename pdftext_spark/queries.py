@@ -372,6 +372,7 @@ from pdftext_spark.registry.pipeline import (  # noqa: F401
     q_dedup_passages,
     q_dedup_scrub,
     q_dedup_substr_exact,
+    q_dedup_substr_scrub,
     q_events_histogram,
     q_events_outliers,
     q_events_quantiles,
@@ -394,6 +395,7 @@ from pdftext_spark.registry.pipeline import (  # noqa: F401
     sql_dedup_passages,
     sql_dedup_scrub,
     sql_dedup_substr_exact,
+    sql_dedup_substr_scrub,
     sql_events_histogram,
     sql_events_outliers,
     sql_events_quantiles,
@@ -538,6 +540,7 @@ UNGATED_QUERIES = {
     "layout_zorder": (q_layout_zorder, sql_layout_zorder),  # composition: emb_quantize's integer quantization x events_window's bucket rollup (Z-order layout extents)
     "dedup_clusters_star": (q_dedup_clusters_star, sql_dedup_clusters),  # large-star/small-star edge-rewriting scale path, same oracle as dedup_clusters
     "dedup_substr_exact": (q_dedup_substr_exact, sql_dedup_substr_exact),  # EXACT Lee-et-al substring intervals: hash-pruned candidates re-verified on true text, per-doc island merge (SA twin in operators/substring.py)
+    "dedup_substr_scrub": (q_dedup_substr_scrub, sql_dedup_substr_scrub),  # the exact intervals APPLIED: globally-first occurrence survives, every other occurrence's tokens scrubbed (dedup_scrub plan shape, exactness instead of md5-trust)
     "mm_phash": (q_mm_phash, sql_mm_phash),  # composition: mm_metadata's container parse x emb_quantize's exact integer reduce (perceptual aHash)
     "mm_neardup": (q_mm_neardup, sql_mm_neardup),  # composition: mm_phash x dedup_minhash_lsh's band-join (Hamming LSH, exact-complete at d<=7)
     "text_hll": (q_text_hll, sql_text_hll),  # HyperLogLog register merge, md5-exact in both engines (mergeable-sketch family)

@@ -178,6 +178,29 @@ def sql_dedup_scrub(sf_dir):
         "FROM t LEFT JOIN k USING (doc_id)")
 
 
+def _substr_ver(spark, sf_dir, w):
+    """Shared candidate pipeline for the exact substring family:
+    (all docs with toks, window-bearing docs, exact-verified candidate
+    (doc_id, pos, win) stream). The only corpus-wide shuffle carries
+    8-byte window hashes; candidates re-derive the TRUE window text, so
+    hash collisions prune badly but never fabricate duplicates."""
+    d_all = _docs(spark, sf_dir).withColumn("toks", F.expr(_TOKS_SPARK))
+    d = d_all.where(F.expr(f"size(toks) >= {w}"))
+    wins = (d.withColumn("pw", F.explode(F.expr(
+                f"transform(sequence(1, size(toks)-{w-1}), i -> "
+                f"struct(i AS pos, xxhash64(concat_ws(' ', "
+                f"slice(toks, i, {w}))) AS h))")))
+            .select("doc_id", "pw.pos", "pw.h"))
+    cand_h = (wins.groupBy("h").agg(F.count(F.lit(1)).alias("n"))
+              .where("n >= 2").select("h"))
+    cand = wins.join(F.broadcast(cand_h), "h").select("doc_id", "pos")
+    ver = (d.select("doc_id", "toks").join(cand, "doc_id")
+           .withColumn("win",
+                       F.expr(f"concat_ws(' ', slice(toks, pos, {w}))"))
+           .select("doc_id", "pos", "win"))
+    return d_all, d, ver
+
+
 def q_dedup_substr_exact(spark, sf_dir):
     """EXACT substring dedup, corpus-level (Lee et al. 2022 semantics:
     every maximal token interval all of whose 8-token windows occur MORE
@@ -197,21 +220,7 @@ def q_dedup_substr_exact(spark, sf_dir):
     intervals with a per-doc ordered window (islands break at gap > w).
     At 100 TB stages 2-4 are sized by duplicate density, not the corpus."""
     w = _PASSAGE_N
-    d = (_docs(spark, sf_dir)
-         .withColumn("toks", F.expr(_TOKS_SPARK))
-         .where(F.expr(f"size(toks) >= {w}")))
-    wins = (d.withColumn("pw", F.explode(F.expr(
-                f"transform(sequence(1, size(toks)-{w-1}), i -> "
-                f"struct(i AS pos, xxhash64(concat_ws(' ', "
-                f"slice(toks, i, {w}))) AS h))")))
-            .select("doc_id", "pw.pos", "pw.h"))
-    cand_h = (wins.groupBy("h").agg(F.count(F.lit(1)).alias("n"))
-              .where("n >= 2").select("h"))
-    cand = wins.join(F.broadcast(cand_h), "h").select("doc_id", "pos")
-    ver = (d.select("doc_id", "toks").join(cand, "doc_id")
-           .withColumn("win",
-                       F.expr(f"concat_ws(' ', slice(toks, pos, {w}))"))
-           .select("doc_id", "pos", "win"))
+    _d_all, d, ver = _substr_ver(spark, sf_dir, w)
     rep = (ver.groupBy("win").agg(F.count(F.lit(1)).alias("n"))
            .where("n >= 2").select("win"))
     dup = ver.join(F.broadcast(rep), "win").select("doc_id", "pos")
@@ -245,6 +254,72 @@ def sql_dedup_substr_exact(sf_dir):
         f"SELECT doc_id, min(pos)::BIGINT start_tok, "
         f"(max(pos)+{w - 1})::BIGINT end_tok, count(*)::BIGINT n_windows "
         "FROM g GROUP BY doc_id, island")
+
+
+def q_dedup_substr_scrub(spark, sf_dir):
+    """EXACT substring scrub materialization — dedup_substr_exact's
+    findings applied the way Lee et al. 2022 apply them: for every
+    8-token window occurring MORE THAN ONCE in the corpus, the globally
+    first occurrence (min (doc_id, pos)) survives; the tokens covered by
+    every other occurrence are removed and the text re-joined. (A
+    surviving occurrence's tokens can still fall to a DIFFERENT window's
+    non-owner occurrence overlapping it — greedy per-window ownership,
+    deterministic.) Output mirrors dedup_scrub: (doc_id, n_tokens,
+    n_tokens_kept, text_scrubbed) over the whole corpus.
+
+    Scale shape: the candidate stream is the hash-pruned exact-verified
+    (doc_id, pos, win) table (duplicate-density sized); ownership is one
+    row_number window over it (partitioned by the window text — a hot
+    boilerplate window has many rows, but they pre-aggregate to one
+    int-array mask per dirty doc before touching the corpus); the corpus
+    then meets its masks in a single doc_id-keyed join, exactly the
+    dedup_scrub plan with exactness instead of md5-trust."""
+    w = _PASSAGE_N
+    d_all, _d, ver = _substr_ver(spark, sf_dir, w)
+    wv = Window.partitionBy("win").orderBy("doc_id", "pos")
+    nonown = (ver.withColumn("rn", F.row_number().over(wv))
+              .where(F.col("rn") >= 2))
+    cov = (nonown.select(
+               "doc_id",
+               F.explode(F.expr(f"sequence(pos, pos + {w - 1})")).alias("j"))
+           .groupBy("doc_id").agg(F.collect_set("j").alias("cov")))
+    kept = F.expr(
+        "filter(transform(toks, (t, i) -> struct(t AS t, i + 1 AS j)), "
+        "s -> NOT array_contains(cov, s.j))")
+    return (d_all.join(cov, "doc_id", "left")
+            .withColumn("cov", F.coalesce(
+                F.col("cov"), F.expr("CAST(array() AS array<int>)")))
+            .withColumn("kept", kept)
+            .select("doc_id",
+                    F.size("toks").cast("long").alias("n_tokens"),
+                    F.size("kept").cast("long").alias("n_tokens_kept"),
+                    F.expr("concat_ws(' ', transform(kept, s -> s.t))")
+                    .alias("text_scrubbed")))
+
+
+def sql_dedup_substr_scrub(sf_dir):
+    w = _PASSAGE_N
+    return (
+        "WITH t AS (SELECT doc_id, " + _TOKS_DUCK + " toks FROM documents), "
+        f"p AS (SELECT doc_id, i pos, array_to_string("
+        f"list_slice(toks, i, i+{w-1}), ' ') win "
+        f"FROM t, unnest(range(1, len(toks)-{w-2})) u(i) "
+        f"WHERE len(toks) >= {w}), "
+        "r AS (SELECT doc_id, pos, row_number() OVER (PARTITION BY win "
+        "ORDER BY doc_id, pos) rn FROM p), "
+        f"cov AS (SELECT DISTINCT r.doc_id, u.j "
+        f"FROM r, unnest(range(pos, pos+{w})) u(j) WHERE rn >= 2), "
+        "tok AS (SELECT doc_id, j, toks[j] tok "
+        "FROM t, unnest(range(1, len(toks)+1)) u(j)), "
+        "kept AS (SELECT tok.doc_id, tok.j, tok.tok FROM tok "
+        "LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.j = cov.j "
+        "WHERE cov.j IS NULL), "
+        "k AS (SELECT doc_id, count(*) n_kept, "
+        "string_agg(tok, ' ' ORDER BY j) txt FROM kept GROUP BY doc_id) "
+        "SELECT t.doc_id, len(t.toks)::BIGINT n_tokens, "
+        "COALESCE(k.n_kept, 0)::BIGINT n_tokens_kept, "
+        "COALESCE(k.txt, '') text_scrubbed "
+        "FROM t LEFT JOIN k USING (doc_id)")
 
 
 def q_sample_hash(spark, sf_dir):

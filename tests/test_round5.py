@@ -259,3 +259,40 @@ def test_refs_pagerank_sweeps_scan_no_files(spark):
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "FileScan" not in p and "ExistingRDD" in p
     assert df.count() > 0
+
+
+def test_exact_substring_scrub_keeps_first_occurrence(spark, tmp_path):
+    """The scrub must remove every duplicated-window occurrence EXCEPT
+    the globally first (min doc_id, pos) — pinned on the planted corpus
+    where doc 1 owns the passage and doc 3 loses it — and must agree
+    with the DuckDB oracle row-for-row."""
+    import duckdb
+
+    from pdftext_spark.queries import (q_dedup_substr_scrub,
+                                       sql_dedup_substr_scrub)
+
+    passage = ("alpha bravo charlie delta echo foxtrot golf hotel "
+               "india juliett")
+    texts = [
+        "one two three " + passage + " tail1 tail2",
+        "unrelated words only here nothing repeats among these many tokens",
+        passage + " different ending tokens four five",
+        "tiny",
+    ]
+    sf = _write_docs(tmp_path, texts)
+    got = {r["doc_id"]: (r["n_tokens"], r["n_tokens_kept"],
+                         r["text_scrubbed"])
+           for r in q_dedup_substr_scrub(spark, sf).collect()}
+    # doc 1 owns the passage (min doc_id): untouched
+    assert got[1] == (15, 15, texts[0])
+    # doc 3 loses tokens 1..10 (the passage), keeps the tail
+    assert got[3] == (15, 5, "different ending tokens four five")
+    # unaffected docs pass through, including the sub-window-length one
+    assert got[2] == (10, 10, texts[1])
+    assert got[4] == (1, 1, "tiny")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    oracle = {r[0]: (r[1], r[2], r[3]) for r in
+              con.execute(sql_dedup_substr_scrub(sf)).fetchall()}
+    assert oracle == got
