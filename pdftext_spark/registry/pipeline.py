@@ -194,7 +194,13 @@ def _substr_ver(spark, sf_dir, w):
     cand_h = (wins.groupBy("h").agg(F.count(F.lit(1)).alias("n"))
               .where("n >= 2").select("h"))
     cand = wins.join(F.broadcast(cand_h), "h").select("doc_id", "pos")
-    ver = (d.select("doc_id", "toks").join(cand, "doc_id")
+    # pre-aggregate candidate positions to ONE row per dirty doc before
+    # meeting the corpus: the verify join then carries #dirty-docs rows
+    # (broadcastable under AQE at boilerplate densities) instead of one
+    # row per candidate position, and the heavy toks column joins once
+    cand_doc = cand.groupBy("doc_id").agg(F.collect_list("pos").alias("poss"))
+    ver = (d.select("doc_id", "toks").join(cand_doc, "doc_id")
+           .select("doc_id", "toks", F.explode("poss").alias("pos"))
            .withColumn("win",
                        F.expr(f"concat_ws(' ', slice(toks, pos, {w}))"))
            .select("doc_id", "pos", "win"))
