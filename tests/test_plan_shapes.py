@@ -357,3 +357,14 @@ def test_pmi_no_cartesian_blowup(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
     assert "TakeOrderedAndProject" in p  # top-k never global-sorts
+
+
+def test_substr_exact_broadcasts_candidates_no_cartesian(spark):
+    """Exact substring dedup: the repeated-hash set and repeated-window
+    set ride broadcasts back onto the streams; nothing degenerates to a
+    cartesian/nested-loop product."""
+    for name in ("dedup_substr_exact", "dedup_substr_scrub"):
+        p = _plan(spark, name)
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+        assert "BroadcastHashJoin" in p, name

@@ -359,3 +359,43 @@ def test_resize_media_properties(w, h, fr, body, max_dim):
         assert out == payload
     out2, nw2, nh2 = resize_media(out, max_dim)
     assert (out2, nw2, nh2) == (out, nw, nh)
+
+
+@settings(**SETTINGS)
+@given(st.lists(
+    st.lists(st.sampled_from("ab"), min_size=0, max_size=14)
+      .map(lambda cs: " ".join(cs)),
+    min_size=1, max_size=6))
+def test_repeated_intervals_matches_naive_window_oracle(texts):
+    """Suffix-array exact repeats == brute-force window counting: a
+    position is covered iff its w-window (as a token tuple) occurs >= 2
+    times across the corpus; intervals merge at gap > w. Tiny binary
+    vocabulary forces dense repeat structure."""
+    from collections import Counter
+
+    from pdftext_spark.operators.substring import repeated_intervals
+
+    w = 3
+    toks = [t.split(" ") if t else [] for t in texts]
+    toks = [[x for x in ts if x] for ts in toks]
+    counts = Counter()
+    for ts in toks:
+        for i in range(len(ts) - w + 1):
+            counts[tuple(ts[i:i + w])] += 1
+    expected = []
+    for di, ts in enumerate(toks):
+        cov = [i + 1 for i in range(len(ts) - w + 1)
+               if counts[tuple(ts[i:i + w])] >= 2]
+        s = prev = None
+        for p in cov:
+            if s is None:
+                s = prev = p
+            elif p > prev + w:
+                expected.append((di, s, prev + w - 1))
+                s = prev = p
+            else:
+                prev = p
+        if s is not None:
+            expected.append((di, s, prev + w - 1))
+    got = repeated_intervals(toks, w)
+    assert sorted(got) == sorted(expected)
