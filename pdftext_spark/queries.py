@@ -238,6 +238,7 @@ from pdftext_spark.registry.textqual import (  # noqa: F401
     q_text_bloom,
     q_text_bm25,
     q_text_bpe,
+    q_text_bpe_encode,
     q_text_ccnet,
     q_text_chunks,
     q_text_chunks_cdc,
@@ -263,6 +264,7 @@ from pdftext_spark.registry.textqual import (  # noqa: F401
     sql_text_bloom,
     sql_text_bm25,
     sql_text_bpe,
+    sql_text_bpe_encode,
     sql_text_ccnet,
     sql_text_chunks,
     sql_text_chunks_cdc,
@@ -533,6 +535,7 @@ UNGATED_QUERIES = {
     "dedup_embedding": (q_dedup_embedding, sql_dedup_embedding),  # all-pairs baseline of dedup_embedding_lsh
     "dedup_semantic": (q_dedup_semantic, sql_dedup_semantic),  # composition: ann_ivf's cluster assignment x dedup_embedding's cosine verify (SemDeDup)
     "text_bm25": (q_text_bm25, sql_text_bm25),  # composition: text_tfidf's tf/df stats x ann's window top-k, saturation weights as driver literals
+    "text_bpe_encode": (q_text_bpe_encode, sql_text_bpe_encode),  # the trained merge table APPLIED: per-doc word + BPE-symbol counts (vocabulary-sized encode, one corpus join)
     "text_winnow": (q_text_winnow, sql_text_winnow),  # positional-density variant of text_fingerprint (MOSS winnowing, window-min selection)
     "text_chunks_cdc": (q_text_chunks_cdc, sql_text_chunks_cdc),  # content-defined boundary variant of text_chunks (LBFS rule, shift-robust)
     "rel_region_volume": (q_rel_region_volume, sql_rel_region_volume),  # star-join composition of rel_pricing_summary's cents agg x rel_top_customers' broadcast dims (gated until r5's rotation)

@@ -869,24 +869,11 @@ def sql_doc_profile(sf_dir):
 _BPE_ROUNDS = 3
 
 
-def q_text_bpe(spark, sf_dir):
-    """BPE MERGE-TABLE TRAINING (Sennrich et al. 2016) — the tokenizer-
-    construction step of every LLM data pipeline: start from character
-    symbols, repeatedly count adjacent symbol pairs across the corpus
-    and merge the most frequent one; emit the learned merge table
-    (rank, lhs, rhs, pair_count). Three design moves make this exact,
-    distributed, and cross-engine: (1) training runs on the DISTINCT
-    word table weighted by occurrence counts (vocabulary-sized, the
-    standard BPE trick — the corpus explodes once, ever); (2) the
-    symbol state is a chr(1)-separated string and applying a merge is
-    one `replace` — SQL replace is LEFTMOST NON-OVERLAPPING in both
-    engines, which is exactly BPE's greedy merge semantics (assumes
-    chr(1) never appears in corpus tokens); (3) the winning pair per
-    round is a total order (count desc, lhs, rhs), collected
-    driver-side like the k-means centroids, so the next round's replace
-    is a literal in the expression tree. Each round costs one
-    vocabulary scan + one partial-aggregated pair-count shuffle +
-    a driver top-1; the oracle unrolls the rounds as CTEs."""
+def _bpe_train(spark, sf_dir):
+    """Shared BPE training loop → (final weighted vocab frame with the
+    fully-merged chr(1)-separated `sym` column, merge list). See
+    q_text_bpe for the design rationale; q_text_bpe emits the merge
+    table, q_text_bpe_encode applies the final vocab to the corpus."""
     toks = (_docs(spark, sf_dir)
             .select(F.explode(F.expr(_TOKS_SPARK)).alias("t"))
             .groupBy("t").agg(F.count(F.lit(1)).alias("wc")))
@@ -931,11 +918,60 @@ def q_text_bpe(spark, sf_dir):
                 & ((acc == F.lit(lhs)) | acc.endswith(F.concat(sep, F.lit(lhs)))),
                 F.concat(acc, x)
             ).otherwise(F.concat(acc, sep, x))))
+    return df, merges
+
+
+def q_text_bpe(spark, sf_dir):
+    """BPE MERGE-TABLE TRAINING (Sennrich et al. 2016) — the tokenizer-
+    construction step of every LLM data pipeline: start from character
+    symbols, repeatedly count adjacent symbol pairs across the corpus
+    and merge the most frequent one; emit the learned merge table
+    (rank, lhs, rhs, pair_count). Three design moves make this exact,
+    distributed, and cross-engine: (1) training runs on the DISTINCT
+    word table weighted by occurrence counts (vocabulary-sized, the
+    standard BPE trick — the corpus explodes once, ever); (2) the
+    symbol state is a chr(1)-separated string and applying a merge is
+    one `replace` — SQL replace is LEFTMOST NON-OVERLAPPING in both
+    engines, which is exactly BPE's greedy merge semantics (assumes
+    chr(1) never appears in corpus tokens); (3) the winning pair per
+    round is a total order (count desc, lhs, rhs), collected
+    driver-side like the k-means centroids, so the next round's replace
+    is a literal in the expression tree. Each round costs one
+    vocabulary scan + one partial-aggregated pair-count shuffle +
+    a driver top-1; the oracle unrolls the rounds as CTEs."""
+    _vocab, merges = _bpe_train(spark, sf_dir)
     return spark.createDataFrame(
         merges, "rank long, lhs string, rhs string, pair_count long")
 
 
-def sql_text_bpe(sf_dir):
+def q_text_bpe_encode(spark, sf_dir):
+    """BPE ENCODE — the trained merge table APPLIED to the corpus: per
+    document, the word count and the total BPE symbol count under the
+    learned tokenizer (the number every token-budget packer actually
+    needs; text_pack's whitespace counting is its pre-tokenizer proxy).
+    Shape: encoding happens on the DISTINCT weighted vocabulary (each
+    unique word's merged symbol string is already the training state's
+    final round — zero extra merge work), so the corpus pays exactly one
+    explode + one word-keyed join against the vocabulary-sized symbol
+    table + a per-doc sum; docs with no tokens survive via left join."""
+    vocab, _merges = _bpe_train(spark, sf_dir)
+    wsym = vocab.select(
+        "t", F.size(F.expr("split(sym, chr(1))")).cast("long").alias("ns"))
+    dt = (_docs(spark, sf_dir)
+          .select("doc_id", F.explode(F.expr(_TOKS_SPARK)).alias("t")))
+    enc = (dt.join(wsym, "t")
+           .groupBy("doc_id")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_words"),
+                F.sum("ns").cast("long").alias("n_symbols")))
+    return (_docs(spark, sf_dir).select("doc_id").join(enc, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_words", F.lit(0)).alias("n_words"),
+                    F.coalesce("n_symbols", F.lit(0)).alias("n_symbols")))
+
+
+def _sql_bpe_ctes():
+    """Shared CTE chain for the BPE family: training unrolled round by
+    round. Returns (parts, per-round merge SELECTs, final vocab CTE)."""
     parts = [
         "WITH w AS (SELECT t, count(*) wc FROM (SELECT unnest("
         + _TOKS_DUCK + ") t FROM documents) GROUP BY t), "
@@ -957,16 +993,42 @@ def sql_text_bpe(sf_dir):
             # symbol-list fold, mirroring the Spark side: fuse x onto
             # acc iff x = rhs and acc's trailing WHOLE symbol = lhs —
             # a plain string replace would match lhs across symbol
-            # boundaries (['aa','b'] contains 'a'||chr(1)||'b')
+            # boundaries (['aa','b'] contains 'a'||chr(1)||'b').
+            # LEFT JOIN ON true, not a cross join: on a degenerate
+            # corpus a round can find no pair (m{rank} empty), and the
+            # cross join would erase the vocabulary where the Spark
+            # loop just stops merging — NULL merge keeps sym unchanged
             f"s{rank} AS (SELECT t, wc, "
+            "CASE WHEN m.lhs IS NULL THEN sym ELSE "
             "list_reduce(string_split(sym, chr(1)), (acc, x) -> "
             "CASE WHEN x = m.rhs AND (acc = m.lhs OR "
             "ends_with(acc, chr(1) || m.lhs)) THEN acc || x "
-            f"ELSE acc || chr(1) || x END) sym FROM {prev}, m{rank} m)")
+            f"ELSE acc || chr(1) || x END) END sym "
+            f"FROM {prev} LEFT JOIN m{rank} m ON true)")
         outs.append(f"SELECT {rank}::BIGINT rank, lhs, rhs, "
                     f"cnt::BIGINT pair_count FROM m{rank}")
         prev = f"s{rank}"
+    return parts, outs, prev
+
+
+def sql_text_bpe(sf_dir):
+    parts, outs, _prev = _sql_bpe_ctes()
     return ", ".join(parts) + " " + " UNION ALL ".join(outs)
+
+
+def sql_text_bpe_encode(sf_dir):
+    parts, _outs, prev = _sql_bpe_ctes()
+    return (
+        ", ".join(parts)
+        + f", v AS (SELECT t, len(string_split(sym, chr(1))) ns "
+        f"FROM {prev}), "
+        "dt AS (SELECT doc_id, unnest(" + _TOKS_DUCK + ") t "
+        "FROM documents), "
+        "e AS (SELECT doc_id, count(*) nw, sum(ns) nsym FROM dt "
+        "JOIN v USING (t) GROUP BY doc_id) "
+        "SELECT d.doc_id, COALESCE(e.nw, 0)::BIGINT n_words, "
+        "COALESCE(e.nsym, 0)::BIGINT n_symbols "
+        "FROM documents d LEFT JOIN e USING (doc_id)")
 
 
 def q_text_tfidf(spark, sf_dir):

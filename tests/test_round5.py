@@ -296,3 +296,35 @@ def test_exact_substring_scrub_keeps_first_occurrence(spark, tmp_path):
     oracle = {r[0]: (r[1], r[2], r[3]) for r in
               con.execute(sql_dedup_substr_scrub(sf)).fetchall()}
     assert oracle == got
+
+
+def test_bpe_encode_matches_hand_derivation(spark, tmp_path):
+    """Corpus: 'ab ab ab' / 'abab' x2 / 'b'. Hand derivation (3 rounds):
+    merge1 = (a,b) cnt 3+2+2+2... -> weighted distinct words:
+    'ab' wc3 (pairs (a,b)x1 each -> 3), 'abab' wc2 ((a,b)x2,(b,a)x1 ->
+    (a,b):4, (b,a):2), 'b' wc1. Round1 top = (a,b) cnt 7.
+    After: ab=[ab], abab=[ab,ab], b=[b]. Round2 top = (ab,ab) cnt 2 ->
+    abab=[abab]. Round3: NO pairs left anywhere -> training stops early
+    (the degenerate-round case: Spark breaks, the SQL's LEFT JOIN keeps
+    the vocab). Encode: 'ab ab ab' -> 3 words 3 symbols; 'abab' -> 1
+    word 1 symbol; 'b' -> 1 word 1 symbol."""
+    import duckdb
+
+    from pdftext_spark.queries import (q_text_bpe, q_text_bpe_encode,
+                                       sql_text_bpe, sql_text_bpe_encode)
+
+    texts = ["ab ab ab", "abab", "abab", "b"]
+    sf = _write_docs(tmp_path, texts)
+    merges = {(r["rank"], r["lhs"], r["rhs"], r["pair_count"])
+              for r in q_text_bpe(spark, sf).collect()}
+    assert merges == {(1, "a", "b", 7), (2, "ab", "ab", 2)}
+    got = {r["doc_id"]: (r["n_words"], r["n_symbols"])
+           for r in q_text_bpe_encode(spark, sf).collect()}
+    assert got == {1: (3, 3), 2: (1, 1), 3: (1, 1), 4: (1, 1)}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    assert {tuple(r) for r in con.execute(sql_text_bpe(sf)).fetchall()} \
+        == merges
+    assert {r[0]: (r[1], r[2]) for r in
+            con.execute(sql_text_bpe_encode(sf)).fetchall()} == got
