@@ -378,6 +378,7 @@ from pdftext_spark.registry.pipeline import (  # noqa: F401
     q_events_histogram,
     q_events_outliers,
     q_events_quantiles,
+    q_events_quantiles_sketch,
     q_events_scd2,
     q_events_skew_report,
     q_layout_zorder,
@@ -401,6 +402,7 @@ from pdftext_spark.registry.pipeline import (  # noqa: F401
     sql_events_histogram,
     sql_events_outliers,
     sql_events_quantiles,
+    sql_events_quantiles_sketch,
     sql_events_scd2,
     sql_events_skew_report,
     sql_layout_zorder,
@@ -540,6 +542,7 @@ UNGATED_QUERIES = {
     "text_chunks_cdc": (q_text_chunks_cdc, sql_text_chunks_cdc),  # content-defined boundary variant of text_chunks (LBFS rule, shift-robust)
     "rel_region_volume": (q_rel_region_volume, sql_rel_region_volume),  # star-join composition of rel_pricing_summary's cents agg x rel_top_customers' broadcast dims (gated until r5's rotation)
     "rel_rollup": (q_rel_rollup, sql_rel_rollup),  # grouping-sets composition of the same broadcast-dim join (gated until r5's rotation)
+    "events_quantiles_sketch": (q_events_quantiles_sketch, sql_events_quantiles_sketch),  # mergeable log-bucket quantile sketch: fixed-size per group, counter-addition merge (the HLL/Bloom/CMS family's quantile member)
     "layout_zorder": (q_layout_zorder, sql_layout_zorder),  # composition: emb_quantize's integer quantization x events_window's bucket rollup (Z-order layout extents)
     "dedup_clusters_star": (q_dedup_clusters_star, sql_dedup_clusters),  # large-star/small-star edge-rewriting scale path, same oracle as dedup_clusters
     "dedup_substr_exact": (q_dedup_substr_exact, sql_dedup_substr_exact),  # EXACT Lee-et-al substring intervals: hash-pruned candidates re-verified on true text, per-doc island merge (SA twin in operators/substring.py)

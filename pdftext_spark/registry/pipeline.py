@@ -886,6 +886,81 @@ def q_events_quantiles(spark, sf_dir):
             .agg(F.max("n").cast("long").alias("n_events"), *aggs))
 
 
+_SK_QUANTILES = ((50, "p50"), (95, "p95"), (99, "p99"))
+
+
+def q_events_quantiles_sketch(spark, sf_dir):
+    """MERGEABLE QUANTILE SKETCH per event type — the 10^12-value
+    companion to events_quantiles' exact ranks: each value folds into a
+    power-of-two cents bucket (bucket k covers [2^(k-1), 2^k-1] cents;
+    <= 0 cents is bucket 0), so a group's sketch is <= ~48 ints
+    REGARDLESS of value cardinality, partial-aggregates map-side, and
+    sketches merge by plain counter addition (1000 executors sketch
+    independently; the reduce is elementwise + — pinned in pytest).
+    Quantile q reports its bucket and [lo, hi] cents bounds via the same
+    integer rank rule as the exact form (k_q = (n-1)*q div 100 + 1), a
+    <= 2x relative-error envelope by construction. Bucketing is
+    INTEGER-exact cross-engine: bit-length of the cents value
+    (length(bin(v)) / length(to_base(v, 2))), never float log2, which
+    straddles a ulp at exact powers of two."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    vc = "cast(round(value * 100) as long)"
+    b = ev.select("event_type", F.expr(
+        f"CASE WHEN {vc} <= 0 THEN 0 "
+        f"ELSE length(bin({vc})) END").cast("long").alias("bucket"))
+    sk = b.groupBy("event_type", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    wc = (Window.partitionBy("event_type").orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    wt = Window.partitionBy("event_type")
+    c = (sk.withColumn("cum", F.sum("cnt").over(wc))
+         .withColumn("n", F.sum("cnt").over(wt)))
+    aggs = [F.min(F.when(
+        F.col("cum") >= F.expr(f"(n - 1) * {p} div 100 + 1"),
+        F.col("bucket"))).alias(f"{name}_bucket")
+        for p, name in _SK_QUANTILES]
+    g = c.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_events"), *aggs)
+    outs = [F.col("event_type"), F.col("n_events")]
+    for _p, name in _SK_QUANTILES:
+        bk = f"{name}_bucket"
+        outs += [
+            F.col(bk).cast("long").alias(bk),
+            F.expr(f"CASE WHEN {bk} = 0 THEN 0L ELSE "
+                   f"shiftleft(1L, cast({bk} as int) - 1) END")
+            .alias(f"{name}_lo_cents"),
+            F.expr(f"CASE WHEN {bk} = 0 THEN 0L ELSE "
+                   f"shiftleft(1L, cast({bk} as int)) - 1L END")
+            .alias(f"{name}_hi_cents")]
+    return g.select(*outs)
+
+
+def sql_events_quantiles_sketch(sf_dir):
+    vc = "round(value * 100)::BIGINT"
+    picks = ", ".join(
+        f"min(CASE WHEN cum >= (n - 1) * {p} // 100 + 1 THEN bucket END) "
+        f"{name}_bucket" for p, name in _SK_QUANTILES)
+    outs = ", ".join(
+        f"{name}_bucket::BIGINT {name}_bucket, "
+        f"(CASE WHEN {name}_bucket = 0 THEN 0 ELSE "
+        f"1::BIGINT << ({name}_bucket::INT - 1) END)::BIGINT "
+        f"{name}_lo_cents, "
+        f"(CASE WHEN {name}_bucket = 0 THEN 0 ELSE "
+        f"(1::BIGINT << {name}_bucket::INT) - 1 END)::BIGINT "
+        f"{name}_hi_cents" for _p, name in _SK_QUANTILES)
+    return (
+        f"WITH b AS (SELECT event_type, CASE WHEN {vc} <= 0 THEN 0 "
+        f"ELSE length(to_base({vc}, 2)) END bucket FROM events), "
+        "sk AS (SELECT event_type, bucket, count(*) cnt FROM b "
+        "GROUP BY 1, 2), "
+        "c AS (SELECT event_type, bucket, cnt, "
+        "sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket "
+        "ROWS UNBOUNDED PRECEDING) cum, "
+        "sum(cnt) OVER (PARTITION BY event_type) n FROM sk), "
+        f"g AS (SELECT event_type, max(n)::BIGINT n_events, {picks} "
+        "FROM c GROUP BY event_type) "
+        f"SELECT event_type, n_events, {outs} FROM g")
+
+
 def sql_events_quantiles(sf_dir):
     picks = ", ".join(
         f"min(CASE WHEN cum >= (n - 1) * {p} // 100 + 1 "

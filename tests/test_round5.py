@@ -328,3 +328,55 @@ def test_bpe_encode_matches_hand_derivation(spark, tmp_path):
         == merges
     assert {r[0]: (r[1], r[2]) for r in
             con.execute(sql_text_bpe_encode(sf)).fetchall()} == got
+
+
+def test_quantile_sketch_merges_and_bounds_exact_quantiles(spark):
+    """Sketch properties on the sf0.001 events: (1) MERGEABILITY — the
+    sketch of the union equals the elementwise sum of per-half sketches
+    (the 1000-executors-sketch-independently property); (2) ENVELOPE —
+    each reported [lo, hi] cents range contains the exact quantile from
+    events_quantiles for positive-cents quantiles (bucket 0 collapses
+    the non-positive tail by design)."""
+    from pyspark.sql import functions as F
+
+    from pdftext_spark.queries import (q_events_quantiles,
+                                       q_events_quantiles_sketch)
+
+    sf = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    vc = "cast(round(value * 100) as long)"
+    bexpr = (f"CASE WHEN {vc} <= 0 THEN 0 ELSE length(bin({vc})) END")
+
+    def sketch(df):
+        rows = (df.select("event_type", F.expr(bexpr).alias("b"))
+                .groupBy("event_type", "b").count().collect())
+        return {(r["event_type"], r["b"]): r["count"] for r in rows}
+
+    whole = sketch(ev)
+    h1 = sketch(ev.where("event_id % 2 = 0"))
+    h2 = sketch(ev.where("event_id % 2 = 1"))
+    merged = dict(h1)
+    for k, v in h2.items():
+        merged[k] = merged.get(k, 0) + v
+    assert merged == whole
+
+    sk = {r["event_type"]: r for r in
+          q_events_quantiles_sketch(spark, sf).collect()}
+    exact = {r["event_type"]: r for r in
+             q_events_quantiles(spark, sf).collect()}
+    assert set(sk) == set(exact)
+    checked = 0
+    for et, srow in sk.items():
+        erow = exact[et].asDict()
+        assert srow["n_events"] == erow["n_events"]
+        # exact form emits p50/p90/p99; the shared names are checked
+        for name in ("p50", "p95", "p99"):
+            ex = erow.get(name)
+            if ex is None:
+                continue
+            ex_cents = round(ex * 100)
+            if srow[f"{name}_bucket"] > 0 and ex_cents > 0:
+                assert srow[f"{name}_lo_cents"] <= ex_cents \
+                    <= srow[f"{name}_hi_cents"], (et, name)
+                checked += 1
+    assert checked > 0
