@@ -368,3 +368,18 @@ def test_substr_exact_broadcasts_candidates_no_cartesian(spark):
         assert "CartesianProduct" not in p, name
         assert "BroadcastNestedLoopJoin" not in p, name
         assert "BroadcastHashJoin" in p, name
+
+
+def test_quantile_sketch_windows_ride_preaggregated_rows(spark):
+    """The sketch's rank windows must run over the (event_type, bucket)
+    pre-aggregate, never the raw event rows: <= 2 data shuffles total
+    (the groupBy + the window's repartition, which AQE may fuse)."""
+    p = _plan(spark, "events_quantiles_sketch")
+    assert _shuffles(p) <= 2
+    assert "partial_count" in p  # map-side combine before the shuffle
+
+
+def test_bpe_encode_no_cartesian(spark):
+    p = _plan(spark, "text_bpe_encode")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
