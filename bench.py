@@ -92,8 +92,23 @@ class _ProbeServer:
             cmd, stdin=subprocess.PIPE, stdout=subprocess.PIPE,
             stderr=subprocess.PIPE, text=True, cwd=here, bufsize=1)
 
-    def _read_json(self):
+    def _read_json(self, timeout_s: float = 900.0):
+        import select
+        import time as _t
+        deadline = _t.time() + timeout_s
         while True:
+            # select-gate the readline so a hung JVM fails the bench
+            # with a diagnosis instead of eating the whole round budget
+            remaining = deadline - _t.time()
+            if remaining <= 0:
+                self.proc.kill()
+                raise RuntimeError(
+                    f"scale_probe cores={self.cores} produced no output "
+                    f"for {timeout_s:.0f}s; killed")
+            ready, _, _ = select.select([self.proc.stdout], [], [],
+                                        min(remaining, 30.0))
+            if not ready:
+                continue
             line = self.proc.stdout.readline()
             if not line:
                 err = self.proc.stderr.read()[-2000:]
