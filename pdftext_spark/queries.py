@@ -470,17 +470,20 @@ GATED_QUERIES = {
     "sample_hash": (q_sample_hash, sql_sample_hash),
     "source_stats": (q_source_stats, sql_source_stats),
     "text_pack": (q_text_pack, sql_text_pack),
-    "text_topterms": (q_text_topterms, sql_text_topterms),
+    # r5 rotation: tfidf-stats composition ceded its row to text_bpe_encode
+    "text_bpe_encode": (q_text_bpe_encode, sql_text_bpe_encode),
     "contamination": (q_contamination, sql_contamination),
     "curate_corpus": (q_curate_corpus, sql_curate_corpus),
     # similarity search
     "ann_bruteforce": (q_ann_bruteforce, sql_ann_bruteforce),
     "ann_ivf_probe": (q_ann_ivf_probe, sql_ann_ivf_probe),
-    "ann_ivf_kmeans": (q_ann_ivf_kmeans, sql_ann_ivf_kmeans),
+    # r5 rotation: k-means-refined IVF variant ceded its row to dedup_substr_exact (ann_ivf_probe stays gated)
+    "dedup_substr_exact": (q_dedup_substr_exact, sql_dedup_substr_exact),
     "emb_quantize": (q_emb_quantize, sql_emb_quantize),
     # multimodal
     "mm_metadata": (q_mm_metadata, sql_mm_metadata),
-    "mm_frame_sample": (q_mm_frame_sample, sql_mm_frame_sample),
+    # r5 rotation: mm_metadata composition ceded its row to events_quantiles_sketch
+    "events_quantiles_sketch": (q_events_quantiles_sketch, sql_events_quantiles_sketch),
     # relational / stream analytics
     "rel_pricing_summary": (q_rel_pricing_summary, sql_rel_pricing_summary),
     "rel_top_customers": (q_rel_top_customers, sql_rel_top_customers),
@@ -537,15 +540,15 @@ UNGATED_QUERIES = {
     "dedup_embedding": (q_dedup_embedding, sql_dedup_embedding),  # all-pairs baseline of dedup_embedding_lsh
     "dedup_semantic": (q_dedup_semantic, sql_dedup_semantic),  # composition: ann_ivf's cluster assignment x dedup_embedding's cosine verify (SemDeDup)
     "text_bm25": (q_text_bm25, sql_text_bm25),  # composition: text_tfidf's tf/df stats x ann's window top-k, saturation weights as driver literals
-    "text_bpe_encode": (q_text_bpe_encode, sql_text_bpe_encode),  # the trained merge table APPLIED: per-doc word + BPE-symbol counts (vocabulary-sized encode, one corpus join)
+    "text_topterms": (q_text_topterms, sql_text_topterms),  # gated until the r5 rotation: composition of text_tfidf's stats x partial top-k
+    "ann_ivf_kmeans": (q_ann_ivf_kmeans, sql_ann_ivf_kmeans),  # gated until the r5 rotation: k-means-refined variant of the still-gated ann_ivf_probe
+    "mm_frame_sample": (q_mm_frame_sample, sql_mm_frame_sample),  # gated until the r5 rotation: composition of mm_metadata's header parse x frame stride
     "text_winnow": (q_text_winnow, sql_text_winnow),  # positional-density variant of text_fingerprint (MOSS winnowing, window-min selection)
     "text_chunks_cdc": (q_text_chunks_cdc, sql_text_chunks_cdc),  # content-defined boundary variant of text_chunks (LBFS rule, shift-robust)
     "rel_region_volume": (q_rel_region_volume, sql_rel_region_volume),  # star-join composition of rel_pricing_summary's cents agg x rel_top_customers' broadcast dims (gated until r5's rotation)
     "rel_rollup": (q_rel_rollup, sql_rel_rollup),  # grouping-sets composition of the same broadcast-dim join (gated until r5's rotation)
-    "events_quantiles_sketch": (q_events_quantiles_sketch, sql_events_quantiles_sketch),  # mergeable log-bucket quantile sketch: fixed-size per group, counter-addition merge (the HLL/Bloom/CMS family's quantile member)
     "layout_zorder": (q_layout_zorder, sql_layout_zorder),  # composition: emb_quantize's integer quantization x events_window's bucket rollup (Z-order layout extents)
     "dedup_clusters_star": (q_dedup_clusters_star, sql_dedup_clusters),  # large-star/small-star edge-rewriting scale path, same oracle as dedup_clusters
-    "dedup_substr_exact": (q_dedup_substr_exact, sql_dedup_substr_exact),  # EXACT Lee-et-al substring intervals: hash-pruned candidates re-verified on true text, per-doc island merge (SA twin in operators/substring.py)
     "dedup_substr_scrub": (q_dedup_substr_scrub, sql_dedup_substr_scrub),  # the exact intervals APPLIED: globally-first occurrence survives, every other occurrence's tokens scrubbed (dedup_scrub plan shape, exactness instead of md5-trust)
     "mm_phash": (q_mm_phash, sql_mm_phash),  # composition: mm_metadata's container parse x emb_quantize's exact integer reduce (perceptual aHash)
     "mm_neardup": (q_mm_neardup, sql_mm_neardup),  # composition: mm_phash x dedup_minhash_lsh's band-join (Hamming LSH, exact-complete at d<=7)

@@ -48,7 +48,12 @@ def test_driver_gate_covers_every_unique_query():
                  "ann_bruteforce", "ann_ivf_probe",
                  # round-5 rotation: SCD2 + CDC MERGE gained the rows
                  # freed by the rel_* compositions
-                 "events_scd2", "snapshot_merge"):
+                 "events_scd2", "snapshot_merge",
+                 # round-5 rotation, second slice: the three new
+                 # novel-semantics operators displaced compositions
+                 # whose constituents stay gated
+                 "dedup_substr_exact", "text_bpe_encode",
+                 "events_quantiles_sketch"):
         assert must in gated, must
 
 
