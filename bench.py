@@ -80,7 +80,10 @@ class _ProbeServer:
 
     def __init__(self, cores: int, first_core: int, path: str,
                  have_taskset: bool):
+        import queue
         import subprocess
+        import tempfile
+        import threading
         here = os.path.dirname(os.path.abspath(__file__))
         probe = os.path.join(here, "scripts", "scale_probe.py")
         cmd = [sys.executable, probe, "--serve", str(cores), path]
@@ -88,32 +91,57 @@ class _ProbeServer:
             cmd = ["taskset", "-c",
                    f"{first_core}-{first_core + cores - 1}"] + cmd
         self.cores = cores
+        # stderr goes to a FILE, not a pipe: a Spark JVM writes WARN +
+        # stage-progress noise there, and an undrained 64 KB pipe would
+        # block the JVM's log appender mid-rep (deadlock). The file is
+        # only read back as a tail on failure.
+        self._errf = tempfile.NamedTemporaryFile(
+            mode="w+", suffix=f"-probe{cores}.err", delete=False)
         self.proc = subprocess.Popen(
             cmd, stdin=subprocess.PIPE, stdout=subprocess.PIPE,
-            stderr=subprocess.PIPE, text=True, cwd=here, bufsize=1)
+            stderr=self._errf, text=True, cwd=here, bufsize=1)
+        # a reader THREAD drains stdout into a queue: selecting on a
+        # buffered text stream is wrong (a non-JSON line coalesced into
+        # the same read leaves the JSON stranded in Python's buffer
+        # while select blocks on the drained fd)
+        self._lines: queue.Queue = queue.Queue()
+
+        def _pump():
+            for ln in self.proc.stdout:
+                self._lines.put(ln)
+            self._lines.put(None)  # EOF sentinel
+
+        self._reader = threading.Thread(target=_pump, daemon=True)
+        self._reader.start()
+
+    def _err_tail(self):
+        try:
+            self._errf.flush()
+            with open(self._errf.name) as f:
+                return f.read()[-2000:]
+        except Exception:
+            return "<stderr unavailable>"
 
     def _read_json(self, timeout_s: float = 900.0):
-        import select
+        import queue
         import time as _t
         deadline = _t.time() + timeout_s
         while True:
-            # select-gate the readline so a hung JVM fails the bench
-            # with a diagnosis instead of eating the whole round budget
             remaining = deadline - _t.time()
             if remaining <= 0:
                 self.proc.kill()
                 raise RuntimeError(
                     f"scale_probe cores={self.cores} produced no output "
-                    f"for {timeout_s:.0f}s; killed")
-            ready, _, _ = select.select([self.proc.stdout], [], [],
-                                        min(remaining, 30.0))
-            if not ready:
+                    f"for {timeout_s:.0f}s; killed. stderr tail: "
+                    f"{self._err_tail()}")
+            try:
+                line = self._lines.get(timeout=min(remaining, 30.0))
+            except queue.Empty:
                 continue
-            line = self.proc.stdout.readline()
-            if not line:
-                err = self.proc.stderr.read()[-2000:]
+            if line is None:
                 raise RuntimeError(
-                    f"scale_probe cores={self.cores} died; stderr: {err}")
+                    f"scale_probe cores={self.cores} died; stderr: "
+                    f"{self._err_tail()}")
             line = line.strip()
             if line.startswith("{"):
                 return json.loads(line)
@@ -135,6 +163,11 @@ class _ProbeServer:
             self.proc.wait(timeout=60)
         except Exception:
             self.proc.kill()
+        try:
+            self._errf.close()
+            os.unlink(self._errf.name)
+        except Exception:
+            pass
 
 
 def run_scaling(path) -> dict | None:

@@ -222,8 +222,13 @@ def plain_text_variants(transcripts: DataFrame,
 
     from pyspark.sql import types as T
 
+    # sort/hyphens reset explicitly: the three output columns are
+    # DEFINED as (default render, sorted, keep-hyphens) regardless of
+    # the caller's flags — without the reset, cfg.sort=True would make
+    # the `text` column silently equal text_sorted
     cfg = dataclasses.replace(cfg, emit_struct=False, emit_tables=False,
-                              disable_links=True, emit_plain=True)
+                              disable_links=True, emit_plain=True,
+                              sort=False, hyphens=False)
     schema = T.StructType([
         T.StructField("conv_id", T.StringType()),
         T.StructField("turn_idx", T.IntegerType()),

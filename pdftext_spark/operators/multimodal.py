@@ -33,12 +33,18 @@ DECODED_SCHEMA = T.StructType([
 ])
 
 
+# one definition of the synthetic IMG1 header, shared by both attach
+# helpers so the mixed-corpus fixture can never drift from the pure one
+_IMG1_HEADER_EXPR = (
+    "concat('IMG1;W=', cast(64 + doc_id % 192 as string), ';H=', "
+    "cast(48 + doc_id % 144 as string), ';F=', "
+    "cast(1 + doc_id % 30 as string), ';')")
+
+
 def attach_synthetic_media(docs: DataFrame) -> DataFrame:
     """Deterministic fake media column: ASCII header + the doc text bytes."""
-    header = ("concat('IMG1;W=', cast(64 + doc_id % 192 as string), ';H=', "
-              "cast(48 + doc_id % 144 as string), ';F=', "
-              "cast(1 + doc_id % 30 as string), ';')")
-    return docs.withColumn("media", F.expr(f"cast(concat({header}, text) as binary)"))
+    return docs.withColumn("media", F.expr(
+        f"cast(concat({_IMG1_HEADER_EXPR}, text) as binary)"))
 
 
 def decode_media(payload: bytes) -> tuple:
@@ -57,14 +63,7 @@ def decode_media(payload: bytes) -> tuple:
             "available in this environment; only synthetic IMG1 payloads "
             "are decodable")
     w, h, fr = (int(m.group(i)) for i in (1, 2, 3))
-    body = np.frombuffer(payload[m.end():], dtype=np.uint8)
-    if len(body) == 0:
-        feat = np.zeros(FEATURE_DIM, dtype=np.float32)
-    else:
-        pad = (-len(body)) % FEATURE_DIM
-        buckets = np.pad(body, (0, pad)).reshape(FEATURE_DIM, -1)
-        feat = buckets.mean(axis=1, dtype=np.float64).astype(np.float32)
-    return w, h, fr, feat
+    return w, h, fr, _byte_features(payload[m.end():])
 
 
 def decode_media_df(media_df: DataFrame) -> DataFrame:
@@ -143,9 +142,7 @@ def attach_synthetic_mixed_media(docs: DataFrame) -> DataFrame:
     a REAL container magic (PNG, 3) that must hit the stub seam — the
     shape a crawl-derived media column actually has (mostly decodable,
     a tail of formats the fleet's decoder build doesn't handle)."""
-    img = ("concat('IMG1;W=', cast(64 + doc_id % 192 as string), ';H=', "
-           "cast(48 + doc_id % 144 as string), ';F=', "
-           "cast(1 + doc_id % 30 as string), ';', text)")
+    img = f"concat({_IMG1_HEADER_EXPR}, text)"
     aud = ("concat('AUD1;SR=', cast(8000 + (doc_id % 3) * 8000 as string), "
            "';CH=', cast(1 + doc_id % 2 as string), ';', text)")
     png = "concat(unhex('89504E470D0A1A0A'), cast(text as binary))"

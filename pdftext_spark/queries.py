@@ -563,7 +563,7 @@ UNGATED_QUERIES = {
     "doc_profile": (q_doc_profile, sql_doc_profile),  # ANALYZE-style per-column profile; column-pruned scan branches
     "events_outliers": (q_events_outliers, sql_events_outliers),  # z-score anomalies via broadcast-back stats (no per-type window shuffle)
     "ann_pq": (q_ann_pq, sql_ann_pq),  # product-quantization codebooks + codes; ann_ivf_kmeans machinery per subspace (spherical/angular PQ)
-    "text_bpe": (q_text_bpe, sql_text_bpe),  # BPE merge-table training on the weighted distinct-word table; greedy merge via leftmost-replace
+    "text_bpe": (q_text_bpe, sql_text_bpe),  # BPE merge-table training on the weighted distinct-word table; merges apply as symbol-list folds (boundary-safe, r4 ADVICE fix)
     "ann_pq_adc": (q_ann_pq_adc, sql_ann_pq_adc),  # asymmetric-distance search over PQ codes (8 lookups per candidate, exact int64 rank key)
     "events_skew_report": (q_events_skew_report, sql_events_skew_report),  # key-skew diagnostics + salt-factor hint (planner utility, partial top-k)
     "events_histogram": (q_events_histogram, sql_events_histogram),  # equi-depth optimizer histogram by exact rank selection (events_quantiles family)

@@ -105,6 +105,42 @@ def sql_dedup_passages(sf_dir):
         "HAVING count(DISTINCT doc_id) >= 2")
 
 
+def _scrub_apply(d_all: "DataFrame", cov: "DataFrame") -> "DataFrame":
+    """Shared mask-apply tail of the scrub family: given the corpus
+    (doc_id, toks) and one int-array coverage mask per dirty doc,
+    remove covered tokens and re-join — one doc_id-keyed join, the
+    filter/rejoin in the expression tree. Used by dedup_scrub (md5
+    windowed-hash coverage) and dedup_substr_scrub (exact coverage)."""
+    kept = F.expr(
+        "filter(transform(toks, (t, i) -> struct(t AS t, i + 1 AS j)), "
+        "s -> NOT array_contains(cov, s.j))")
+    return (d_all.join(cov, "doc_id", "left")
+            .withColumn("cov", F.coalesce(
+                F.col("cov"), F.expr("CAST(array() AS array<int>)")))
+            .withColumn("kept", kept)
+            .select("doc_id",
+                    F.size("toks").cast("long").alias("n_tokens"),
+                    F.size("kept").cast("long").alias("n_tokens_kept"),
+                    F.expr("concat_ws(' ', transform(kept, s -> s.t))")
+                    .alias("text_scrubbed")))
+
+
+# SQL twin of _scrub_apply: expects CTEs `t` (doc_id, toks) and `cov`
+# (doc_id, j) to be defined by the caller's prefix
+_SQL_SCRUB_TAIL = (
+    "tok AS (SELECT doc_id, j, toks[j] tok "
+    "FROM t, unnest(range(1, len(toks)+1)) u(j)), "
+    "kept AS (SELECT tok.doc_id, tok.j, tok.tok FROM tok "
+    "LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.j = cov.j "
+    "WHERE cov.j IS NULL), "
+    "k AS (SELECT doc_id, count(*) n_kept, "
+    "string_agg(tok, ' ' ORDER BY j) txt FROM kept GROUP BY doc_id) "
+    "SELECT t.doc_id, len(t.toks)::BIGINT n_tokens, "
+    "COALESCE(k.n_kept, 0)::BIGINT n_tokens_kept, "
+    "COALESCE(k.txt, '') text_scrubbed "
+    "FROM t LEFT JOIN k USING (doc_id)")
+
+
 def q_dedup_scrub(spark, sf_dir):
     """Repeated-passage SCRUB materialization — dedup_passages' findings
     actually applied to the text (the removal step of Lee et al. 2022):
@@ -139,18 +175,7 @@ def q_dedup_scrub(spark, sf_dir):
                    F.explode(F.expr(f"sequence(pos, pos + {w - 1})"))
                    .alias("j"))
            .groupBy("doc_id").agg(F.collect_set("j").alias("cov")))
-    kept = F.expr(
-        "filter(transform(toks, (t, i) -> struct(t AS t, i + 1 AS j)), "
-        "s -> NOT array_contains(cov, s.j))")
-    return (d.join(cov, "doc_id", "left")
-            .withColumn("cov", F.coalesce(
-                F.col("cov"), F.expr("CAST(array() AS array<int>)")))
-            .withColumn("kept", kept)
-            .select("doc_id",
-                    F.size("toks").cast("long").alias("n_tokens"),
-                    F.size("kept").cast("long").alias("n_tokens_kept"),
-                    F.expr("concat_ws(' ', transform(kept, s -> s.t))")
-                    .alias("text_scrubbed")))
+    return _scrub_apply(d, cov)
 
 
 def sql_dedup_scrub(sf_dir):
@@ -165,17 +190,7 @@ def sql_dedup_scrub(sf_dir):
         f"cov AS (SELECT DISTINCT p.doc_id, u.j "
         f"FROM p JOIN rep USING (ph), unnest(range(p.i, p.i+{w})) u(j) "
         "WHERE p.doc_id <> rep.owner_id), "
-        "tok AS (SELECT doc_id, j, toks[j] tok "
-        "FROM t, unnest(range(1, len(toks)+1)) u(j)), "
-        "kept AS (SELECT tok.doc_id, tok.j, tok.tok FROM tok "
-        "LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.j = cov.j "
-        "WHERE cov.j IS NULL), "
-        "k AS (SELECT doc_id, count(*) n_kept, "
-        "string_agg(tok, ' ' ORDER BY j) txt FROM kept GROUP BY doc_id) "
-        "SELECT t.doc_id, len(t.toks)::BIGINT n_tokens, "
-        "COALESCE(k.n_kept, 0)::BIGINT n_tokens_kept, "
-        "COALESCE(k.txt, '') text_scrubbed "
-        "FROM t LEFT JOIN k USING (doc_id)")
+        + _SQL_SCRUB_TAIL)
 
 
 def _substr_ver(spark, sf_dir, w):
@@ -289,18 +304,7 @@ def q_dedup_substr_scrub(spark, sf_dir):
                "doc_id",
                F.explode(F.expr(f"sequence(pos, pos + {w - 1})")).alias("j"))
            .groupBy("doc_id").agg(F.collect_set("j").alias("cov")))
-    kept = F.expr(
-        "filter(transform(toks, (t, i) -> struct(t AS t, i + 1 AS j)), "
-        "s -> NOT array_contains(cov, s.j))")
-    return (d_all.join(cov, "doc_id", "left")
-            .withColumn("cov", F.coalesce(
-                F.col("cov"), F.expr("CAST(array() AS array<int>)")))
-            .withColumn("kept", kept)
-            .select("doc_id",
-                    F.size("toks").cast("long").alias("n_tokens"),
-                    F.size("kept").cast("long").alias("n_tokens_kept"),
-                    F.expr("concat_ws(' ', transform(kept, s -> s.t))")
-                    .alias("text_scrubbed")))
+    return _scrub_apply(d_all, cov)
 
 
 def sql_dedup_substr_scrub(sf_dir):
@@ -315,17 +319,7 @@ def sql_dedup_substr_scrub(sf_dir):
         "ORDER BY doc_id, pos) rn FROM p), "
         f"cov AS (SELECT DISTINCT r.doc_id, u.j "
         f"FROM r, unnest(range(pos, pos+{w})) u(j) WHERE rn >= 2), "
-        "tok AS (SELECT doc_id, j, toks[j] tok "
-        "FROM t, unnest(range(1, len(toks)+1)) u(j)), "
-        "kept AS (SELECT tok.doc_id, tok.j, tok.tok FROM tok "
-        "LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.j = cov.j "
-        "WHERE cov.j IS NULL), "
-        "k AS (SELECT doc_id, count(*) n_kept, "
-        "string_agg(tok, ' ' ORDER BY j) txt FROM kept GROUP BY doc_id) "
-        "SELECT t.doc_id, len(t.toks)::BIGINT n_tokens, "
-        "COALESCE(k.n_kept, 0)::BIGINT n_tokens_kept, "
-        "COALESCE(k.txt, '') text_scrubbed "
-        "FROM t LEFT JOIN k USING (doc_id)")
+        + _SQL_SCRUB_TAIL)
 
 
 def q_sample_hash(spark, sf_dir):

@@ -403,6 +403,12 @@ def q_events_funnel(spark, sf_dir, chunked: bool = False):
     advanced past it. Worst-case bot cost drops from O(user history)
     on one task to O(events per user-day)."""
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    # NULL-ts events can never be a stage time under the chained-min
+    # semantics (min skips NULL; 'ts > prev' on NULL is NULL) — but the
+    # greedy fold's ENTRY arm has no prev-time comparison to reject
+    # them, so a NULL-ts entry event would be consumed, store ts=NULL,
+    # and poison every later 'e.ts > NULL' check. Drop them up front.
+    ev = ev.where(F.col("ts").isNotNull())
     n_st = len(_FUNNEL_STAGES)
     stages_arr = "array(" + ", ".join(
         f"'{s}'" for s in _FUNNEL_STAGES) + ")"

@@ -930,13 +930,18 @@ def q_text_bpe(spark, sf_dir):
     distributed, and cross-engine: (1) training runs on the DISTINCT
     word table weighted by occurrence counts (vocabulary-sized, the
     standard BPE trick — the corpus explodes once, ever); (2) the
-    symbol state is a chr(1)-separated string and applying a merge is
-    one `replace` — SQL replace is LEFTMOST NON-OVERLAPPING in both
-    engines, which is exactly BPE's greedy merge semantics (assumes
-    chr(1) never appears in corpus tokens); (3) the winning pair per
-    round is a total order (count desc, lhs, rhs), collected
-    driver-side like the k-means centroids, so the next round's replace
-    is a literal in the expression tree. Each round costs one
+    symbol state is a chr(1)-separated string and a merge applies as a
+    LEFT FOLD over the split symbol list, fusing x onto the accumulator
+    iff x = rhs and the accumulator's trailing WHOLE symbol = lhs —
+    never a string replace, which matches lhs across symbol boundaries
+    (['aa','b'] contains 'a'||chr(1)||'b', so a learned (a,b) merge
+    would wrongly fuse (aa,b); pinned by the round-5 boundary test);
+    greedy leftmost non-overlap falls out because a just-fused tail is
+    lhs||rhs, never lhs again (assumes chr(1) never appears in corpus
+    tokens); (3) the winning pair per round is a total order (count
+    desc, lhs, rhs), collected driver-side like the k-means centroids,
+    so the next round's fold literals live in the expression tree.
+    Each round costs one
     vocabulary scan + one partial-aggregated pair-count shuffle +
     a driver top-1; the oracle unrolls the rounds as CTEs."""
     _vocab, merges = _bpe_train(spark, sf_dir)

@@ -45,14 +45,17 @@ def main():
             print(json.dumps({"query": name, "err": str(e)[:200]}),
                   flush=True)
     spark.stop()
+    timed = {k: v for k, v in results.items() if v is not None}
+    errored = sorted(k for k in results if results[k] is None)
     print("\n| query | sec |\n|---|---|")
-    for name, dt in sorted(results.items(),
-                           key=lambda kv: -(kv[1] or 9e9)):
+    for name in errored:
+        print(f"| {name} | ERROR |")
+    for name, dt in sorted(timed.items(), key=lambda kv: -kv[1]):
         print(f"| {name} | {dt} |")
     print(json.dumps({"metric": "ungated tail latency", "sf": sf_dir,
                       "cores": cores, "queries": results,
-                      "total_sec": round(sum(v for v in results.values()
-                                             if v), 1)}))
+                      "errors": errored,
+                      "total_sec": round(sum(timed.values()), 1)}))
 
 
 if __name__ == "__main__":

@@ -128,6 +128,13 @@ def test_plain_text_variants_one_pass_matches_single_mode(spark):
         assert set(ref) == set(got)
         for k, v in ref.items():
             assert got[k][pos] == v, (k, pos)
+    # the caller's render flags must NOT leak into the folded columns:
+    # the contract defines them as (default, sorted, keep-hyphens)
+    got_flagged = {(r["conv_id"], r["turn_idx"]):
+                   (r["text"], r["text_sorted"], r["text_keephyphens"])
+                   for r in plain_text_variants(
+                       src, ExtractConfig(sort=True, hyphens=True)).collect()}
+    assert got_flagged == got
 
 
 def test_skew_probe_recommends_salt_and_plan_shows_salted_exchange(spark):
