@@ -109,127 +109,152 @@ def _self_close(attrs: str) -> bool:
     return True
 
 
-def _build_tree(html: str) -> _Node:
+def _fold(node: _Node, parent: _Node) -> None:
+    """Accumulate a closing node's subtree stats into its parent —
+    boilerplate subtrees contribute nothing to any ancestor; text under
+    an <a> (boilerplate excluded) is link text; p counts direct children
+    only. Folding each node exactly once at close time replaces the old
+    whole-tree _fill_stats pass (verified equal on the fixture corpus)."""
+    tag = node.tag
+    if tag not in BOILERPLATE_TAGS:
+        parent.text += node.text
+        parent.link += node.text if tag == "a" else node.link
+        if tag == "p":
+            parent.p += 1
+
+
+def _build_tree_stats(html: str) -> tuple[_Node, list[_Node]]:
+    """One finditer-driven pass building the tree, the per-node subtree
+    stats AND the candidate list (in document pre-order = start-tag
+    order). Every token position is matched by some alternative of
+    _TOKEN_RE, so a finditer walk yields exactly the token sequence of
+    the old match-at-pos loop while skipping two Python calls per token;
+    the only absolute jumps (raw-text close scans) restart the iterator.
+    A strip-subtree skip is a mode (strip_depth > 0) of the same loop so
+    it survives those restarts."""
     root = _Node("#root", None)
     cur = root
+    cands: list[_Node] = []
     pos = 0
     n = len(html)
     lower = None  # lazily-lowered copy for raw-text close scans
-    while pos < n:
-        m = _TOKEN_RE.match(html, pos)
-        if m is None:
-            break
-        pos = m.end()
-        # dispatch on lastindex: 1 = end tag, 4 = start tag (groups 3/4
-        # always participate), 5 = text, None = comment/doctype/PI/stray '<'
-        li = m.lastindex
-        if li == 5:
-            text = m.group(5)
-            if "&" in text:
-                text = unescape(text)
-            cur.children.append(text)
-            continue
-        if li == 4:
-            start_tag = m.group(2)
-            # the greedy attribute group absorbs a trailing '/', so the
-            # explicit (/?) group never fires; _self_close decides whether
-            # that trailing '/' is a solidus or unquoted-value data
-            self_close = bool(m.group(4)) or _self_close(m.group(3))
-            tag = start_tag.lower()
-            if tag in _RAWTEXT:
-                # swallow raw content up to the matching close tag
-                if lower is None:
-                    lower = html.lower()
-                close = lower.find("</" + tag, pos)
-                raw = html[pos:close if close != -1 else n]
-                pos = n if close == -1 else lower.find(">", close) + 1 or n
-                if tag not in STRIP_TAGS:
-                    node = _Node(tag, cur)
-                    if raw:
-                        node.children.append(raw)
-                    cur.children.append(node)
-                continue
-            if tag in STRIP_TAGS:
-                # skip the whole subtree by depth counting; raw-text
-                # children (a <script> inside <head>) are swallowed so '<'
-                # inside them can't unbalance the count
-                depth = 1
-                while pos < n and depth:
-                    m2 = _TOKEN_RE.match(html, pos)
-                    if m2 is None:
+    strip_depth = 0
+    restart = True
+    while restart:
+        restart = False
+        for m in _TOKEN_RE.finditer(html, pos):
+            # dispatch on lastindex: 1 = end tag, 4 = start tag (groups
+            # 3/4 always participate), 5 = text, None = comment/doctype/
+            # PI/stray '<'
+            li = m.lastindex
+            if strip_depth:
+                # skip the whole boilerplate subtree by depth counting;
+                # raw-text children (a <script> inside <head>) are
+                # swallowed so '<' inside them can't unbalance the count
+                if li == 4:
+                    t2 = m.group(2).lower()
+                    e2 = m.end()
+                    sc2 = (html[e2 - 2] == "/"
+                           and (bool(m.group(4)) or _self_close(m.group(3))))
+                    if t2 in _RAWTEXT and not sc2:
+                        if lower is None:
+                            lower = html.lower()
+                        close = lower.find("</" + t2, e2)
+                        pos = n if close == -1 else (lower.find(">", close) + 1 or n)
+                        restart = True
                         break
-                    pos = m2.end()
-                    t2 = m2.group(2)
-                    if t2 is not None:
-                        t2 = t2.lower()
-                        sc2 = bool(m2.group(4)) or _self_close(m2.group(3))
-                        if t2 in _RAWTEXT and not sc2:
-                            if lower is None:
-                                lower = html.lower()
-                            close = lower.find("</" + t2, pos)
-                            pos = n if close == -1 else (lower.find(">", close) + 1 or n)
-                        elif t2 not in VOID_TAGS and not sc2:
-                            depth += 1
-                    elif m2.group(1) is not None \
-                            and m2.group(1).lower() not in VOID_TAGS:
-                        # spurious end tags of void elements (</meta>,
-                        # </br>) never had a matching open counted above —
-                        # decrementing on them would end the strip early
-                        # and leak stripped content (e.g. <title> text)
-                        depth -= 1
+                    if t2 not in VOID_TAGS and not sc2:
+                        strip_depth += 1
+                elif li == 1 and m.group(1).lower() not in VOID_TAGS:
+                    # spurious end tags of void elements (</meta>, </br>)
+                    # never had a matching open counted above —
+                    # decrementing on them would end the strip early and
+                    # leak stripped content (e.g. <title> text)
+                    strip_depth -= 1
                 continue
-            if tag in VOID_TAGS or self_close:
-                cur.children.append(_Node(tag, cur))
+            if li == 5:
+                text = m.group(5)
+                if "&" in text:
+                    text = unescape(text)
+                cur.children.append(text)
+                stripped = text.strip()
+                if stripped:
+                    cur.text += len(stripped)
                 continue
-            node = _Node(tag, cur)
-            cur.children.append(node)
-            cur = node
-            continue
-        if li == 1:
-            tag = m.group(1).lower()
-            # close up to the nearest matching open tag (tolerant nesting)
-            node = cur
-            while node is not None and node.tag != tag:
-                node = node.parent
-            if node is not None and node.parent is not None:
-                cur = node.parent
-            continue
-        # comments/doctype/PI/stray '<': ignored
-    return root
+            if li == 4:
+                end = m.end()
+                # the greedy attribute group absorbs a trailing '/', so
+                # the explicit (/?) group never fires; _self_close decides
+                # whether that trailing '/' is a solidus or unquoted-value
+                # data. The raw char before '>' gates both: when it isn't
+                # '/', the tag cannot self-close and the attrs substring
+                # (group 3) never needs materializing — the common case.
+                self_close = (html[end - 2] == "/"
+                              and (bool(m.group(4)) or _self_close(m.group(3))))
+                tag = m.group(2).lower()
+                if tag in _RAWTEXT:
+                    # swallow raw content up to the matching close tag
+                    if lower is None:
+                        lower = html.lower()
+                    close = lower.find("</" + tag, end)
+                    raw = html[end:close if close != -1 else n]
+                    pos = n if close == -1 else lower.find(">", close) + 1 or n
+                    if tag not in STRIP_TAGS:
+                        node = _Node(tag, cur)
+                        if raw:
+                            node.children.append(raw)
+                            stripped = raw.strip()
+                            if stripped:
+                                node.text = len(stripped)
+                        cur.children.append(node)
+                        _fold(node, cur)
+                    restart = True
+                    break
+                if tag in STRIP_TAGS:
+                    strip_depth = 1
+                    continue
+                if tag in VOID_TAGS or self_close:
+                    node = _Node(tag, cur)
+                    cur.children.append(node)
+                    if tag in CANDIDATE_TAGS:
+                        cands.append(node)
+                    _fold(node, cur)
+                    continue
+                node = _Node(tag, cur)
+                cur.children.append(node)
+                if tag in CANDIDATE_TAGS:
+                    cands.append(node)
+                cur = node
+                continue
+            if li == 1:
+                tag = m.group(1).lower()
+                # close up to the nearest matching open tag (tolerant
+                # nesting); every implicitly-closed node folds into ITS
+                # parent, innermost first
+                node = cur
+                while node is not None and node.tag != tag:
+                    node = node.parent
+                if node is not None and node.parent is not None:
+                    c = cur
+                    while True:
+                        _fold(c, c.parent)
+                        if c is node:
+                            break
+                        c = c.parent
+                    cur = node.parent
+                continue
+            # comments/doctype/PI/stray '<': ignored
+    # EOF: fold the still-open chain so ancestors (and root) see it
+    while cur.parent is not None:
+        _fold(cur, cur.parent)
+        cur = cur.parent
+    return root, cands
 
 
-def _fill_stats(root: _Node) -> None:
-    """One bottom-up pass filling (text, link, p) for EVERY node — replaces
-    the per-candidate subtree re-walk, which was quadratic in nesting depth
-    (every div on the spine re-counted the whole page). Iterative: real
-    pages nest deeper than Python's recursion limit.
-
-    Semantics match the old walk: boilerplate subtrees contribute nothing
-    to any ancestor; text under an <a> (boilerplate excluded) is link
-    text; p counts direct children only. Each node's own stats treat the
-    node as the scoring root, so candidates inside boilerplate still score
-    on their own subtree."""
-    # children-before-parents = reversed pre-order
-    order = [root]
-    i = 0
-    while i < len(order):
-        for ch in order[i].children:
-            if not isinstance(ch, str):
-                order.append(ch)
-        i += 1
-    for node in reversed(order):
-        text = link = p = 0
-        for ch in node.children:
-            if isinstance(ch, str):
-                text += len(ch.strip())
-            elif ch.tag not in BOILERPLATE_TAGS:
-                text += ch.text
-                link += ch.text if ch.tag == "a" else ch.link
-                if ch.tag == "p":
-                    p += 1
-        node.text = text
-        node.link = link
-        node.p = p
+def _build_tree(html: str) -> _Node:
+    """Tree-only view of _build_tree_stats (kept for tests/debugging);
+    node stats come back pre-filled."""
+    return _build_tree_stats(html)[0]
 
 
 def _emit_blocks(node: _Node, blocks: list[list[str]]) -> None:
@@ -254,31 +279,16 @@ def _emit_blocks(node: _Node, blocks: list[list[str]]) -> None:
             stack.append(gc)
 
 
-def _walk_candidates(root: _Node, out: list[_Node]) -> None:
-    """Candidates in document (pre-)order; iterative for deep pages."""
-    stack = [root]
-    while stack:
-        node = stack.pop()
-        for child in reversed(node.children):
-            if not isinstance(child, str):
-                stack.append(child)
-        if node is not root and node.tag in CANDIDATE_TAGS:
-            out.append(node)
-
-
 def extract_main_text(html: str) -> str:
     """Main-content text of an HTML document (see module contract)."""
     if not html:
         return ""
     try:
-        root = _build_tree(html)
+        root, candidates = _build_tree_stats(html)
     except Exception:
         return ""
-    candidates: list[_Node] = []
-    _walk_candidates(root, candidates)
     if not candidates:
         candidates = [root]
-    _fill_stats(root)
     best = None
     best_score = float("-inf")
     for cand in candidates:

@@ -109,15 +109,27 @@ def decode_turn(obj: dict, quote_loosebox: bool = True) -> DecodedTurn:
         raise ValueError(f"charrot length {len(charrot)} != text length {n}")
 
     fid = obj.get("font_id", 0)
-    font_id = (np.full(n, int(fid), dtype=np.int32) if not isinstance(fid, list)
-               else np.asarray(fid, dtype=np.int32))
-    if len(font_id) != n:
-        raise ValueError(f"font_id length {len(font_id)} != text length {n}")
     fonts = obj.get("fonts") or [{"name": "", "flags": 0, "size": 0.0, "weight": 0}]
-    if n and len(font_id) and (
-            int(font_id.min()) < 0 or int(font_id.max()) >= len(fonts)):
-        raise ValueError(
-            f"font_id out of range [0, {len(fonts)}) for the fonts table")
+    for f in fonts:
+        if not isinstance(f, dict):
+            # keep malformed font tables failing HERE, inside the caller's
+            # per-turn error channel, not later in build_char_batch where
+            # one bad turn would kill the whole Arrow batch
+            raise ValueError("fonts entries must be objects")
+    if not isinstance(fid, list):
+        # scalar fast path: bounds-check the one value, skip the array scan
+        fid = int(fid)
+        if n and not 0 <= fid < len(fonts):
+            raise ValueError(
+                f"font_id out of range [0, {len(fonts)}) for the fonts table")
+        font_id = np.full(n, fid, dtype=np.int32)
+    else:
+        font_id = np.asarray(fid, dtype=np.int32)
+        if len(font_id) != n:
+            raise ValueError(f"font_id length {len(font_id)} != text length {n}")
+        if n and (int(font_id.min()) < 0 or int(font_id.max()) >= len(fonts)):
+            raise ValueError(
+                f"font_id out of range [0, {len(fonts)}) for the fonts table")
 
     # Tight-box substitution: loose box only when the char is unrotated and
     # (not a quote, or quote_loosebox) — chars.py:21-23.
@@ -141,7 +153,10 @@ def decode_turn(obj: dict, quote_loosebox: bool = True) -> DecodedTurn:
         boxes=boxes,
         charrot=charrot,
         font_id=font_id,
-        fonts=[{k: f.get(k) for k in _FONT_KEYS} for f in fonts],
+        # raw dicts pass through: every consumer reads them via
+        # font_tuple(), whose .get() normalization makes the old
+        # key-projection copy redundant
+        fonts=fonts,
         links=obj.get("links") or [],
         tables=obj.get("tables") or [],
         img_size=obj.get("img_size"),

@@ -59,7 +59,9 @@ class CharBatch:
 def build_char_batch(decoded: list[DecodedTurn]) -> CharBatch:
     font_codes: dict[tuple, int] = {}
     fonts: list[tuple] = []
-    turn_of, cps, boxes, rot, font, char_idx, texts = [], [], [], [], [], [], []
+    boxes, rot, font, texts = [], [], [], []
+    lens: list[int] = []
+    turn_ids: list[int] = []
     for t_i, dt in enumerate(decoded):
         n = len(dt.text)
         if n == 0:
@@ -67,25 +69,35 @@ def build_char_batch(decoded: list[DecodedTurn]) -> CharBatch:
         local_codes = np.empty(len(dt.fonts), dtype=np.int32)
         for j, f in enumerate(dt.fonts):
             key = font_tuple(f)
-            if key not in font_codes:
-                font_codes[key] = len(fonts)
+            code = font_codes.get(key)
+            if code is None:
+                code = font_codes[key] = len(fonts)
                 fonts.append(key)
-            local_codes[j] = font_codes[key]
-        turn_of.append(np.full(n, t_i, dtype=np.int32))
-        cps.append(np.frombuffer(dt.text.encode("utf-32-le"), dtype=np.uint32))
+            local_codes[j] = code
+        lens.append(n)
+        turn_ids.append(t_i)
         boxes.append(dt.boxes)
         rot.append(dt.charrot)
         font.append(local_codes[dt.font_id])
-        char_idx.append(np.arange(n, dtype=np.int32))
         texts.append(dt.text)
-    if not turn_of:
+    if not lens:
         empty = np.empty(0)
         return CharBatch(decoded, np.empty(0, np.int32), np.empty(0, np.uint32),
                          np.empty((0, 4)), empty, np.empty(0, np.int32),
                          np.empty(0, np.int32), "", fonts)
+    # One joined encode + repeat/arange arithmetic replaces the old
+    # per-turn np.full/np.frombuffer/np.arange round-trips (~4x on a
+    # many-small-turns batch); bytes are identical because utf-32-le is
+    # concatenation-stable.
+    lens_a = np.asarray(lens, dtype=np.int64)
+    total = int(lens_a.sum())
+    gtext = "".join(texts)
+    cps = np.frombuffer(gtext.encode("utf-32-le"), dtype=np.uint32)
+    turn_of = np.repeat(np.asarray(turn_ids, dtype=np.int32), lens_a)
+    starts = np.repeat((np.cumsum(lens_a) - lens_a).astype(np.int32), lens_a)
+    char_idx = np.arange(total, dtype=np.int32) - starts
     # preallocate-and-fill beats vstack's per-piece overhead for many
     # small per-turn arrays
-    total = sum(len(c) for c in cps)
     all_boxes = np.empty((total, 4), dtype=np.float64)
     off = 0
     for b in boxes:
@@ -93,13 +105,13 @@ def build_char_batch(decoded: list[DecodedTurn]) -> CharBatch:
         off += len(b)
     return CharBatch(
         turns=decoded,
-        turn_of=np.concatenate(turn_of),
-        cps=np.concatenate(cps),
+        turn_of=turn_of,
+        cps=cps,
         boxes=all_boxes,
         rot=np.concatenate(rot),
         font=np.concatenate(font),
-        char_idx=np.concatenate(char_idx),
-        gtext="".join(texts),
+        char_idx=char_idx,
+        gtext=gtext,
         fonts=fonts,
     )
 
@@ -113,7 +125,12 @@ def _lag_breaks(cb_turn: np.ndarray, cps: np.ndarray, font: np.ndarray,
         return starts
     starts[0] = True
     starts[1:] |= cb_turn[1:] != cb_turn[:-1]
-    starts[1:] |= np.isin(cps[:-1], end_cps)
+    # 2-3 scalar compares beat np.isin's sort path ~8x at this set size
+    prev = cps[:-1]
+    acc = prev == end_cps[0]
+    for cp in end_cps[1:]:
+        acc |= prev == cp
+    starts[1:] |= acc
     starts[1:] |= font[1:] != font[:-1]
     starts[1:] |= rot[1:] != rot[:-1]
     return starts
@@ -156,33 +173,42 @@ def word_dedup_mask(cb: CharBatch) -> np.ndarray:
     e_idx = np.append(s_idx[1:], n)
     env = envelope_reduceat(cb.boxes, s_idx)
     rb = np.round(env)  # round-half-even, matching Python round(x, 0) (chars.py:108)
-    # plain-int slicing: str.__getitem__ on numpy int64 scalars pays a
-    # per-call __index__ conversion — pre-tolist() halves this step
-    # (1.41 -> 0.77 ms on the sf0.01 batch)
-    _s, _e = s_idx.tolist(), e_idx.tolist()
     g = cb.gtext
-    texts = [g[a:b] for a, b in zip(_s, _e)]
-    # All-integer dedup key (one hash-factorize for the strings, float BIT
-    # patterns for rotation and the rounded bbox — so -0.0 and 0.0
-    # rotations stay distinct, as their f-string renderings are). One
-    # single-block int64 frame hashes ~2x faster than the old 12-column
-    # object/bool/float frame (measured 19 -> 11 ms on the sf0.01 batch;
-    # np.unique(axis=0) was tried and rejected at 23 ms).
     nw = len(s_idx)
     wturn = cb.turn_of[s_idx]
     rotw = np.ascontiguousarray(cb.rot[s_idx])
-    key = np.empty((nw, 8), dtype=np.int64)
-    key[:, 0] = wturn
-    key[:, 1] = pd.factorize(np.asarray(texts, dtype=object))[0]
-    key[:, 2] = rotw.view(np.int64)
-    key[:, 3] = cb.font[s_idx]
-    key[:, 4:8] = rb.view(np.int64)
-    # row dedup on the raw 64-byte row image (key is freshly-allocated,
-    # C-contiguous): one void-dtype view + Series.duplicated hashes each
-    # row as opaque bytes — same partition as the 8-column frame
-    # duplicated(), half the cost (1.20 -> 0.65 ms, verified identical)
-    rows = key.view(np.dtype((np.void, key.shape[1] * 8))).ravel()
-    keep_word = (~pd.Series(rows).duplicated()).to_numpy()
+    # ONE hashing pass over the cheap (turn, rounded-bbox) pre-key — as
+    # float BIT patterns, so -0.0 and 0.0 stay distinct like their
+    # f-string renderings — serves two masters: (a) a full-key duplicate
+    # always repeats (turn, rb), so only rb_dup words ever need their
+    # text sliced/factorized and their rot/font compared for the exact
+    # dedup; (b) the f-string collision gate below needs exactly this
+    # set (rendered-key equality requires equal turn + rb, because both
+    # parses of the reference f-string end at its first ']' — the
+    # docstring's squeeze argument). Row dedup runs on the raw 40-byte
+    # row image via a void-dtype view: one opaque-bytes hash per row.
+    k5 = np.empty((nw, 5), dtype=np.int64)
+    k5[:, 0] = wturn
+    k5[:, 1:5] = rb.view(np.int64)
+    r5 = k5.view(np.dtype((np.void, 40))).ravel()
+    rb_dup = pd.Series(r5).duplicated(keep=False).to_numpy()
+    keep_word = np.ones(nw, dtype=bool)
+    if rb_dup.any():
+        ci = np.flatnonzero(rb_dup)
+        # plain-int slicing: str.__getitem__ on numpy int64 scalars pays
+        # a per-call __index__ conversion — pre-tolist() halves this
+        _cs, _ce = s_idx[ci].tolist(), e_idx[ci].tolist()
+        ctexts = [g[a:b] for a, b in zip(_cs, _ce)]
+        ckey = np.empty((len(ci), 8), dtype=np.int64)
+        ckey[:, :5] = k5[ci]
+        ckey[:, 5] = rotw[ci].view(np.int64)
+        ckey[:, 6] = cb.font[s_idx[ci]]
+        ckey[:, 7] = pd.factorize(np.asarray(ctexts, dtype=object))[0]
+        crows = ckey.view(np.dtype((np.void, 64))).ravel()
+        # full-key duplicates restricted to the candidate subset give
+        # the global verdict: any full-key-equal pair is (turn, rb)-
+        # equal, so both members are in `ci`, in original order
+        keep_word[ci] = ~pd.Series(crows).duplicated().to_numpy()
 
     # --- f-string collision gate (see docstring). Field classes that can
     # put a '-' into the rendered key: text chars, rotation repr (sign,
@@ -216,33 +242,56 @@ def word_dedup_mask(cb: CharBatch) -> np.ndarray:
                 cls[np.unique(wturn[m]), 2 + j] = True
     amb_turns = cls.sum(axis=1) >= 2
     if amb_turns.any():
-        fonts = cb.fonts
-        fcodes = cb.font[s_idx]
-        seen: set = set()
-        for i in np.flatnonzero(amb_turns[wturn]).tolist():
-            f = fonts[int(fcodes[i])]
-            rbl = [float(v) for v in rb[i]]
-            k = (int(wturn[i]),
-                 f"{rbl}-{texts[i]}-{float(rotw[i])}-{f[0]}-{f[1]}-{f[2]}-{f[3]}")
-            if k in seen:
-                keep_word[i] = False
-            else:
-                seen.add(k)
-                keep_word[i] = True
+        # Words whose (turn, rb) pair is unique can neither collide with
+        # nor shadow any other word under the rendered key (see the
+        # rb_dup derivation above) — the literal per-word f-string loop
+        # only needs to run over (turn, rb)-repeated words in ambiguous
+        # turns; every other word's fast-key verdict stands.
+        cand_w = amb_turns[wturn] & rb_dup
+        if cand_w.any():
+            fonts = cb.fonts
+            fcodes = cb.font[s_idx]
+            seen: set = set()
+            for i in np.flatnonzero(cand_w).tolist():
+                f = fonts[int(fcodes[i])]
+                rbl = [float(v) for v in rb[i]]
+                k = (int(wturn[i]),
+                     f"{rbl}-{g[s_idx[i]:e_idx[i]]}-{float(rotw[i])}"
+                     f"-{f[0]}-{f[1]}-{f[2]}-{f[3]}")
+                if k in seen:
+                    keep_word[i] = False
+                else:
+                    seen.add(k)
+                    keep_word[i] = True
     return np.repeat(keep_word, e_idx - s_idx)
 
 
 def apply_mask(cb: CharBatch, mask: np.ndarray) -> CharBatch:
-    cps = cb.cps[mask]
+    if mask.all():
+        return cb
+    # dropped chars come in word-sized runs, so the kept text is a small
+    # number of contiguous slices of the old gtext — join those instead
+    # of round-tripping every kept codepoint through utf-32
+    m8 = mask.view(np.int8)
+    edges = np.flatnonzero(m8[1:] != m8[:-1]) + 1
+    bounds = np.empty(len(edges) + 2, dtype=np.int64)
+    bounds[0] = 0
+    bounds[1:-1] = edges
+    bounds[-1] = len(mask)
+    first_kept = 0 if mask[0] else 1
+    g = cb.gtext
+    gtext = "".join(
+        g[a:b] for a, b in zip(bounds[first_kept:-1:2].tolist(),
+                               bounds[first_kept + 1::2].tolist()))
     return CharBatch(
         turns=cb.turns,
         turn_of=cb.turn_of[mask],
-        cps=cps,
+        cps=cb.cps[mask],
         boxes=cb.boxes[mask],
         rot=cb.rot[mask],
         font=cb.font[mask],
         char_idx=cb.char_idx[mask],
-        gtext=cps.astype("<u4").tobytes().decode("utf-32-le"),
+        gtext=gtext,
         fonts=cb.fonts,
     )
 

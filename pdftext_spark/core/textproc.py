@@ -146,25 +146,42 @@ def handle_hyphens(text: str, keep_hyphens: bool = False) -> str:
         return text.replace(HYPHEN_SENTINEL, "-\n")
     if not text:
         return text
-    pieces: list[str] = []
-    joining = False  # reference's found_hyphen flag
     # Parity quirk: the reference iterates range(len(text)-1), dropping the
-    # last input character unconditionally.
-    for ch in text[:-1]:
-        if ch == HYPHEN_SENTINEL:
-            joining = True
-        elif joining:
-            if ch in LINE_BREAK_CHARS:
+    # last input character unconditionally. Outside joining mode every
+    # char is appended verbatim, so the scan only needs to walk char by
+    # char from each sentinel to the space that ends its joining run —
+    # everything between runs is bulk slice appends (~10x on turns where
+    # sentinels are sparse, which is all of them).
+    t = text[:-1]
+    i = t.find(HYPHEN_SENTINEL)
+    if i < 0:
+        return t
+    pieces: list[str] = []
+    prev = 0
+    n = len(t)
+    while i >= 0:
+        if i > prev:
+            pieces.append(t[prev:i])
+        i += 1  # consume the sentinel (never emitted)
+        while i < n:  # joining mode: reference's found_hyphen flag is set
+            ch = t[i]
+            if ch == HYPHEN_SENTINEL or ch in LINE_BREAK_CHARS:
+                i += 1
                 continue
             if ch in SPACE_CHARS:
-                # rstrip accumulated text, then a single newline
+                # rstrip accumulated text, then a single newline; the
+                # space itself is dropped
                 joined = "".join(pieces).rstrip()
                 pieces = [joined, "\n"]
-                joining = False
-            else:
-                pieces.append(ch)
-        else:
+                i += 1
+                break
             pieces.append(ch)
+            i += 1
+        else:
+            return "".join(pieces)  # input ended while still joining
+        prev = i
+        i = t.find(HYPHEN_SENTINEL, prev)
+    pieces.append(t[prev:])
     return "".join(pieces)
 
 
