@@ -21,7 +21,7 @@ import pyarrow.compute as pc
 
 from pdftext_spark.config import ExtractConfig
 from pdftext_spark.core.api import RoutedBatch
-from pdftext_spark.core.assemble import postprocess_range, sort_order
+from pdftext_spark.core.assemble import postprocess_ranges, sort_order
 
 CHAR_PA = pa.struct([
     ("bbox", pa.list_(pa.float64())),
@@ -141,16 +141,11 @@ def build_page_array(rb: RoutedBatch, cfg: ExtractConfig) -> pa.StructArray:
             sup_out[row] = False
             sub_out[row] = False
 
-    # span texts (F8) with prefix-sum pass skipping
-    hy = seg.hy_cum
-    texts = []
-    so = start_out.tolist()
-    eo = end_out.tolist()
-    for a, b in zip(so, eo):
-        t = postprocess_range(seg, a, b)
-        if hy[b] - hy[a]:
-            t = t.replace("\x02", "-\n")
-        texts.append(t)
+    # span texts (F8): one global postprocess pass + a slice per output
+    # span (postprocess_range per span walked the pass machinery 10x+
+    # per line); output rows are contiguous ranges, so masking \r\n
+    # collapse at their starts makes every slice exact
+    texts = postprocess_ranges(seg, start_out, end_out, hyphen_sentinel=True)
 
     # ---- permutations for reading-order sort (identity when sort=False) ----
     line_span_counts = np.add.reduceat(counts, lines.start) if len(lines.start) \

@@ -91,6 +91,93 @@ def merge_text_turn(seg: Segmentation, turn: int, sort: bool = False,
     return handle_hyphens(text, keep_hyphens=hyphens)
 
 
+def postprocess_global(seg: Segmentation, range_starts) -> tuple[str, Optional[np.ndarray]]:
+    """The whole replace+translate+control-filter pass applied ONCE over
+    the post-dedup global string, such that ``g_full[off[a]:off[b]]``
+    equals ``postprocess_range(seg, a, b)`` for every range whose
+    endpoints lie on ``range_starts`` boundaries (off=None means offsets
+    are the identity).
+
+    1. 1:1 maps (spaces/line-breaks/tabs) as a vectorized codepoint
+       remap + one utf-32 decode (str.translate with a dict table walks
+       a per-char dict lookup, ~4x slower on the same string).
+    2. Length-changing constructs — ligature expansions (1→2/3), \\r\\n
+       pair collapses (the \\r emits nothing, the \\n survives), and
+       control-char DELETIONS — spliced in at their (few) positions,
+       with per-char output lengths cumsum'd into an offset map so every
+       range is a plain slice.
+    postprocess_range slices FIRST, so a \\r\\n pair straddling a range
+    boundary keeps its \\r as "\\n" — pair collapse is therefore masked
+    where the \\n is a range start, making the slice exact there too.
+    The deletion mask is cc_flag MINUS the specials-mapped codepoints:
+    _cc_delete_re carves those out of its char class (they translate to
+    spaces instead of being dropped) while the batch flag deliberately
+    over-approximates for pass-skipping."""
+    cps = seg.chars.cps
+    n = len(cps)
+    t1 = {k: v for k, v in _specials_table().items() if len(v) == 1}
+    if seg.tr_cum[-1] > 0:
+        cps1 = cps.copy()
+        for src, dst in t1.items():
+            cps1[cps == src] = ord(dst)
+        g1 = cps1.astype("<u4").tobytes().decode("utf-32-le")
+    else:
+        g1 = seg.chars.gtext
+    out_len = np.ones(n, dtype=np.int64)
+    for src, dst in LIGATURE_MAP.items():
+        out_len[cps == ord(src)] = len(dst)
+    pair = np.zeros(n, dtype=bool)
+    if n > 1:
+        pair[:-1] = (cps[:-1] == 13) & (cps[1:] == 10)
+        rs = np.asarray(range_starts)
+        if len(rs):
+            pair[rs[rs > 0] - 1] = False
+    out_len[pair] = 0
+    if seg.cc_cum[-1] > 0:
+        ccm = np.diff(seg.cc_cum).astype(bool)
+        mapped = np.asarray(sorted(k for k in _specials_table()),
+                            dtype=np.uint32)
+        ccm &= ~np.isin(cps, mapped)
+        out_len[ccm] = 0
+    special = np.flatnonzero(out_len != 1)
+    if not len(special):
+        return g1, None
+    parts = []
+    prev = 0
+    lig_out = {ord(k): v for k, v in LIGATURE_MAP.items()}
+    cps_l = cps[special].tolist()
+    ol_l = out_len[special].tolist()
+    for i, cp, ol in zip(special.tolist(), cps_l, ol_l):
+        parts.append(g1[prev:i])
+        if ol:
+            parts.append(lig_out[cp])
+        prev = i + 1
+    parts.append(g1[prev:])
+    g_full = "".join(parts)
+    off = np.empty(n + 1, dtype=np.int64)
+    off[0] = 0
+    np.cumsum(out_len, out=off[1:])
+    return g_full, off
+
+
+def postprocess_ranges(seg: Segmentation, starts, ends,
+                       hyphen_sentinel: bool = False) -> list[str]:
+    """postprocess_range over many contiguous ranges at once (the F8 span
+    texts): one global pass + a slice per range; with hyphen_sentinel,
+    ranges containing \\x02 get the keep-hyphens replacement applied."""
+    g_full, off = postprocess_global(seg, starts)
+    if off is None:
+        a_l, z_l = starts.tolist(), ends.tolist()
+    else:
+        a_l, z_l = off[starts].tolist(), off[ends].tolist()
+    texts = [g_full[a:z] for a, z in zip(a_l, z_l)]
+    if hyphen_sentinel and seg.hy_cum[-1] > 0:
+        hy = seg.hy_cum
+        for i in np.flatnonzero((hy[ends] - hy[starts]) > 0).tolist():
+            texts[i] = texts[i].replace("\x02", "-\n")
+    return texts
+
+
 def plain_text_batch(seg: Segmentation, sort: bool = False,
                      hyphens: bool = False,
                      sort_tolerance: float = 1.25) -> list[str]:
@@ -117,70 +204,16 @@ def plain_text_batch(seg: Segmentation, sort: bool = False,
 
     a_arr = seg.spans.start[seg.lines.start]
     z_arr = seg.spans.end[seg.lines.end - 1]
-    cps = seg.chars.cps
-    n = len(cps)
-    zero = np.zeros(1, dtype=np.int64)
-    # The whole replace+translate+control-filter pass, applied ONCE
-    # globally:
-    # 1. 1:1 maps (spaces/line-breaks/tabs) as a vectorized codepoint
-    #    remap + one utf-32 decode (~2 ms; str.translate with a dict
-    #    table walks a per-char dict lookup, ~9 ms on the same string).
-    # 2. Length-changing constructs — ligature expansions (1→2/3),
-    #    \r\n pair collapses (the \r emits nothing, the \n survives),
-    #    and control-char DELETIONS — spliced in at their (few)
-    #    positions, with per-char output lengths cumsum'd into an offset
-    #    map so every line is the plain slice g_full[off[a]:off[z]].
-    # The deletion mask must be cc_flag MINUS the specials-mapped
-    # codepoints: _cc_delete_re carves those out of its char class (they
-    # translate to spaces instead of being dropped) while the batch flag
-    # deliberately over-approximates for pass-skipping.
-    # Boundary equivalence: postprocess_range slices FIRST, so a \r\n
-    # pair straddling a line end keeps its \r as "\n" there while the
-    # global form drops it — but that char is the line's LAST and both
-    # forms rstrip, so the outputs agree; a pair straddling a line start
-    # contributes only its \n to the next line in both forms.
-    t1 = {k: v for k, v in _specials_table().items() if len(v) == 1}
-    if seg.tr_cum[-1] > 0:
-        cps1 = cps.copy()
-        for src, dst in t1.items():
-            cps1[cps == src] = ord(dst)
-        g1 = cps1.astype("<u4").tobytes().decode("utf-32-le")
+    # Boundary note: with collapse masked at line starts, a \r\n pair
+    # straddling a line end keeps its \r as "\n" — that char is the
+    # line's LAST and lines are rstripped, so outputs are unchanged from
+    # the unmasked form either way; the mask is what makes the same
+    # global pass exact for the unstripped span texts (arrow_out).
+    g_full, off = postprocess_global(seg, a_arr)
+    if off is None:
+        a_l, z_l = a_arr.tolist(), z_arr.tolist()
     else:
-        g1 = seg.chars.gtext
-    out_len = np.ones(n, dtype=np.int64)
-    for src, dst in LIGATURE_MAP.items():
-        out_len[cps == ord(src)] = len(dst)
-    pair = np.zeros(n, dtype=bool)
-    if n > 1:
-        pair[:-1] = (cps[:-1] == 13) & (cps[1:] == 10)
-    out_len[pair] = 0
-    if seg.cc_cum[-1] > 0:
-        ccm = np.diff(seg.cc_cum).astype(bool)
-        mapped = np.asarray(sorted(k for k in _specials_table()),
-                            dtype=np.uint32)
-        ccm &= ~np.isin(cps, mapped)
-        out_len[ccm] = 0
-    special = np.flatnonzero(out_len != 1)
-    if len(special):
-        parts = []
-        prev = 0
-        lig_out = {ord(k): v for k, v in LIGATURE_MAP.items()}
-        cps_l = cps[special].tolist()
-        ol_l = out_len[special].tolist()
-        for i, cp, ol in zip(special.tolist(), cps_l, ol_l):
-            parts.append(g1[prev:i])
-            if ol:
-                parts.append(lig_out[cp])
-            prev = i + 1
-        parts.append(g1[prev:])
-        g_full = "".join(parts)
-        off = np.concatenate([zero, np.cumsum(out_len)])
-        a_l = off[a_arr].tolist()
-        z_l = off[z_arr].tolist()
-    else:
-        g_full = g1
-        a_l = a_arr.tolist()
-        z_l = z_arr.tolist()
+        a_l, z_l = off[a_arr].tolist(), off[z_arr].tolist()
     line_strs = [g_full[a:z].rstrip() for a, z in zip(a_l, z_l)]
     line_lo = seg.blocks.line_lo.tolist()
     line_hi = seg.blocks.line_hi.tolist()

@@ -48,20 +48,36 @@ def goto_placeholder(turn_idx: int, gid: int) -> str:
 def scale_link_geometry(links: list[dict], page_w: int, page_h: int,
                         rotation: int) -> list[dict]:
     """Apply the bbox/dest_pos transforms of links.py:29-48."""
+    if not links:
+        return []
+    # one batched normalize/round/rotate for all link bboxes (and one for
+    # all dest positions): elementwise-identical to the old per-link
+    # (1, 4) calls, without L rounds of tiny-array overhead
+    bb = np.asarray([ln["bbox"] for ln in links],
+                    dtype=np.float64).reshape(len(links), 4)
+    bbl = rotate_boxes(np.round(normalize_boxes(bb)),
+                       page_w, page_h, rotation).tolist()
+    dps = [ln.get("dest_pos") for ln in links]
+    di = [i for i, d in enumerate(dps) if d is not None]
+    if di:
+        xy = np.asarray([[float(dps[i][0]), float(dps[i][1])] for i in di],
+                        dtype=np.float64)
+        pb = np.empty((len(di), 4), dtype=np.float64)
+        pb[:, 0] = xy[:, 0] - 1
+        pb[:, 1] = xy[:, 1] - 1
+        pb[:, 2] = xy[:, 0] + 1
+        pb[:, 3] = xy[:, 1] + 1
+        pbl = rotate_boxes(np.round(normalize_boxes(pb)),
+                           page_w, page_h, rotation).tolist()
     out = []
-    for ln in links:
-        bbox = np.asarray([ln["bbox"]], dtype=np.float64)
-        bbox = np.round(normalize_boxes(bbox))
-        bbox = rotate_boxes(bbox, page_w, page_h, rotation)[0]
-        dest_pos = ln.get("dest_pos")
-        if dest_pos is not None:
-            x, y = float(dest_pos[0]), float(dest_pos[1])
-            pb = np.asarray([[x - 1, y - 1, x + 1, y + 1]], dtype=np.float64)
-            pb = np.round(normalize_boxes(pb))
-            pb = rotate_boxes(pb, page_w, page_h, rotation)[0]
-            dest_pos = [float(pb[0]), float(pb[1])]
+    k = 0
+    for i, ln in enumerate(links):
+        dest_pos = None
+        if dps[i] is not None:
+            dest_pos = pbl[k][:2]
+            k += 1
         out.append({
-            "bbox": [float(v) for v in bbox],
+            "bbox": bbl[i],
             "dest_page": ln.get("dest_page"),
             "dest_pos": dest_pos,
             "url": ln.get("url"),

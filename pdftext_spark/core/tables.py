@@ -110,32 +110,39 @@ def table_cells_turn(seg: Segmentation, turn: int, tables: list, img_size: list,
                 continue  # J4 containment filter (tables.py:74-76)
             a = int(seg.spans.start[int(seg.lines.start[li])])
             b = int(seg.spans.end[int(seg.lines.end[li]) - 1])
-            boxes = rescale_boxes(cb.boxes[a:b], iw, ih, page_w, page_h)
-            curr_text: list[str] = []
+            # plain-float rows: the per-char loop below does only scalar
+            # compares/min/max, and numpy row indexing + numpy-scalar
+            # arithmetic cost ~3x the same ops on Python floats
+            bl = rescale_boxes(cb.boxes[a:b], iw, ih, page_w, page_h).tolist()
+            gt = cb.gtext
+            curr_lo = a  # cell chars are consecutive: text is a slice
             curr_box = None
             for ci in range(a, b):
-                bbox = boxes[ci - a]
-                ch = cb.gtext[ci]
+                bbox = bl[ci - a]
                 # clustering persists across span boundaries within a line
                 # (tables.py:79-97 resets curr_span only per line); the
                 # adjacency test is what separates cells.
-                same = curr_box is not None and _same_cell(
-                    bbox, curr_box, img_size, space_thresh, rotation)
                 if curr_box is None:
-                    curr_text = [ch]
+                    curr_lo = ci
                     curr_box = list(bbox)
-                elif same:
-                    curr_text.append(ch)
-                    curr_box = [min(curr_box[0], bbox[0]), min(curr_box[1], bbox[1]),
-                                max(curr_box[2], bbox[2]), max(curr_box[3], bbox[3])]
+                elif _same_cell(bbox, curr_box, img_size, space_thresh,
+                                rotation):
+                    if bbox[0] < curr_box[0]:
+                        curr_box[0] = bbox[0]
+                    if bbox[1] < curr_box[1]:
+                        curr_box[1] = bbox[1]
+                    if bbox[2] > curr_box[2]:
+                        curr_box[2] = bbox[2]
+                    if bbox[3] > curr_box[3]:
+                        curr_box[3] = bbox[3]
                 else:
-                    text = "".join(curr_text)
+                    text = gt[curr_lo:ci]
                     if text.strip():
                         cells.append({"text": text, "bbox": curr_box})
-                    curr_text = [ch]
+                    curr_lo = ci
                     curr_box = list(bbox)
             if curr_box is not None:
-                text = "".join(curr_text)
+                text = gt[curr_lo:b]
                 if text.strip():
                     cells.append({"text": text, "bbox": curr_box})
         # translate to table-relative coords (tables.py:100-107)
