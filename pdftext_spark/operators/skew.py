@@ -40,9 +40,11 @@ def skew_report(df: DataFrame, key_cols: list[str], parallelism: int,
     pre-aggregated pass."""
     tot = df.groupBy().agg(F.count(F.lit(1)).alias("total"))
     per = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n_rows"))
-    keys = ", ".join(key_cols)
+    # each key column is its own selectExpr argument — joining them into
+    # one comma-separated string parses only for single-column keys
+    # (ADVICE r5: multi-key callers hit PARSE_SYNTAX_ERROR)
     return (per.crossJoin(F.broadcast(tot))
-            .selectExpr(keys, "cast(n_rows as long) n_rows",
+            .selectExpr(*key_cols, "cast(n_rows as long) n_rows",
                         "n_rows * 1000000 div total as share_ppm",
                         f"(n_rows * {int(parallelism)} + total - 1) "
                         "div total as salt_k")
@@ -63,15 +65,30 @@ def salted_repartition(df: DataFrame, key_cols: list[str], salt_k: int,
                        n_parts: int, spread_cols: list[str] | None = None,
                        salt_col: str = "__salt") -> DataFrame:
     """The APPLY side: spread each key across `salt_k` deterministic
-    sub-keys and repartition on (keys..., salt). `spread_cols` pick the
-    intra-key spreader (default: every non-key column) — xxhash64 of
-    those columns mod salt_k, so retries are stable and a salt_k=1
-    corpus degrades to the plain keyed exchange. The salt column stays
-    on the frame so per-partition consumers can group by it; drop it
-    after the heavy stage."""
+    sub-keys and repartition on (keys..., salt) — xxhash64 of the spread
+    columns mod salt_k, so retries are stable and a salt_k=1 corpus
+    degrades to the plain keyed exchange. The salt column stays on the
+    frame so per-partition consumers can group by it; drop it after the
+    heavy stage.
+
+    Pass `spread_cols` explicitly as a CHEAP high-cardinality column
+    (an event timestamp, a monotonic id) whenever one exists: the
+    default — every non-key column — hashes full payloads in the
+    exchange, and hot-key rows that are exact duplicates all hash to
+    the same sub-key, defeating the salt on duplicate-heavy bot keys
+    (ADVICE r5). The default therefore prefers narrow non-string
+    columns when any exist and falls back to the full payload only
+    when the frame has nothing else."""
     if salt_k <= 1:
         return df.repartition(n_parts, *key_cols)
-    spread = spread_cols or [c for c in df.columns if c not in key_cols]
+    if spread_cols is None:
+        non_key = [f for f in df.schema.fields if f.name not in key_cols]
+        narrow = [f.name for f in non_key
+                  if f.dataType.typeName() in (
+                      "timestamp", "timestamp_ntz", "date", "long", "integer",
+                      "short", "byte", "double", "float", "boolean")]
+        spread_cols = narrow or [f.name for f in non_key]
+    spread = spread_cols
     if not spread:
         raise ValueError("need at least one non-key column to spread on")
     salted = df.withColumn(

@@ -37,3 +37,29 @@ def test_salt_always_forces_shuffle(spark, transcripts):
     plan = _plan(extract(transcripts.repartition(64),
                          ExtractConfig(salt="always"), resolve_links=False))
     assert "hashpartitioning(conv_id" in plan
+
+
+def test_skew_report_multi_key(spark):
+    """Multi-column keys survive the projection (ADVICE r5: the old
+    comma-joined selectExpr argument only parsed single-column keys)."""
+    from pdftext_spark.operators.skew import recommended_salt, skew_report
+    df = spark.createDataFrame(
+        [("c1", "u1", 1), ("c1", "u1", 2), ("c1", "u1", 3), ("c2", "u2", 4)],
+        "conv_id string, user_id string, v int")
+    rows = skew_report(df, ["conv_id", "user_id"], 8).collect()
+    assert [(r["conv_id"], r["user_id"], r["n_rows"]) for r in rows] == [
+        ("c1", "u1", 3), ("c2", "u2", 1)]
+    assert rows[0]["salt_k"] == 6  # ceil(3/4 * 8)
+    assert recommended_salt(df, ["conv_id", "user_id"], 8) == 6
+
+
+def test_salted_repartition_default_spread_prefers_narrow(spark):
+    """The default spread set hashes cheap narrow columns, not the text
+    payload (ADVICE r5: full-payload xxhash64 in the exchange, and
+    exact-duplicate bot rows defeating the salt)."""
+    from pdftext_spark.operators.skew import salted_repartition
+    df = spark.createDataFrame(
+        [("u1", "long text " * 10, 7)], "user_id string, body string, ts long")
+    plan = salted_repartition(df, ["user_id"], 4, 8) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64(ts" in plan and "body" not in plan.split("xxhash64", 1)[1].split(")")[0]
