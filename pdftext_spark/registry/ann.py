@@ -9,6 +9,7 @@ from pdftext_spark.registry._shared import (  # noqa: F401
     Window,
     _cos6,
     _emb,
+    _let,
     _register_persisted,
 )
 
@@ -19,17 +20,40 @@ from pdftext_spark.registry._shared import (  # noqa: F401
 def _query_pairs(spark, sf_dir, query_pred):
     """Broadcast-queries x one-candidate-scan pair stream (qid, qe, cid,
     ce) — the single pair-generation plan every brute-force metric
-    (cosine, L2) layers its score onto."""
+    (cosine, L2) layers its score onto. The candidate side is
+    hash-spread over the parallelism: the source file arrives as one
+    split at bench scale, which would serialize every |q|x|c| score onto
+    a single task (at 100 TB the scan has real splits and the exchange
+    coalesces away under AQE)."""
     e = _emb(spark, sf_dir)
     q = e.where(query_pred).select(F.col("vec_id").alias("qid"),
                                    F.col("embedding").alias("qe"))
-    c = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    c = (e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+         .repartition(spark.sparkContext.defaultParallelism, "cid"))
     return F.broadcast(q).crossJoin(c).where(F.col("qid") != F.col("cid"))
 
 
+_NORM_SPARK = ("sqrt(aggregate({v}, cast(0.0 as double), "
+               "(acc, v) -> acc + cast(v as double) * cast(v as double)))")
+
+
 def _cosine_pairs(spark, sf_dir, query_pred):
-    return (_query_pairs(spark, sf_dir, query_pred)
-            .withColumn("cos", _cos6("qe", "ce")))
+    """Pair stream + 6-dp cosine, with each side's norm folded once per
+    VECTOR in the pre-join projection (bit-identical to _cos6's inline
+    fold, which would re-fold both norms for every pair)."""
+    e = _emb(spark, sf_dir)
+    q = (e.where(query_pred)
+         .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"),
+                 F.expr(_NORM_SPARK.format(v="embedding")).alias("nq")))
+    c = (e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"),
+                  F.expr(_NORM_SPARK.format(v="embedding")).alias("nc"))
+         .repartition(spark.sparkContext.defaultParallelism, "cid"))
+    dot = F.expr("aggregate(zip_with(qe, ce, (x, y) -> "
+                 "cast(x as double) * cast(y as double)), "
+                 "cast(0.0 as double), (acc, v) -> acc + v)")
+    return (F.broadcast(q).crossJoin(c).where(F.col("qid") != F.col("cid"))
+            .withColumn("cos", F.round(dot / (F.col("nq") * F.col("nc")), 6))
+            .drop("nq", "nc"))
 
 
 def q_ann_bruteforce(spark, sf_dir):
@@ -347,8 +371,17 @@ def q_ann_ivf_kmeans(spark, sf_dir):
     dim = len(next(iter(cents.values())))
     assert dim == 64, "oracle SQL unrolls a fixed 64-dim range"
     for _ in range(_KM_ITERS):
-        rows = (e.select(F.expr(_km_argmax_expr(cents)).alias("cid"),
-                         F.posexplode("qe").alias("i", "v"))
+        # the assignment expression must be BOUND once per row before the
+        # dim explode: a plain `select(argmax_expr, posexplode(qe))` lets
+        # CollapseProject inline the 8-cosine expression into the
+        # post-Generate projection, re-evaluating it per exploded dim
+        # (64x, interpreted — measured 6x the whole round's cost). The
+        # _let binding keeps it inside ONE expression evaluated once.
+        rows = (e.select(F.explode(F.expr(_let(
+                    _km_argmax_expr(cents), "cc",
+                    "transform(qe, (v, i) -> "
+                    "struct(cc AS cid, i AS i, v AS v))"))).alias("r"))
+                .select("r.cid", "r.i", "r.v")
                 .groupBy("cid", "i").agg(F.sum("v").alias("s")).collect())
         sums: dict = {}
         for r in rows:
@@ -503,13 +536,16 @@ def _pq_train(spark, sf_dir):
     cents = {(j, k): seeds[k][j * _PQ_D:(j + 1) * _PQ_D]
              for j in range(_PQ_M) for k in range(_PQ_K)}
     for _ in range(_PQ_ITERS):
-        rows = (e.select(F.expr(_pq_codes_expr(cents)).alias("codes"),
-                         F.posexplode("qe").alias("i", "v"))
-                .select(F.expr("i div 8").alias("j"),
-                        F.expr("i % 8").alias("d"),
-                        F.expr("element_at(codes, "
-                               "cast(i div 8 as int) + 1)").alias("k"),
-                        "v")
+        # bind the 32-cosine codes expression ONCE per row before the dim
+        # explode (same CollapseProject-through-Generate hazard as the
+        # k-means round above: unbound, it re-evaluates per exploded dim)
+        rows = (e.select(F.explode(F.expr(_let(
+                    _pq_codes_expr(cents), "cds",
+                    "transform(qe, (v, i) -> struct("
+                    "i div 8 AS j, i % 8 AS d, "
+                    "element_at(cds, cast(i div 8 as int) + 1) AS k, "
+                    "v AS v))"))).alias("r"))
+                .select("r.j", "r.k", "r.d", "r.v")
                 .groupBy("j", "k", "d").agg(F.sum("v").alias("s"))
                 .collect())
         sums: dict = {}
