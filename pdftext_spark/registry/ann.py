@@ -237,16 +237,24 @@ def _ivf_search(spark, sf_dir, nprobe: int):
     assign = ranked.where(F.col("rn") == 1).select("vec_id", "centroid")
     probes = ranked.select("vec_id", F.col("centroid").alias("qc"))
     e = _emb(spark, sf_dir)
+    # per-side norms + a hash-spread candidate side, as in _cosine_pairs:
+    # bit-identical cosine, but the bucket verify no longer re-folds two
+    # norms per pair or runs on the source's single scan split
     q = (e.where((F.col("vec_id") >= 8) & (F.col("vec_id") < 24))
          .join(probes, "vec_id")
          .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"),
-                 "qc"))
+                 "qc", F.expr(_NORM_SPARK.format(v="embedding")).alias("nq")))
     c = (e.join(assign, "vec_id")
          .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"),
-                 F.col("centroid").alias("cc")))
+                 F.col("centroid").alias("cc"),
+                 F.expr(_NORM_SPARK.format(v="embedding")).alias("nc"))
+         .repartition(spark.sparkContext.defaultParallelism, "cid"))
     cand = F.broadcast(q).join(c, (F.col("qc") == F.col("cc"))
                                & (F.col("qid") != F.col("cid")))
-    scored = cand.withColumn("cos", _cos6("qe", "ce"))
+    dot = F.expr("aggregate(zip_with(qe, ce, (x, y) -> "
+                 "cast(x as double) * cast(y as double)), "
+                 "cast(0.0 as double), (acc, v) -> acc + v)")
+    scored = cand.withColumn("cos", F.round(dot / (F.col("nq") * F.col("nc")), 6))
     w2 = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
     return (scored.withColumn("rank", F.row_number().over(w2).cast("long"))
             .where(F.col("rank") <= 3)
@@ -399,13 +407,19 @@ def q_ann_ivf_kmeans(spark, sf_dir):
               .where(F.col("rn") <= _KM_NPROBE)
               .select(F.col("vec_id").alias("qid"), F.col("cid").alias("qc")))
     q = (e.join(probes, e["vec_id"] == probes["qid"])
-         .select("qid", F.col("embedding").alias("qev"), "qc"))
+         .select("qid", F.col("embedding").alias("qev"), "qc",
+                 F.expr(_NORM_SPARK.format(v="embedding")).alias("nq")))
     c = (e.join(assign, "vec_id")
          .select(F.col("vec_id").alias("cid_v"),
-                 F.col("embedding").alias("cev"), F.col("cid").alias("cc")))
+                 F.col("embedding").alias("cev"), F.col("cid").alias("cc"),
+                 F.expr(_NORM_SPARK.format(v="embedding")).alias("nc"))
+         .repartition(spark.sparkContext.defaultParallelism, "cid_v"))
     cand = F.broadcast(q).join(c, (F.col("qc") == F.col("cc"))
                                & (F.col("qid") != F.col("cid_v")))
-    scored = cand.withColumn("cos", _cos6("qev", "cev"))
+    dot = F.expr("aggregate(zip_with(qev, cev, (x, y) -> "
+                 "cast(x as double) * cast(y as double)), "
+                 "cast(0.0 as double), (acc, v) -> acc + v)")
+    scored = cand.withColumn("cos", F.round(dot / (F.col("nq") * F.col("nc")), 6))
     w2 = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid_v"))
     return (scored.withColumn("rank", F.row_number().over(w2).cast("long"))
             .where(F.col("rank") <= 3)

@@ -695,15 +695,21 @@ def q_text_cms(spark, sf_dir):
     the sketch's one-sided error contract, pinned in test). Scale
     shape: token explode partial-aggregates to <=256 (source, slot)
     rows per task, ONE key shuffle, per-source assembly."""
-    slots = (_docs(spark, sf_dir)
-             .select("source", F.explode(F.expr(_TOKS_SPARK)).alias("t"))
-             .select("source", F.explode(F.expr(
-                 f"transform(sequence(0, {_CMS_D - 1}), i -> "
-                 f"i * {_CMS_W} + CAST(conv(substring(md5(concat("
-                 "cast(i as string), ':', t)),1,8),16,10) AS BIGINT) "
-                 f"% {_CMS_W})")).alias("slot")))
+    # the 4 slot md5s run on the DISTINCT (source, token) table, not per
+    # occurrence (VERDICT r5 item 2): the pre-count groupBy partial-
+    # aggregates map-side, so the shuffle carries distinct tokens and
+    # the hash work drops by the corpus repetition factor; summing the
+    # occurrence counts into slots yields the identical counter grid
+    tc = (_docs(spark, sf_dir)
+          .select("source", F.explode(F.expr(_TOKS_SPARK)).alias("t"))
+          .groupBy("source", "t").agg(F.count(F.lit(1)).alias("n")))
+    slots = tc.select("source", "n", F.explode(F.expr(
+        f"transform(sequence(0, {_CMS_D - 1}), i -> "
+        f"i * {_CMS_W} + CAST(conv(substring(md5(concat("
+        "cast(i as string), ':', t)),1,8),16,10) AS BIGINT) "
+        f"% {_CMS_W})")).alias("slot"))
     cnt = (slots.groupBy("source", "slot")
-           .agg(F.count(F.lit(1)).alias("c")))
+           .agg(F.sum("n").alias("c")))
     m = (cnt.groupBy("source")
          .agg(F.map_from_entries(
              F.collect_list(F.struct("slot", "c"))).alias("m")))
