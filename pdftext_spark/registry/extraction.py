@@ -77,6 +77,24 @@ def sql_extract_plain_hyphens(sf_dir):
     return f"SELECT conv_id, turn_idx, text FROM read_parquet('{p}')"
 
 
+def _span_urls(spark, sf_dir):
+    """(conv_id, turn_idx, pos, url) for every span in reading order —
+    the projection the four url-only consumers (refs_domains/canonical/
+    policy/pagerank) share. One flatten projection + ONE explode of a
+    string array replaces the triple posexplode chain, which
+    materialized every intermediate block/line/span STRUCT row (bbox,
+    font, chars, ...) out of the cached page column just to read one
+    string field (InMemoryTableScan does no nested pruning). `pos`
+    enumerates spans in (block, line, span) order, so ordering by
+    (turn_idx, pos) is the same total order the chain's
+    (block_idx, line_idx, span_idx) gave."""
+    df = _extracted_df(spark, sf_dir).where(F.col("page").isNotNull())
+    return df.select("conv_id", "turn_idx", F.posexplode(F.expr(
+        "flatten(flatten(transform(page.blocks, b -> "
+        "transform(b.lines, ln -> transform(ln.spans, s -> s.url)))))"
+    )).alias("pos", "url"))
+
+
 def _flat_spans(spark, sf_dir, extracted=None):
     """blocks → lines → spans flatten of an extracted frame (default:
     the cached tier extraction; pass `extracted` to flatten a different
@@ -295,12 +313,12 @@ def q_refs_domains(spark, sf_dir):
     one domain-keyed shuffle of pre-aggregated rows; the heavy page column
     is pruned at the cached kernel output (the distinct-conv count rides
     the same aggregation as a two-phase distinct)."""
-    s = _flat_spans(spark, sf_dir)
+    s = _span_urls(spark, sf_dir)
     # rlike the full scheme prefix, not startswith("http"): a prefix test
     # admits bogus schemes (httpx://, httpfoo) whose failed regex extract
     # would pile into a silent domain='' bucket
-    u = s.where(F.col("s.url").rlike(_DOMAIN_RE))
-    d = u.select(F.regexp_extract(F.col("s.url"), _DOMAIN_RE, 1).alias("domain"),
+    u = s.where(F.col("url").rlike(_DOMAIN_RE))
+    d = u.select(F.regexp_extract(F.col("url"), _DOMAIN_RE, 1).alias("domain"),
                  "conv_id")
     return d.groupBy("domain").agg(
         F.count("*").alias("n_links"),
@@ -338,20 +356,19 @@ def q_refs_pagerank(spark, sf_dir):
     pre-aggregated sum, the dedup_clusters superstep family — at 1e8+
     domains the rank side shuffle-joins instead of broadcasting and a
     localCheckpoint per sweep caps the lineage."""
-    sp = _flat_spans(spark, sf_dir)
+    sp = _span_urls(spark, sf_dir)
     # materialize the domain-projected span list ONCE (o(#links) rows,
     # tiny next to the page structs): without this checkpoint, nodes,
     # edges, outdeg, and every Jacobi sweep re-derived the pages→spans
     # flatten from the cached extraction — measured 50.3 s at sf0.1 in
     # the round-5 tail sweep, ~29 s after (the graph_triangles lesson;
     # the remaining cost is the shared extraction cache itself)
-    u = (sp.where(F.col("s.url").rlike(_DOMAIN_RE))
-         .select("conv_id", "turn_idx", "block_idx", "line_idx", "span_idx",
-                 F.regexp_extract(F.col("s.url"), _DOMAIN_RE, 1)
+    u = (sp.where(F.col("url").rlike(_DOMAIN_RE))
+         .select("conv_id", "turn_idx", "pos",
+                 F.regexp_extract(F.col("url"), _DOMAIN_RE, 1)
                  .alias("domain"))
          .localCheckpoint())
-    w = Window.partitionBy("conv_id").orderBy(
-        "turn_idx", "block_idx", "line_idx", "span_idx")
+    w = Window.partitionBy("conv_id").orderBy("turn_idx", "pos")
     o = u.withColumn("prev", F.lag("domain").over(w))
     edges = (o.where(F.col("prev").isNotNull()
                      & (F.col("prev") != F.col("domain")))
@@ -454,10 +471,10 @@ def q_refs_policy(spark, sf_dir):
     operators (refs_canonical normalization x the blocklist broadcast
     pattern); same plan shape as refs_domains — everything lives in the
     projection until one turn-keyed aggregation of pre-aggregated rows."""
-    s = _flat_spans(spark, sf_dir)
-    u = (s.where(F.col("s.url").rlike(_URL_HTTP))
+    s = _span_urls(spark, sf_dir)
+    u = (s.where(F.col("url").rlike(_URL_HTTP))
          .select("conv_id", "turn_idx",
-                 canonical_url_col("s.url").alias("curl")))
+                 canonical_url_col("url").alias("curl")))
     deny = ", ".join(f"'{d}'" for d in _DENY_DOMAINS)
     d = u.withColumn("domain", F.regexp_extract("curl", _DOMAIN_RE, 1)) \
          .withColumn("blocked", F.expr(f"domain IN ({deny})"))
@@ -502,9 +519,8 @@ def q_refs_canonical(spark, sf_dir):
     (zero UDFs), then one canonical-url-keyed shuffle of map-side
     partially aggregated rows; canonical-url cardinality is bounded by
     distinct-target count, orders below link count."""
-    s = _flat_spans(spark, sf_dir)
-    u = s.where(F.col("s.url").rlike(_URL_HTTP)).select(
-        F.col("s.url").alias("url"), "conv_id")
+    s = _span_urls(spark, sf_dir)
+    u = s.where(F.col("url").rlike(_URL_HTTP)).select("url", "conv_id")
     return (u.select(canonical_url_col("url").alias("canonical_url"),
                      "conv_id")
             .groupBy("canonical_url")
