@@ -277,10 +277,45 @@ def plain_text(transcripts: DataFrame, cfg: ExtractConfig = ExtractConfig()) -> 
     """Flagship projection: (conv_id, turn_idx, text) — the
     paginated_plain_text_output analog (extraction.py:75-80). The kernel
     skips nested page/table assembly (emit_struct/emit_tables off) — the
-    Python-side analog of the column pruning Catalyst applies outside the
-    UDF."""
+    Python-side analog of the column pruning Catalyst applies outside
+    the UDF — and emits ONLY the three output columns: the old
+    full-EXTRACTED assembly built null pages, empty table/dest arrays,
+    and count columns per row just for a downstream select to drop
+    them, paying per-row Arrow work on both sides of the boundary."""
     import dataclasses
+
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
     cfg = dataclasses.replace(cfg, emit_struct=False, emit_tables=False,
-                              disable_links=True)
-    return extract(transcripts, cfg, resolve_links=False) \
-        .select("conv_id", "turn_idx", "text")
+                              disable_links=True, emit_plain=True)
+    schema = T.StructType([
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("text", T.StringType()),
+    ])
+    from pyspark.sql.pandas.types import to_arrow_schema
+    target = to_arrow_schema(schema)
+
+    def run(batches):
+        from pdftext_spark.core.api import route_batch
+        for batch in batches:
+            def col(name):
+                return batch.column(batch.schema.get_field_index(name))
+            rb = route_batch(col("text").to_pylist(), col("role").to_pylist(),
+                             col("turn_idx").to_pylist(), cfg)
+            out: list = [None] * rb.n
+            for i, o in enumerate(rb.outputs):
+                if o is not None:
+                    out[i] = o.text
+            for local, i in enumerate(rb.doc_pos):
+                out[i] = rb.plains[local]
+            yield pa.RecordBatch.from_arrays(
+                [col("conv_id"), col("turn_idx"),
+                 pa.array(out, type=pa.string())],
+                schema=target)
+
+    pruned = transcripts.select("conv_id", "turn_idx", "role", "text")
+    salted = _apply_salt(pruned, cfg, transcripts.sparkSession)
+    return salted.mapInArrow(run, schema=schema)
