@@ -317,10 +317,14 @@ def test_aqe_skew_join_splits_hot_key(spark):
 
 def test_sketch_trio_preaggregated_shuffles(spark):
     """hll/cms: token mass collapses map-side (partial agg) before the
-    two tiny key shuffles (<=64 / <=256 pre-aggregated rows per task);
+    tiny key shuffles (<=64 / <=256 pre-aggregated rows per task);
     bloom's bit_or merge costs exactly one shuffle. None of the three
-    reads the corpus twice."""
-    for name, max_sh in (("text_hll", 2), ("text_cms", 2),
+    reads the corpus twice. cms allows one extra shuffle since round 6:
+    the slot md5s moved onto the DISTINCT (source, token) table, whose
+    pre-count groupBy is itself map-side combined — the added exchange
+    carries distinct tokens, and the hash work drops by the corpus
+    repetition factor (4x md5 per occurrence -> per distinct token)."""
+    for name, max_sh in (("text_hll", 2), ("text_cms", 3),
                          ("text_bloom", 1)):
         p = _plan(spark, name)
         assert _shuffles(p) <= max_sh, name
