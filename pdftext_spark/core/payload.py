@@ -208,11 +208,96 @@ def prose_to_payload(text: str, page_width: float = 612.0, page_height: float = 
     }
 
 
+def prose_to_decoded(text: str, page_width: float = 612.0,
+                     page_height: float = 792.0, font_size: float = 11.0,
+                     margin: float = 72.0) -> DecodedTurn:
+    """Vectorized fast path for decode_turn(prose_to_payload(text)):
+    builds the DecodedTurn arrays directly with numpy instead of a
+    char-by-char Python loop through a JSON-shaped dict. Verified
+    value-identical to the dict path on fuzzed inputs (same float
+    formulas element-wise; boxes are already corner-normalized and the
+    synthesized page is unrotated, so normalize/rotate are no-ops)."""
+    advance = font_size * 0.6
+    line_h = font_size * 1.2
+    max_cols = max(1, int((page_width - 2 * margin) / advance))
+    segs = text.split("\n")
+    # emitted text: each segment wrapped into max_cols chunks joined by
+    # '\n', segments joined by the original '\n'
+    out_text = "\n".join(
+        "\n".join(seg[i:i + max_cols] for i in range(0, len(seg), max_cols))
+        if seg else "" for seg in segs)
+    n = len(out_text)
+    cols = np.empty(n, dtype=np.int64)
+    rows = np.empty(n, dtype=np.int64)
+    is_nl = np.zeros(n, dtype=bool)
+    off = 0
+    row = 0
+    last = len(segs) - 1
+    for si, seg in enumerate(segs):
+        L = len(seg)
+        if L:
+            k = np.arange(L, dtype=np.int64)
+            ccol = k % max_cols
+            crow = row + k // max_cols
+            n_wrap = (L - 1) // max_cols
+            if n_wrap:
+                # wrap newlines sit BEFORE chars at k = max_cols, 2*max_cols,
+                # ... at col == max_cols (the pre-reset col of the scalar
+                # scan) on the row being left
+                m = L + n_wrap
+                idx = np.arange(m, dtype=np.int64)
+                # emitted index of char k: k + k // max_cols... inverse map:
+                wrap_at = (np.arange(1, n_wrap + 1, dtype=np.int64)
+                           * (max_cols + 1) - 1)
+                is_w = np.zeros(m, dtype=bool)
+                is_w[wrap_at] = True
+                cols[off:off + m][is_w] = max_cols
+                rows[off:off + m][is_w] = row + np.arange(n_wrap)
+                cols[off:off + m][~is_w] = ccol
+                rows[off:off + m][~is_w] = crow
+                is_nl[off:off + m] = is_w
+                off += m
+            else:
+                cols[off:off + L] = ccol
+                rows[off:off + L] = crow
+                off += L
+            row += n_wrap
+        if si != last:
+            # the original '\n': emitted at the CURRENT col (no wrap
+            # check for newline chars — quirk preserved: col can be
+            # max_cols when L is a positive multiple of max_cols)
+            endcol = 0 if L == 0 else (L % max_cols or max_cols)
+            cols[off] = endcol
+            rows[off] = row
+            is_nl[off] = True
+            off += 1
+            row += 1
+    assert off == n
+    x = margin + cols.astype(np.float64) * advance
+    y = margin + rows.astype(np.float64) * line_h
+    boxes = np.empty((n, 4), dtype=np.float64)
+    boxes[:, 0] = x
+    boxes[:, 1] = y
+    boxes[:, 2] = np.where(is_nl, x, x + advance)
+    boxes[:, 3] = np.where(is_nl, y + line_h, y + font_size)
+    return DecodedTurn(
+        page_bbox=[0.0, 0.0, page_width, page_height],
+        rotation=0,
+        page_width=math.ceil(page_width),
+        page_height=math.ceil(page_height),
+        text=out_text,
+        boxes=boxes,
+        charrot=np.full(n, 0.0),
+        font_id=np.full(n, 0, dtype=np.int32),
+        fonts=[{"name": "Mono", "flags": 0, "size": font_size, "weight": 400}],
+    )
+
+
 def decode_any_turn(text: str, quote_loosebox: bool = True) -> DecodedTurn:
     """Decode a payload turn, or synthesize a layout for plain prose."""
     obj = maybe_parse_payload(text)
     if obj is None:
-        obj = prose_to_payload(text if text is not None else "")
+        return prose_to_decoded(text if text is not None else "")
     return decode_turn(obj, quote_loosebox=quote_loosebox)
 
 
