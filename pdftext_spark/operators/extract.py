@@ -54,7 +54,7 @@ def _arrow_kernel(cfg: ExtractConfig, target_schema):
         for batch in batches:
             def col(name):
                 return batch.column(batch.schema.get_field_index(name))
-            rb = route_batch(col("text").to_pylist(), col("role").to_pylist(),
+            rb = route_batch(col("text"), col("role").to_pylist(),
                              col("turn_idx").to_pylist(), cfg)
             yield assemble_record_batch(batch, rb, cfg, target_schema)
     return run
@@ -90,7 +90,7 @@ def link_registrations(transcripts: DataFrame, cfg: ExtractConfig) -> DataFrame:
         for batch in batches:
             def col(name):
                 return batch.column(batch.schema.get_field_index(name))
-            rb = route_batch(col("text").to_pylist(), col("role").to_pylist(),
+            rb = route_batch(col("text"), col("role").to_pylist(),
                              col("turn_idx").to_pylist(), light_cfg)
             dests = [[] for _ in range(rb.n)]
             for local, i in enumerate(rb.doc_pos):
@@ -245,7 +245,7 @@ def plain_text_variants(transcripts: DataFrame,
         for batch in batches:
             def col(name):
                 return batch.column(batch.schema.get_field_index(name))
-            rb = route_batch(col("text").to_pylist(), col("role").to_pylist(),
+            rb = route_batch(col("text"), col("role").to_pylist(),
                              col("turn_idx").to_pylist(), cfg)
             plain: list = [None] * rb.n
             srt: list = [None] * rb.n
@@ -303,7 +303,7 @@ def plain_text(transcripts: DataFrame, cfg: ExtractConfig = ExtractConfig()) -> 
         for batch in batches:
             def col(name):
                 return batch.column(batch.schema.get_field_index(name))
-            rb = route_batch(col("text").to_pylist(), col("role").to_pylist(),
+            rb = route_batch(col("text"), col("role").to_pylist(),
                              col("turn_idx").to_pylist(), cfg)
             out: list = [None] * rb.n
             for i, o in enumerate(rb.outputs):

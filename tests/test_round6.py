@@ -58,3 +58,48 @@ def test_substr_exact_equals_sa_kernel(spark, tmp_path):
         exp = {(di, s, e)
                for di, s, e in repeated_intervals(token_docs, w)}
         assert got == exp, (case, sorted(got), sorted(exp))
+
+
+def test_route_batch_arrow_equals_list():
+    """The zero-copy Arrow text path of route_batch must be output-
+    identical to the list[str] path on every routing outcome: nulls,
+    empties, invalid JSON, valid-JSON-non-payload, malformed payloads
+    (the per-turn error channel), prose, HTML, and real payloads —
+    across string/large_string/sliced/chunked array layouts."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pdftext_spark.config import ExtractConfig
+    from pdftext_spark.core.api import route_batch
+
+    texts = [None, "", "not json", '{"bad"', '{"kind":"other"}',
+             # charrot length mismatch -> per-turn ValueError channel
+             '{"kind":"chars","page_bbox":[0,0,10,10],"text":"ab",'
+             '"bbox":[1,2,3,4,5,6,7,8],"charrot":[0.0]}',
+             '{"kind":"chars","page_bbox":[0,0,100,100],"text":"hi",'
+             '"bbox":[1,2,3,4,5,6,7,8]}',
+             "plain prose\nwith a wrapped line " * 8,
+             "<html><body><p>x</p></body></html>", None]
+    roles = ["user", "user", "user", "user", "user", "user", "user",
+             "user", "tool", "tool"]
+    tix = list(range(len(texts)))
+    cfg = ExtractConfig()
+    ref = route_batch(texts, roles, tix, cfg)
+    layouts = [
+        pa.array(texts, type=pa.string()),
+        pa.array(texts, type=pa.large_string()),
+        pa.array([None] + texts, type=pa.string()).slice(1),
+        pa.chunked_array([pa.array(texts[:4]), pa.array(texts[4:])]),
+    ]
+    for arr in layouts:
+        got = route_batch(arr, roles, tix, cfg)
+        assert got.n == ref.n and got.doc_pos == ref.doc_pos
+        for oa, ob in zip(ref.outputs, got.outputs):
+            assert (oa is None) == (ob is None)
+            if oa is not None:
+                assert (oa.text, oa.error, oa.is_html) == \
+                       (ob.text, ob.error, ob.is_html)
+        assert got.plains == ref.plains
+        if ref.seg is not None:
+            assert got.seg.chars.gtext == ref.seg.chars.gtext
+            assert np.array_equal(got.seg.chars.boxes, ref.seg.chars.boxes)
