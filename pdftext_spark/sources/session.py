@@ -39,6 +39,16 @@ def build_session(app: str = "pdftext_spark", master: str | None = None,
         # memory pressure
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
         .config("spark.python.worker.reuse", "true")
+        # glibc returns >32MB allocations to the OS on every free
+        # (mmap/munmap), so each kernel batch re-faults its large numpy
+        # arrays (~hundreds of MB of fresh pages per batch) — measured
+        # 6-13% of kernel wall and most of its run-to-run variance.
+        # Raising the mmap/trim thresholds keeps those buffers on the
+        # reusable heap. Per-worker-process tuning, scale-independent
+        # (the same envVars route reaches executors on a real cluster);
+        # cost is each worker's RSS staying at its peak working set.
+        .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", "1073741824")
+        .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "536870912")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("PDFTEXT_SPARK_DRIVER_MEM", "8g"))
         .getOrCreate()
