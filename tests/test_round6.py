@@ -78,10 +78,20 @@ def test_route_batch_arrow_equals_list():
              '"bbox":[1,2,3,4,5,6,7,8],"charrot":[0.0]}',
              '{"kind":"chars","page_bbox":[0,0,100,100],"text":"hi",'
              '"bbox":[1,2,3,4,5,6,7,8]}',
+             # illegal rotation: both paths must emit rotate_boxes'
+             # message from THIS turn's error channel (the deferred-
+             # geometry fast path validates at decode time)
+             '{"kind":"chars","page_bbox":[0,0,10,10],"rotation":45,'
+             '"text":"a","bbox":[1,2,3,4]}',
+             # rotated page + tight-box override: exercises the deferred
+             # per-slice rotate after the flat normalize
+             '{"kind":"chars","page_bbox":[0,0,100,50],"rotation":90,'
+             '"text":"ab","bbox":[9,7,3,12,20,20,24,30],'
+             '"charrot":[90.0,0.0],"tbox":{"0":[4,5,6,7]}}',
              "plain prose\nwith a wrapped line " * 8,
              "<html><body><p>x</p></body></html>", None]
     roles = ["user", "user", "user", "user", "user", "user", "user",
-             "user", "tool", "tool"]
+             "user", "user", "user", "tool", "tool"]
     tix = list(range(len(texts)))
     cfg = ExtractConfig()
     ref = route_batch(texts, roles, tix, cfg)
@@ -90,6 +100,7 @@ def test_route_batch_arrow_equals_list():
         pa.array(texts, type=pa.large_string()),
         pa.array([None] + texts, type=pa.string()).slice(1),
         pa.chunked_array([pa.array(texts[:4]), pa.array(texts[4:])]),
+        pa.chunked_array([pa.array(texts[:9]), pa.array(texts[9:])]),
     ]
     for arr in layouts:
         got = route_batch(arr, roles, tix, cfg)
