@@ -18,6 +18,17 @@ def build_session(app: str = "pdftext_spark", master: str | None = None,
                   shuffle_partitions: int | None = None,
                   max_partition_bytes: str | None = None) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    # The kernel closures import pdftext_spark inside the Python workers;
+    # when the driver is launched from another cwd the workers would
+    # otherwise have no way to resolve the package (ModuleNotFoundError
+    # in every task). Ship the package root on the workers' PYTHONPATH —
+    # the local-mode equivalent of --py-files for a checkout.
+    repo_root = os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+    worker_pp = os.environ.get("PYTHONPATH", "")
+    if repo_root not in worker_pp.split(os.pathsep):
+        worker_pp = (repo_root + os.pathsep + worker_pp) if worker_pp \
+            else repo_root
     master = master or f"local[{cpus}]"
     shuffle = shuffle_partitions or max(cpus * 2, 8)
     # sandbox inputs are tens of MB, so the 128 MB default collapses the
@@ -49,6 +60,7 @@ def build_session(app: str = "pdftext_spark", master: str | None = None,
         # cost is each worker's RSS staying at its peak working set.
         .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", "1073741824")
         .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "536870912")
+        .config("spark.executorEnv.PYTHONPATH", worker_pp)
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("PDFTEXT_SPARK_DRIVER_MEM", "8g"))
         .getOrCreate()
