@@ -114,3 +114,34 @@ def test_route_batch_arrow_equals_list():
         if ref.seg is not None:
             assert got.seg.chars.gtext == ref.seg.chars.gtext
             assert np.array_equal(got.seg.chars.boxes, ref.seg.chars.boxes)
+
+
+def test_kernel_runs_from_foreign_cwd(tmp_path):
+    """The Python workers must resolve pdftext_spark regardless of the
+    driver's cwd (build_session ships the checkout root on the workers'
+    PYTHONPATH). Before the fix, launching any kernel entry point from
+    outside the repo killed every task with ModuleNotFoundError."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "from pdftext_spark.sources.session import build_session\n"
+        "from pdftext_spark.operators.extract import plain_text\n"
+        "from pdftext_spark.sources.fixture_io import ensure_fixture_dir\n"
+        "import os\n"
+        "spark = build_session(app='cwd-test', master='local[2]',\n"
+        "                      shuffle_partitions=4)\n"
+        "p = os.path.join(ensure_fixture_dir('sf0.001'), 'transcripts.parquet')\n"
+        "n = plain_text(spark.read.parquet(p)).count()\n"
+        "spark.stop()\n"
+        "assert n > 0, n\n"
+        "print('CWD-OK', n)\n" % repo)
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)  # the driver may not set one either
+    r = subprocess.run([sys.executable, "-c", script], cwd=str(tmp_path),
+                       capture_output=True, text=True, env=env, timeout=300)
+    assert r.returncode == 0 and "CWD-OK" in r.stdout, (
+        r.stdout[-500:], r.stderr[-2000:])
