@@ -83,8 +83,13 @@ def _arrow_text_view(texts):
     else:
         odtype, owidth = np.int32, 4
     bufs = texts.buffers()
-    offs = np.frombuffer(bufs[1], dtype=odtype, count=len(texts) + 1,
-                         offset=texts.offset * owidth)
+    if bufs[1] is None:
+        # the Arrow spec lets a length-0 array omit its offsets buffer
+        # (an IPC'd empty batch can arrive this way)
+        offs = np.zeros(1, dtype=odtype)
+    else:
+        offs = np.frombuffer(bufs[1], dtype=odtype, count=len(texts) + 1,
+                             offset=texts.offset * owidth)
     data = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
     if texts.null_count:
         valid = ~texts.is_null().to_numpy(zero_copy_only=False)
